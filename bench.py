@@ -1,0 +1,73 @@
+"""Benchmark: frames/sec/chip through the feature+fusion device path.
+
+BASELINE.json metric: "frames/sec/chip through feature+fusion; p50 per-match
+summarize latency".  This script times the full per-frame device program —
+on-device preprocessing (min-max normalize + matmul bilinear resize from
+decode resolution) → visual conv stack → audio branch → fusion MLP — in
+steady state on one chip, and prints ONE JSON line.
+
+``vs_baseline`` is measured throughput divided by the BASELINE.md build
+target of ≥50× real-time at 25 fps full-rate decode (50 × 25 = 1250
+frames/sec/chip); 1.0 means the target is exactly met.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cvml_goalnet_tpu.config import PipelineConfig
+from cvml_goalnet_tpu.models.avm import avm_apply
+from cvml_goalnet_tpu.ops.preprocess import preprocess_frames
+from cvml_goalnet_tpu.train.state import create_train_state
+
+TARGET_FPS = 50 * 25  # ≥50× real-time at 25 fps (BASELINE.md build target)
+
+
+def main() -> None:
+    cfg = PipelineConfig()
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+
+    batch = 512
+    decode_hw = (180, 320)  # host decoder output resolution fed to the device
+    raw_frames = jax.device_put(jnp.asarray(
+        rng.integers(0, 255, (batch, *decode_hw, 3), dtype=np.uint8)))
+    audio = jax.device_put(jnp.asarray(
+        rng.standard_normal((batch, cfg.audio.bin_length, cfg.audio.n_mfcc)).astype(np.float32)))
+
+    @jax.jit
+    def step(raw_frames, audio):
+        visual = preprocess_frames(raw_frames, cfg.preprocess.frame_size)
+        scores, _ = avm_apply(
+            state.params, state.model_state, visual, audio, None,
+            cfg=cfg.model, train=False,
+        )
+        return scores[:, 0]
+
+    # Warmup / compile.
+    step(raw_frames, audio).block_until_ready()
+    step(raw_frames, audio).block_until_ready()
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(raw_frames, audio)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    fps = batch / dt
+    print(json.dumps({
+        "metric": "frames_per_sec_feature_fusion",
+        "value": round(fps, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / TARGET_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,200 @@
+"""CLI: train / train-no-audio / infer / infer-no-audio / baseline (+resume).
+
+Capability parity with the reference entry (``main.py:351-373``), upgraded
+from raw ``sys.argv`` inspection to argparse with a real config layer:
+
+* ``goalnet train [--no-audio] [--checkpoint] [--config cfg.json] ...``
+* ``goalnet infer VIDEO [--no-audio]`` — the reference hard-coded the
+  inference path (``main.py:363``) and its audio infer path was broken
+  (``main.py:321``); both fixed here.
+* ``goalnet baseline`` — the 10-random-model chance baseline
+  (reference ``baseline.py``).
+
+Run as ``python -m cvml_goalnet_tpu.cli ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+from cvml_goalnet_tpu.config import ModelConfig, PipelineConfig
+import dataclasses
+
+
+def _load_cfg(args) -> PipelineConfig:
+    cfg = PipelineConfig.load(args.config) if args.config else PipelineConfig()
+    if getattr(args, "no_audio", False):
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, audio_included=False))
+    return cfg
+
+
+def _artifact_paths(root: str, audio_included: bool) -> dict:
+    suffix = "" if audio_included else "_no_audio"
+    return {
+        "ckp_dir": os.path.join(root, "models", f"importance{suffix}"),
+        "curves": os.path.join(root, "tmp", f"train_states{suffix}.png"),
+        "indices": os.path.join(root, "tmp", f"indices{suffix}.png"),
+    }
+
+
+def _add_data_args(p: argparse.ArgumentParser):
+    p.add_argument("--data-root", default="./ydata-tvsum50-v1_1")
+    p.add_argument("--videos", nargs="*", default=None, help="explicit video paths")
+    p.add_argument("--annotation-fp", default=None)
+    p.add_argument("--mat-fp", default=None)
+    p.add_argument("--h5-fp", default=None)
+    p.add_argument("--info-fp", default=None)
+    p.add_argument("--config", default=None, help="PipelineConfig JSON path")
+    p.add_argument("--workdir", default=".", help="artifact root (tmp/, models/)")
+
+
+def _resolve_data(args) -> dict:
+    root = args.data_root
+    return {
+        "videos": args.videos
+        or sorted(glob.glob(os.path.join(root, "video", "*.mp4"))),
+        "annotation_fp": args.annotation_fp
+        or os.path.join(root, "data", "ydata-tvsum50-anno.tsv"),
+        "mat_fp": args.mat_fp
+        or os.path.join(root, "ground_truth", "ydata-tvsum50.mat"),
+        "h5_fp": args.h5_fp
+        or os.path.join(root, "ground_truth", "eccv16_dataset_tvsum_google_pool5.h5"),
+        "info_fp": args.info_fp or os.path.join(root, "data", "ydata-tvsum50-info.tsv"),
+    }
+
+
+def cmd_train(args) -> int:
+    import jax
+
+    from cvml_goalnet_tpu.data.dataset import build_datasets
+    from cvml_goalnet_tpu.train.checkpoint import load_checkpoint
+    from cvml_goalnet_tpu.train.loop import train_importance_model
+    from cvml_goalnet_tpu.train.state import create_train_state
+    from cvml_goalnet_tpu.viz import generate_metric_plots
+
+    cfg = _load_cfg(args)
+    data = _resolve_data(args)
+    paths = _artifact_paths(args.workdir, cfg.model.audio_included)
+    os.makedirs(os.path.dirname(paths["curves"]), exist_ok=True)
+
+    train_ds, val_ds = build_datasets(
+        data["videos"], cfg, data["annotation_fp"], data["mat_fp"], data["h5_fp"],
+        data["info_fp"], audio_included=cfg.model.audio_included,
+    )
+    print(f"Number of train videos: {len(train_ds)}")
+    print(f"Number of val videos: {len(val_ds)}")
+
+    state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
+    if args.checkpoint:
+        state = load_checkpoint(paths["ckp_dir"], state, tag="ckp")
+        print(f"Resumed from epoch {state.epoch}")
+
+    def on_epoch_end(epoch, history, best):
+        generate_metric_plots(history, paths["curves"])
+
+    _, history = train_importance_model(
+        cfg, train_ds, val_ds, state,
+        num_epochs=args.epochs, checkpoint_dir=paths["ckp_dir"],
+        on_epoch_end=on_epoch_end,
+    )
+    print(f"Optimal epoch: {history['best_epoch']}")
+    print("Operation completed")
+    return 0
+
+
+def cmd_infer(args) -> int:
+    import jax
+
+    from cvml_goalnet_tpu.data.annotations import AnnotationStore
+    from cvml_goalnet_tpu.data.dataset import build_video_item
+    from cvml_goalnet_tpu.data.video import decode_all_frames, export_video
+    from cvml_goalnet_tpu.pipeline import fuse, summarize
+    from cvml_goalnet_tpu.train.checkpoint import load_checkpoint
+    from cvml_goalnet_tpu.train.state import create_train_state
+
+    cfg = _load_cfg(args)
+    data = _resolve_data(args)
+    paths = _artifact_paths(args.workdir, cfg.model.audio_included)
+    store = (
+        AnnotationStore(data["mat_fp"], data["h5_fp"])
+        if os.path.exists(data["mat_fp"]) and os.path.exists(data["h5_fp"])
+        else None
+    )
+
+    print("Input video:\n", args.video)
+    item = build_video_item(args.video, cfg, None, store, cfg.model.audio_included)
+
+    state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
+    try:
+        state = load_checkpoint(paths["ckp_dir"], state, tag="opt")
+    except FileNotFoundError:
+        print("W: no opt checkpoint found, falling back to rolling ckp")
+        state = load_checkpoint(paths["ckp_dir"], state, tag="ckp")
+
+    scores = fuse(
+        state.params, state.model_state,
+        {"visual": item.visual, "audio": item.audio}, cfg,
+    )
+    full_frames = decode_all_frames(args.video) if not args.video.endswith(".npz") else np.load(args.video)["frames"]
+    res = summarize(
+        scores, item.clip_intervals, cfg.preprocess.skip_frames,
+        item.full_n_frames, cfg.knapsack, full_frames=full_frames,
+    )
+    out_fp = os.path.join(args.workdir, "tmp", f"{item.title}.mp4")
+    os.makedirs(os.path.dirname(out_fp), exist_ok=True)
+    export_video(res.summary_frames, out_fp, fps=30)
+    print(f"\n[Exported video details]\n\nID: {item.video_id}\nTitle: {item.title}\nOutput: {out_fp}")
+    return 0
+
+
+def cmd_baseline(args) -> int:
+    from cvml_goalnet_tpu.baseline import run_random_baseline
+
+    cfg = _load_cfg(args)
+    data = _resolve_data(args)
+    report = run_random_baseline(
+        cfg, data["videos"], data["annotation_fp"], data["mat_fp"], data["h5_fp"],
+        n_samples=args.samples,
+    )
+    for k, v in report.items():
+        print(f"{k}: {v:.4f}")
+    return 0
+
+
+def main(argv=None) -> int:
+    from cvml_goalnet_tpu.utils import apply_platform_override
+
+    apply_platform_override()
+    parser = argparse.ArgumentParser(prog="goalnet", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="train the importance model")
+    _add_data_args(p)
+    p.add_argument("--no-audio", action="store_true")
+    p.add_argument("--checkpoint", action="store_true", help="resume from rolling ckp")
+    p.add_argument("--epochs", type=int, default=None)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("infer", help="summarize one video")
+    _add_data_args(p)
+    p.add_argument("video")
+    p.add_argument("--no-audio", action="store_true")
+    p.set_defaults(fn=cmd_infer)
+
+    p = sub.add_parser("baseline", help="random-init chance baseline")
+    _add_data_args(p)
+    p.add_argument("--no-audio", action="store_true")
+    p.add_argument("--samples", type=int, default=10)
+    p.set_defaults(fn=cmd_baseline)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,203 @@
+"""Typed configuration layer.
+
+The reference has no config system — every hyperparameter is a hard-coded
+constant scattered through ``main.py:31-53``, ``utils.py:333,466,629`` and
+``main.py:311`` (see SURVEY.md §5 "Config / flag system — ABSENT").  Here the
+whole pipeline is driven by frozen dataclasses that serialize to/from JSON, so
+experiments are reproducible and the CLI / tests / benchmarks share one source
+of truth.
+
+Defaults reproduce the reference's training setup (reference ``main.py:45-53``):
+``skip_frames=30``, 40×40 frames, MFCC with ``n_mfcc=30`` and ``bin_length=30``,
+Adam ``lr=1e-3``, sub-batches of 10 frames, 150 epochs, knapsack budget 15%
+with weight scale factor 5.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+def _asdict(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return {f.name: _asdict(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+    if isinstance(obj, (list, tuple)):
+        return [_asdict(x) for x in obj]
+    return obj
+
+
+def _fromdict(cls: type, d: dict) -> Any:
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
+            kwargs[f.name] = _fromdict(f.type, v)
+        elif isinstance(v, dict) and dataclasses.is_dataclass(_CONFIG_TYPES.get(f.name, object)):
+            kwargs[f.name] = _fromdict(_CONFIG_TYPES[f.name], v)
+        elif isinstance(v, list):
+            kwargs[f.name] = tuple(v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+@dataclass(frozen=True)
+class PreprocessConfig:
+    """Frame decimation + normalize + resize contract (reference ``utils.py:274-292``)."""
+
+    skip_frames: int = 30          # keep 1 frame every `skip_frames` raw frames
+    frame_size: tuple[int, int] = (40, 40)  # (H, W) after resize
+    channels: int = 3
+    # Reference normalizes min-max over the WHOLE frame (all channels jointly)
+    # BEFORE resizing (utils.py:284-285); we preserve that contract.
+    eps: float = 1e-7
+    # Channel order of decoded frames. cv2 decodes BGR (reference behavior);
+    # our decoder keeps whatever the host decoder produces and records it here.
+    channel_order: str = "bgr"
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    """MFCC frontend contract (reference ``utils.py:313-349``).
+
+    The reference delegates to librosa defaults: sr=22050, n_fft=2048,
+    hop_length=512, hann window, centered (reflect-padded) STFT, 128 mel bands
+    (Slaney norm, fmax=sr/2), power→dB with ``top_db=80``, DCT-II ortho, first
+    ``n_mfcc`` coefficients.  We own that entire computation as XLA ops
+    (matmuls + FFT) — see ``ops/audio.py``.
+    """
+
+    sample_rate: int = 22050
+    n_mfcc: int = 30
+    n_fft: int = 2048
+    hop_length: int = 512
+    n_mels: int = 128
+    fmin: float = 0.0
+    fmax: float | None = None      # None → sample_rate / 2
+    top_db: float = 80.0
+    bin_length: int = 30           # B: time columns per video frame after interpolation
+    log_mel: bool = False          # config-2 variant: stop at log-mel, skip DCT
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of the AVM-equivalent model (reference ``utils.py:145-272``).
+
+    Explicit shapes everywhere — the reference's Lazy* modules hid the
+    conv→flatten dims (SURVEY.md §7.3); here they are pinned by construction.
+    """
+
+    audio_included: bool = True
+    text_included: bool = False
+
+    # Visual branch (reference VisBl, utils.py:145-195)
+    vis_channels: tuple[int, ...] = (64, 256, 512)
+    vis_feature_dim: int = 512
+    # Audio branch (reference AudBl, utils.py:197-227)
+    aud_channels: tuple[int, ...] = (64, 128)
+    aud_feature_dim: int = 128
+    # Text branch (new capability — BASELINE.json config 4)
+    text_vocab_size: int = 32768
+    text_embed_dim: int = 128
+    text_num_layers: int = 2
+    text_num_heads: int = 4
+    text_feature_dim: int = 128
+    text_max_len: int = 64
+
+    # Fusion head (reference AVM.fusion, utils.py:242-258)
+    fusion_hidden: tuple[int, ...] = (512, 512, 256, 128)
+    dropout_rate: float = 0.2
+    # Output scaling: 4*sigmoid(x)+1 ∈ [1, 5]  (utils.py:270)
+    out_lo: float = 1.0
+    out_hi: float = 5.0
+
+    # Temporal spotting head (new capability — BASELINE.json config 5)
+    temporal_hidden: int = 128
+
+    dtype: str = "float32"         # activations dtype ("bfloat16" on TPU hot path)
+    param_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (reference ``main.py:45-53``)."""
+
+    num_epochs: int = 150
+    subbatch_size: int = 10
+    learning_rate: float = 1e-3
+    train_ratio: float = 0.8
+    seed: int = 12344321
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    # The reference's MSELoss((n,1), (n,)) silently broadcasts to (n,n)
+    # (main.py:191 — SURVEY.md §7.1 documents this as a bug NOT to replicate).
+    # False (default) = intended semantics: elementwise MSE on aligned shapes.
+    # True  = bug-compatible broadcast loss, kept only for A/B comparison.
+    broadcast_loss_compat: bool = False
+    checkpoint_every: int = 1      # epochs between rolling checkpoints
+
+
+@dataclass(frozen=True)
+class KnapsackConfig:
+    """Keyshot selection budget (reference ``utils.py:466,629``)."""
+
+    summary_ratio: float = 0.15    # capacity = ratio * full_n_frames
+    scale_factor: int = 5          # integer scaling of weights/capacity
+    # Reference builds the frame mask with an INCLUSIVE clip end
+    # (utils.py:639-641) while the summary frames use an exclusive slice
+    # (utils.py:634) — an off-by-one.  True keeps reference-compatible masks
+    # (needed for F-score parity against its ground truths); False uses
+    # self-consistent exclusive ends.  SURVEY.md §7.1.
+    inclusive_mask: bool = True
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout (SPMD via jax.sharding; no reference equivalent —
+    SURVEY.md §2.3 marks every parallelism strategy ABSENT upstream)."""
+
+    data: int = -1                 # -1 → all remaining devices on the data axis
+    model: int = 1                 # tensor-parallel degree for the fusion MLP
+    axis_names: tuple[str, str] = ("data", "model")
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    preprocess: PreprocessConfig = field(default_factory=PreprocessConfig)
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    knapsack: KnapsackConfig = field(default_factory=KnapsackConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def to_json(self, indent: int = 2) -> str:
+        return json.dumps(_asdict(self), indent=indent)
+
+    @classmethod
+    def from_json(cls, s: str) -> "PipelineConfig":
+        return _fromdict(cls, json.loads(s))
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "PipelineConfig":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+
+_CONFIG_TYPES = {
+    "preprocess": PreprocessConfig,
+    "audio": AudioConfig,
+    "model": ModelConfig,
+    "train": TrainConfig,
+    "knapsack": KnapsackConfig,
+    "mesh": MeshConfig,
+}

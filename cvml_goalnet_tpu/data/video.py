@@ -1,0 +1,121 @@
+"""Host video decode + decimation, feeding the device preprocess path.
+
+Capability parity with reference ``extract_condensed_frame_tensor`` /
+``get_frame_tensor`` (``utils.py:274-305``): decode a video, keep every
+``skip_frames``-th frame, count raw frames.
+
+Differences by design:
+
+* Decode produces RAW uint8 frames; the per-frame min-max normalize + resize
+  happens ON DEVICE in batched XLA/Pallas (``ops/preprocess.py``), not per
+  frame on the host inside the decode loop.
+* ``full_n_frames`` is the true raw frame count.  The reference reported
+  ``count - 1`` because its read loop counted the final failed read
+  (``utils.py:288``) — documented divergence (SURVEY.md §7.1); pass
+  ``reference_off_by_one=True`` for bug-compatible accounting.
+* Decoders are pluggable (cv2 or imageio, whichever the host has) and frames
+  can be streamed in chunks for double-buffered pipelines.
+
+cv2 note: decoded frames are BGR, matching the reference's training data
+channel order; the order is recorded in ``PreprocessConfig.channel_order``.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import numpy as np
+
+
+def _open_cv2(path: str):
+    try:
+        import cv2
+    except ImportError:
+        return None
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        cap.release()
+        return None
+    return cap
+
+
+def decode_condensed_frames(
+    path: str,
+    skip_frames: int,
+    reference_off_by_one: bool = False,
+) -> tuple[np.ndarray, int]:
+    """Decode and decimate → ((N, H, W, C) uint8 frames, full_n_frames)."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    cap = _open_cv2(path)
+    frames = []
+    count = 0
+    if cap is not None:
+        while True:
+            ok, img = cap.read()
+            if not ok:
+                break
+            if count % skip_frames == 0:
+                frames.append(img)
+            count += 1
+        cap.release()
+    else:  # imageio fallback (no cv2 on host)
+        import imageio.v3 as iio
+
+        for count, img in enumerate(iio.imiter(path), start=0):
+            if count % skip_frames == 0:
+                frames.append(img[..., ::-1])  # RGB → BGR for parity
+        count += 1
+    full_n = count - 1 if reference_off_by_one else count
+    return np.stack(frames), full_n
+
+
+def decode_all_frames(path: str, drop_last: bool = False) -> np.ndarray:
+    """All raw frames (reference ``get_frame_tensor``, ``utils.py:294-305``).
+
+    The reference appends the final failed read then slices it off AND loses
+    the true last frame; ``drop_last=True`` reproduces that accounting.
+    """
+    frames, _ = decode_condensed_frames(path, skip_frames=1)
+    return frames[:-1] if drop_last else frames
+
+
+def stream_condensed_frames(
+    path: str, skip_frames: int, chunk: int = 256
+) -> Iterator[np.ndarray]:
+    """Yield decimated frames in chunks for double-buffered host→device feed."""
+    cap = _open_cv2(path)
+    if cap is None:
+        raise RuntimeError(f"no decoder available for {path}")
+    buf: list[np.ndarray] = []
+    count = 0
+    while True:
+        ok, img = cap.read()
+        if not ok:
+            break
+        if count % skip_frames == 0:
+            buf.append(img)
+            if len(buf) == chunk:
+                yield np.stack(buf)
+                buf = []
+        count += 1
+    cap.release()
+    if buf:
+        yield np.stack(buf)
+
+
+def export_video(frames: np.ndarray, output_path: str, fps: int = 30) -> None:
+    """Write frames to an mp4 (reference ``export_video``, ``utils.py:512-523``)."""
+    try:
+        import cv2
+
+        h, w = frames[0].shape[:2]
+        out = cv2.VideoWriter(output_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        for frame in frames:
+            out.write(np.ascontiguousarray(frame))
+        out.release()
+    except ImportError:
+        import imageio.v3 as iio
+
+        iio.imwrite(output_path, frames[..., ::-1], fps=fps)

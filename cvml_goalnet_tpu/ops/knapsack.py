@@ -1,0 +1,139 @@
+"""0/1 knapsack keyshot selection.
+
+Capability parity with reference ``knapsack`` (``utils.py:466-510``): select
+clip indices maximizing summed importance subject to a total-length budget,
+with weights and capacity scaled by an integer ``scale_factor`` and a
+greedy-from-the-end traceback over the DP table.
+
+The reference builds the (n+1)×(W+1) table with a doubly nested Python loop —
+the hot host loop flagged in SURVEY.md §3.1.  Here there are three engines:
+
+* :func:`knapsack_table_host`   — NumPy, row-vectorized: each item row is one
+  shifted ``maximum`` over the capacity axis.  O(n·W) work but W-wide SIMD.
+* :func:`knapsack_table_device` — the same recurrence as a ``lax.scan`` over
+  items on TPU; each scan step is a masked shift+max over the capacity axis
+  (VPU-friendly, static shapes).  Returns the stacked table for traceback.
+* the optional C++ engine in ``runtime/`` (see ``cvml_goalnet_tpu.runtime``),
+  used automatically when its shared library has been built.
+
+Traceback is data-dependent and O(n), so it stays on the host — the pragmatic
+device-DP/host-traceback split called out in SURVEY.md §7.3.  Its selection
+rule replicates the reference exactly (``utils.py:494-510``): walk items from
+the end; skip item i when ``K[i][w] == K[i-1][w]``; otherwise take it and
+reduce the remaining value/capacity; stop when the remaining value hits 0.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _scaled(weights, capacity, scale_factor):
+    w = np.asarray([int(x * scale_factor) for x in np.asarray(weights).tolist()], dtype=np.int64)
+    return w, int(capacity * scale_factor)
+
+
+def knapsack_table_host(values: np.ndarray, weights: np.ndarray, capacity: int) -> np.ndarray:
+    """DP table K of shape (n+1, capacity+1); weights/capacity already integer."""
+    values = np.asarray(values)
+    weights = np.asarray(weights, dtype=np.int64)
+    n = len(values)
+    table = np.zeros((n + 1, capacity + 1), dtype=values.dtype if values.dtype.kind == "f" else np.int64)
+    row = table[0]
+    for i in range(n):
+        wi, vi = int(weights[i]), values[i]
+        new = row.copy()
+        if wi <= capacity:
+            take = row[: capacity + 1 - wi] + vi
+            new[wi:] = np.maximum(row[wi:], take)
+        table[i + 1] = new
+        row = new
+    return table
+
+
+@partial(jax.jit, static_argnums=(2,))
+def knapsack_table_device(values: jax.Array, weights: jax.Array, capacity: int) -> jax.Array:
+    """DP table via ``lax.scan`` over items, on device.
+
+    ``capacity`` is static (it is derived from the raw frame count, which is a
+    static shape upstream).  Each step computes
+    ``row' = max(row, shift(row, w_i) + v_i)`` with the shift realized as a
+    masked gather so the step stays O(W) vector work with no dynamic shapes.
+    """
+    values = values.astype(jnp.float32)
+    weights = weights.astype(jnp.int32)
+    wgrid = jnp.arange(capacity + 1, dtype=jnp.int32)
+
+    def step(row, item):
+        v, w = item
+        src = jnp.clip(wgrid - w, 0, capacity)
+        take = jnp.where(wgrid >= w, row[src] + v, -jnp.inf)
+        new = jnp.maximum(row, take)
+        return new, new
+
+    row0 = jnp.zeros((capacity + 1,), jnp.float32)
+    _, rows = jax.lax.scan(step, row0, (values, weights))
+    return jnp.concatenate([row0[None], rows], axis=0)
+
+
+def _traceback(table: np.ndarray, values: np.ndarray, weights: np.ndarray, capacity: int) -> list[int]:
+    """Reference-exact traceback (``utils.py:494-510``)."""
+    n = len(values)
+    res = table[n][capacity]
+    w = capacity
+    selected: list[int] = []
+    for i in range(n, 0, -1):
+        if res <= 0:
+            break
+        if res == table[i - 1][w]:
+            continue
+        selected.append(i - 1)
+        res = res - values[i - 1]
+        w = w - int(weights[i - 1])
+    selected.reverse()
+    return selected
+
+
+def knapsack_select(
+    values,
+    weights,
+    capacity,
+    scale_factor: int = 5,
+    engine: str = "auto",
+) -> list[int]:
+    """Select clip indices under a length budget.
+
+    Mirrors the reference entry ``knapsack(values, weights, capacity,
+    scale_factor=5)`` (``utils.py:466-510``) — same scaling, same DP, same
+    traceback — with a choice of DP engine:
+
+    * ``"host"``   — NumPy vectorized rows
+    * ``"device"`` — ``lax.scan`` DP on the default JAX device
+    * ``"native"`` — C++ solver from ``runtime/`` (if built)
+    * ``"auto"``   — native if available, else host
+    """
+    values = np.asarray(values, dtype=np.float64)
+    int_weights, int_capacity = _scaled(weights, capacity, scale_factor)
+    if len(values) == 0 or int_capacity <= 0:
+        return []
+
+    if engine == "auto":
+        from cvml_goalnet_tpu.runtime import native_knapsack_available
+
+        engine = "native" if native_knapsack_available() else "host"
+
+    if engine == "native":
+        from cvml_goalnet_tpu.runtime import knapsack_native
+
+        return knapsack_native(values, int_weights, int_capacity)
+    if engine == "device":
+        table = np.asarray(
+            knapsack_table_device(jnp.asarray(values), jnp.asarray(int_weights), int_capacity)
+        )
+    else:
+        table = knapsack_table_host(values, int_weights, int_capacity)
+    return _traceback(table, values, int_weights, int_capacity)

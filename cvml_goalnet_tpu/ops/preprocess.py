@@ -1,0 +1,80 @@
+"""Frame preprocessing: per-frame min-max normalization + bilinear resize.
+
+Capability parity with reference ``extract_condensed_frame_tensor``'s per-frame
+math (``utils.py:283-292``): each kept frame is min-max normalized over ALL
+pixels and channels jointly, THEN resized to 40×40 (order matters and is
+preserved).  The reference does this on the host with cv2 per frame inside the
+decode loop; here the math is batched XLA on device:
+
+* normalization is two reductions + one fused elementwise op over (N, H, W, C);
+* bilinear resize is expressed as two small matmuls —
+  ``out = R_h @ frame @ R_w^T`` per channel — with precomputed interpolation
+  matrices, which XLA maps straight onto the MXU (far better than a gather
+  formulation on TPU).
+
+Interpolation matrices use cv2/INTER_LINEAR's half-pixel convention
+(``x_src = (x_dst + 0.5) * scale - 0.5``, edge-clamped), so outputs match the
+reference's cv2.resize on float inputs to float tolerance.
+
+Layout note: this module is NHWC (TPU-native).  The reference emits NCHW
+(``utils.py:292``); parity tests transpose at the boundary.
+
+A fused Pallas version (normalize+resize in one VMEM pass) lives in
+``ops/pallas/fused_preprocess.py``; this XLA path is the reference
+implementation it is tested against.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=64)
+def resize_matrices(src_h: int, src_w: int, dst_h: int, dst_w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Precompute bilinear interpolation matrices (dst_h, src_h) and (dst_w, src_w)."""
+
+    def axis_matrix(src: int, dst: int) -> np.ndarray:
+        scale = src / dst
+        x = (np.arange(dst) + 0.5) * scale - 0.5
+        x = np.clip(x, 0.0, src - 1.0)
+        lo = np.floor(x).astype(np.int64)
+        hi = np.minimum(lo + 1, src - 1)
+        frac = x - lo
+        m = np.zeros((dst, src), dtype=np.float32)
+        rows = np.arange(dst)
+        np.add.at(m, (rows, lo), 1.0 - frac)
+        np.add.at(m, (rows, hi), frac)
+        return m
+
+    return axis_matrix(src_h, dst_h), axis_matrix(src_w, dst_w)
+
+
+@jax.jit
+def normalize_frames(frames: jax.Array, eps: float = 1e-7) -> jax.Array:
+    """Per-frame joint min-max normalization over (H, W, C) — ``utils.py:284``."""
+    f = frames.astype(jnp.float32)
+    lo = jnp.min(f, axis=(1, 2, 3), keepdims=True)
+    hi = jnp.max(f, axis=(1, 2, 3), keepdims=True)
+    return (f - lo) / (hi - lo + eps)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def resize_bilinear(frames: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Bilinear-resize (N, H, W, C) → (N, out_h, out_w, C) via two matmuls."""
+    n, h, w, c = frames.shape
+    rh, rw = resize_matrices(h, w, *out_hw)
+    rh = jnp.asarray(rh)
+    rw = jnp.asarray(rw)
+    # (N,H,W,C): contract H with R_h then W with R_w — two MXU matmuls.
+    x = jnp.einsum("ah,nhwc->nawc", rh, frames.astype(jnp.float32))
+    return jnp.einsum("bw,nawc->nabc", rw, x)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def preprocess_frames(frames: jax.Array, out_hw: tuple[int, int] = (40, 40), eps: float = 1e-7) -> jax.Array:
+    """Normalize-then-resize, matching the reference order (``utils.py:284-285``)."""
+    return resize_bilinear(normalize_frames(frames, eps), out_hw)

@@ -1,0 +1,65 @@
+"""Sharding rules: how batches and parameters lay out over the mesh.
+
+Data axis: frame/clip batches shard their leading dim over ``"data"``.
+Model axis: the fusion MLP's hidden layers shard Megatron-style over
+``"model"`` — even layers split output features (column parallel), odd layers
+split input features (row parallel) — so activations alternate
+sharded/partial and XLA/GSPMD inserts exactly one all-reduce per pair.
+SURVEY.md §2.3: "design mesh axes so TP could shard the fusion MLP if grown".
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Leading-axis data sharding for an ndim-dim batch tensor."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def shard_batch(mesh: Mesh, x):
+    """Device-put a host batch with its leading axis sharded over data."""
+    return jax.device_put(x, batch_sharding(mesh, x.ndim))
+
+
+def fusion_param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree for the model params: fusion MLP tensor-parallel
+    over ``"model"``, everything else replicated.
+
+    Returns a pytree congruent with ``params``.
+    """
+    rep = replicated(mesh)
+
+    def spec_for_fusion(i: int, n_layers: int, name: str):
+        if i == n_layers - 1:
+            return rep  # scalar head (out dim 1) stays replicated
+        if name == "w":
+            return NamedSharding(mesh, P(None, "model") if i % 2 == 0 else P("model", None))
+        # biases live with the output features of column-parallel layers
+        return NamedSharding(mesh, P("model") if i % 2 == 0 else P())
+
+    out = jax.tree.map(lambda _: rep, params)
+    if isinstance(params, dict) and "fusion" in params:
+        n_layers = len(params["fusion"])
+        out = dict(out)
+        out["fusion"] = [
+            {k: spec_for_fusion(i, n_layers, k) for k in layer}
+            for i, layer in enumerate(params["fusion"])
+        ]
+    return out
+
+
+def place_params(params, mesh: Mesh, tensor_parallel: bool = False):
+    """Device-put params replicated (DP) or TP-sharded (fusion over model axis)."""
+    shardings = (
+        fusion_param_shardings(params, mesh)
+        if tensor_parallel
+        else jax.tree.map(lambda _: replicated(mesh), params)
+    )
+    return jax.tree.map(jax.device_put, params, shardings)

@@ -1,0 +1,258 @@
+"""Jitted training loop: one device program per video, scan over sub-batches.
+
+Reference counterpart: ``train_importance_model`` (``main.py:26-298``).  The
+reference runs a host Python while-loop issuing one forward/backward/step per
+10-frame sub-batch (``main.py:177-196``).  Here the ENTIRE per-video pass —
+every sub-batch forward, backward, and Adam update — is one ``lax.scan``
+inside one jit, so the host↔device boundary is crossed once per video instead
+of once per sub-batch.  Sub-batch semantics (immediate step per sub-batch, not
+gradient accumulation) are preserved exactly.
+
+Loss: the reference's ``MSELoss((n,1) preds, (n,) labels)`` silently
+broadcasts to (n,n) (``main.py:191`` — SURVEY.md §7.1).  The default here is
+the intended elementwise MSE; ``TrainConfig.broadcast_loss_compat`` restores
+bug-compatible semantics for A/B comparison.  The classifier (CAVM/CVM)
+variants use cross-entropy on grade-1 targets (``main.py:96-97,189-190``,
+commented upstream).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cvml_goalnet_tpu.config import PipelineConfig
+from cvml_goalnet_tpu.models.avm import avm_apply
+from cvml_goalnet_tpu.ops.fscore import fscore_against_users_host
+from cvml_goalnet_tpu.pipeline import summarize
+from cvml_goalnet_tpu.train.optim import adam_update
+from cvml_goalnet_tpu.train.state import TrainState
+from cvml_goalnet_tpu.utils.logging import log_epoch_header, log_metrics, log_val_delta
+
+
+def _loss_fn(preds, labels, mask, *, broadcast_compat: bool, classifier: bool):
+    if classifier:
+        logits = preds  # (n, 5)
+        targets = (labels - 1).astype(jnp.int32)
+        ll = -jax.nn.log_softmax(logits)[jnp.arange(logits.shape[0]), targets]
+        return jnp.sum(ll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    if broadcast_compat:
+        # Reference bug semantics: (n,1) vs (n,) → (n,n) pairwise MSE.
+        d = preds - labels[None, :]
+        m = mask[:, None] * mask[None, :]
+        return jnp.sum(d * d * m) / jnp.maximum(jnp.sum(m), 1.0)
+    d = preds[:, 0] - labels
+    return jnp.sum(d * d * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+@lru_cache(maxsize=16)
+def make_train_video_fn(cfg: PipelineConfig, classifier: bool = False):
+    """Build the jitted per-video training function.
+
+    Signature: ``fn(params, model_state, opt_state, visual (N,h,w,C),
+    audio (N,B,M) | None, labels (N,), valid (N,), rng)`` with N padded to a
+    multiple of ``subbatch_size`` → ``(params, model_state, opt_state,
+    preds (N,), mean_subbatch_loss)``.
+    """
+    tc = cfg.train
+    mc = cfg.model
+    S = tc.subbatch_size
+
+    def fn(params, model_state, opt_state, visual, audio, labels, valid, rng):
+        n = visual.shape[0]
+        n_sub = n // S
+
+        def reshape(x):
+            return None if x is None else x.reshape((n_sub, S) + x.shape[1:])
+
+        batches = (reshape(visual), reshape(audio), reshape(labels), reshape(valid))
+        rngs = jax.random.split(rng, n_sub)
+
+        def step(carry, xs):
+            params, model_state, opt_state = carry
+            vis, aud, lab, msk, step_rng = xs
+
+            def loss_of(p):
+                preds, new_ms = avm_apply(
+                    p, model_state, vis, aud, None,
+                    cfg=mc, train=True, rng=step_rng, classifier=classifier,
+                )
+                loss = _loss_fn(
+                    preds, lab, msk,
+                    broadcast_compat=tc.broadcast_loss_compat,
+                    classifier=classifier,
+                )
+                return loss, (preds, new_ms)
+
+            (loss, (preds, new_ms)), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+            new_params, new_opt = adam_update(
+                grads, opt_state, params, tc.learning_rate, tc.b1, tc.b2, tc.eps
+            )
+            out = preds[:, 0] if not classifier else jnp.argmax(preds, axis=1) + 1.0
+            return (new_params, new_ms, new_opt), (out, loss)
+
+        xs = batches + (rngs,)
+        (params, model_state, opt_state), (preds, losses) = jax.lax.scan(
+            step, (params, model_state, opt_state), xs
+        )
+        return params, model_state, opt_state, preds.reshape(-1), jnp.mean(losses)
+
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=16)
+def _make_eval_fn(cfg: PipelineConfig, classifier: bool = False):
+    tc, mc = cfg.train, cfg.model
+
+    def fn(params, model_state, visual, audio, labels, valid):
+        preds, _ = avm_apply(
+            params, model_state, visual, audio, None,
+            cfg=mc, train=False, classifier=classifier,
+        )
+        loss = _loss_fn(
+            preds, labels, valid,
+            broadcast_compat=tc.broadcast_loss_compat, classifier=classifier,
+        )
+        out = preds[:, 0] if not classifier else jnp.argmax(preds, axis=1) + 1.0
+        return out, loss
+
+    return jax.jit(fn)
+
+
+def _pad_video(item, S: int):
+    """Pad a video's tensors to a multiple of the sub-batch size."""
+    n = len(item.visual)
+    pad = (-n) % S
+    valid = np.ones((n + pad,), np.float32)
+    valid[n:] = 0.0
+
+    def pad_arr(x):
+        if x is None:
+            return None
+        return np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x
+
+    labels = item.labels if item.labels is not None else np.zeros((n,), np.float32)
+    return pad_arr(item.visual), pad_arr(item.audio), pad_arr(labels.astype(np.float32)), valid, n
+
+
+def eval_video(state: TrainState, item, cfg: PipelineConfig, classifier: bool = False):
+    """Eval-mode forward + loss for one whole video (reference ``main.py:93-118``)."""
+    fn = _make_eval_fn(cfg, classifier)
+    visual, audio, labels, valid, n = _pad_video(item, cfg.train.subbatch_size)
+    audio_in = jnp.asarray(audio) if (cfg.model.audio_included and audio is not None) else None
+    preds, loss = fn(
+        state.params, state.model_state, jnp.asarray(visual), audio_in,
+        jnp.asarray(labels), jnp.asarray(valid),
+    )
+    return np.asarray(preds)[:n], float(loss)
+
+
+def _video_fscores(item, preds, cfg: PipelineConfig):
+    """summarize + F-score vs annotator masks (reference ``utils.py:587-604``)."""
+    res = summarize(
+        preds, item.clip_intervals, cfg.preprocess.skip_frames,
+        item.full_n_frames, cfg.knapsack,
+    )
+    return fscore_against_users_host(res.frame_mask, item.gd_summary_masks)
+
+
+def train_importance_model(
+    cfg: PipelineConfig,
+    train_ds,
+    val_ds,
+    state: TrainState,
+    num_epochs: int | None = None,
+    classifier: bool = False,
+    checkpoint_dir: str | None = None,
+    on_epoch_end=None,
+    verbose: bool = True,
+):
+    """Full training driver (reference ``train_importance_model``, ``main.py:26-298``).
+
+    Per epoch: scan-train each video, eval the val set, aggregate metrics,
+    keep the best state by train-F-score-avg (reference ``main.py:255-263``)
+    and checkpoint every epoch.  Returns (best_state, history dict).
+    """
+    from cvml_goalnet_tpu.train.checkpoint import save_checkpoint
+
+    train_fn = make_train_video_fn(cfg, classifier)
+    num_epochs = cfg.train.num_epochs if num_epochs is None else num_epochs
+    rng = jax.random.PRNGKey(cfg.train.seed)
+
+    history: dict[str, list] = {
+        "train_loss": [], "train_f_avg": [], "train_f_max": [],
+        "val_loss": [], "val_f_avg": [], "val_f_max": [],
+    }
+
+    def evaluate(ds):
+        losses, favgs, fmaxs = [], [], []
+        for item in ds:
+            preds, loss = eval_video(state, item, cfg, classifier)
+            fa, fm = _video_fscores(item, preds, cfg)
+            losses.append(loss)
+            favgs.append(fa)
+            fmaxs.append(fm)
+        return float(np.mean(losses)), float(np.mean(favgs)), float(np.mean(fmaxs))
+
+    # Initial (epoch -1) evaluation — reference main.py:82-146.
+    tr = evaluate(train_ds)
+    vl = evaluate(val_ds)
+    for k, v in zip(list(history), tr + vl):
+        history[k].append(v)
+    if verbose:
+        log_metrics("initial", tr, vl)
+
+    best = {"state": state, "epoch": -1, "f_avg": tr[1], "metrics": (tr, vl)}
+    if checkpoint_dir:
+        # Guarantee an "opt" checkpoint exists even if no epoch improves on
+        # the initial eval (the reference only wrote opt_* on improvement,
+        # main.py:255-263, leaving inference broken for flat runs).
+        save_checkpoint(checkpoint_dir, state, cfg, tag="opt")
+    prev_val_loss = vl[0]
+
+    for epoch in range(state.epoch, num_epochs):
+        t0 = time.time()
+        if verbose:
+            log_epoch_header(epoch, num_epochs)
+        ep_losses, ep_favg, ep_fmax = [], [], []
+        params, model_state, opt_state = state.params, state.model_state, state.opt_state
+        for item in train_ds:
+            visual, audio, labels, valid, n = _pad_video(item, cfg.train.subbatch_size)
+            rng, vrng = jax.random.split(rng)
+            audio_in = jnp.asarray(audio) if (cfg.model.audio_included and audio is not None) else None
+            params, model_state, opt_state, preds, loss = train_fn(
+                params, model_state, opt_state, jnp.asarray(visual), audio_in,
+                jnp.asarray(labels), jnp.asarray(valid), vrng,
+            )
+            fa, fm = _video_fscores(item, np.asarray(preds)[:n], cfg)
+            ep_losses.append(float(loss))
+            ep_favg.append(fa)
+            ep_fmax.append(fm)
+        state = TrainState(params, model_state, opt_state, epoch + 1)
+
+        tr = (float(np.mean(ep_losses)), float(np.mean(ep_favg)), float(np.mean(ep_fmax)))
+        vl = evaluate(val_ds)
+        for k, v in zip(list(history), tr + vl):
+            history[k].append(v)
+
+        if verbose:
+            log_val_delta(vl[0], prev_val_loss)
+            log_metrics(f"epoch {epoch}", tr, vl, time.time() - t0)
+        prev_val_loss = vl[0]
+
+        # Optimum policy: best train-F-score-avg (reference main.py:255-263).
+        if tr[1] > best["f_avg"]:
+            best = {"state": state, "epoch": epoch, "f_avg": tr[1], "metrics": (tr, vl)}
+            if checkpoint_dir:
+                save_checkpoint(checkpoint_dir, state, cfg, tag="opt")
+        if checkpoint_dir and (epoch + 1) % cfg.train.checkpoint_every == 0:
+            save_checkpoint(checkpoint_dir, state, cfg, tag="ckp")
+        if on_epoch_end is not None:
+            on_epoch_end(epoch, history, best)
+
+    history["best_epoch"] = best["epoch"]
+    return best["state"], history

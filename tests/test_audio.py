@@ -1,0 +1,120 @@
+"""Audio frontend tests: STFT/mel/DCT/MFCC device-vs-host parity + structure.
+
+librosa is not on this host; the NumPy mirror implements the published MFCC
+algorithm (same defaults the reference relied on — utils.py:313-349) and the
+XLA path must match it to tolerance.  Interp matrices are checked against
+scipy's spline evaluation directly.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.interpolate import interp1d
+
+from cvml_goalnet_tpu.config import AudioConfig
+from cvml_goalnet_tpu.data.synthetic import synthetic_waveform
+from cvml_goalnet_tpu.ops.audio import (
+    cubic_interp_matrix,
+    dct_matrix,
+    extract_audio_features,
+    extract_audio_features_host,
+    interp_to_bins,
+    mel_filterbank,
+    mfcc_slot,
+    mfcc_slot_host,
+    slot_boundaries,
+    stft_frame_count,
+    stft_power,
+    stft_power_host,
+)
+
+CFG = AudioConfig(n_fft=512, hop_length=128, n_mels=40, n_mfcc=13, bin_length=12)
+
+
+class TestBuildingBlocks:
+    def test_mel_filterbank_shape_and_coverage(self):
+        fb = mel_filterbank(22050, 512, 40, 0.0, None)
+        assert fb.shape == (40, 257)
+        # every filter has nonzero support and peaks are ordered in frequency
+        assert (fb.sum(axis=1) > 0).all()
+        peaks = fb.argmax(axis=1)
+        assert (np.diff(peaks) >= 0).all()
+
+    def test_dct_matrix_orthonormal(self):
+        full = dct_matrix(40, 40)
+        np.testing.assert_allclose(full @ full.T, np.eye(40), atol=1e-5)
+
+    def test_dct_matches_scipy(self):
+        from scipy.fftpack import dct as sdct
+
+        x = np.random.default_rng(0).standard_normal((40,)).astype(np.float32)
+        want = sdct(x, type=2, norm="ortho")[:13]
+        got = dct_matrix(13, 40) @ x
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    @pytest.mark.parametrize("t_in,t_out", [(10, 12), (44, 30), (5, 30), (4, 7)])
+    def test_cubic_interp_matrix_matches_scipy(self, t_in, t_out):
+        rng = np.random.default_rng(3)
+        y = rng.standard_normal(t_in)
+        w = cubic_interp_matrix(t_in, t_out)
+        got = w @ y
+        f = interp1d(np.arange(t_in), y, kind="cubic", fill_value="extrapolate")
+        want = f(np.linspace(0, t_in - 1, t_out))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_interp_degenerate_lengths(self):
+        assert cubic_interp_matrix(1, 5).shape == (5, 1)
+        w = cubic_interp_matrix(3, 5)  # linear fallback
+        np.testing.assert_allclose(w.sum(1), 1.0, atol=1e-6)
+
+
+class TestSTFT:
+    def test_frame_count_formula(self):
+        y = synthetic_waveform(22050)
+        p = np.asarray(stft_power(jnp.asarray(y), 512, 128))
+        assert p.shape == (stft_frame_count(22050, 512, 128), 257)
+
+    def test_device_matches_host(self):
+        y = synthetic_waveform(8000)
+        d = np.asarray(stft_power(jnp.asarray(y), 512, 128))
+        h = stft_power_host(y, 512, 128)
+        np.testing.assert_allclose(d, h, rtol=1e-4, atol=1e-5)
+
+
+class TestMFCC:
+    def test_device_matches_host(self):
+        y = synthetic_waveform(11025)
+        d = np.asarray(mfcc_slot(jnp.asarray(y), CFG))
+        h = mfcc_slot_host(y, CFG)
+        np.testing.assert_allclose(d, h, rtol=1e-3, atol=2e-3)
+
+    def test_log_mel_variant(self):
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG, log_mel=True)
+        y = synthetic_waveform(6000)
+        out = np.asarray(mfcc_slot(jnp.asarray(y), cfg))
+        assert out.shape[1] == cfg.n_mels
+        # dB range bounded by top_db
+        assert out.max() - out.min() <= cfg.top_db + 1e-3
+
+
+class TestSlotPipeline:
+    def test_slot_boundaries_reference_arithmetic(self):
+        # 10 slots over 101 samples: rounded starts, clamped end.
+        b = slot_boundaries(101, 10)
+        assert b[0][0] == 0 and b[-1][1] == 101
+        assert all(0 <= a < e <= 101 for a, e in b)
+
+    def test_extract_features_device_matches_host(self):
+        y = synthetic_waveform(22050 * 2)
+        n_frames = 7
+        d = extract_audio_features(y, n_frames, CFG)
+        h = extract_audio_features_host(y, n_frames, CFG)
+        assert d.shape == (n_frames, CFG.bin_length, CFG.n_mfcc)
+        np.testing.assert_allclose(d, h, rtol=1e-3, atol=2e-3)
+
+    def test_interp_to_bins_shape(self):
+        feats = jnp.asarray(np.random.default_rng(0).standard_normal((9, 13)).astype(np.float32))
+        out = np.asarray(interp_to_bins(feats, 12))
+        assert out.shape == (12, 13)

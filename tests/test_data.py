@@ -1,0 +1,116 @@
+"""Data-layer tests: synthetic TVSum fixtures through the full ingest path."""
+
+import numpy as np
+import pytest
+
+from cvml_goalnet_tpu.data.annotations import AnnotationStore, load_tvsum_annotations
+from cvml_goalnet_tpu.data.audio_io import load_waveform, write_wav
+from cvml_goalnet_tpu.data.dataset import Prefetcher, build_datasets
+from cvml_goalnet_tpu.data.synthetic import synthetic_waveform
+
+
+class TestAnnotations:
+    def test_tsv_mean_and_trim(self, synth_dir):
+        trimmed, full = load_tvsum_annotations(synth_dir["annotation_fp"], "vidA", 30)
+        assert len(full) == 240
+        assert len(trimmed) == 8
+        np.testing.assert_array_equal(trimmed, full[::30])
+        assert full.min() >= 1 and full.max() <= 5
+
+    def test_store_user_annotations(self, synth_dir):
+        store = AnnotationStore(synth_dir["mat_file_path"], synth_dir["h5_file_path"])
+        anno = store.user_annotations("vidA")
+        assert anno.shape == (20, 240)
+        anno_b = store.user_annotations("vidB")
+        assert anno_b.shape == (20, 270)
+
+    def test_store_change_points_mapping(self, synth_dir):
+        store = AnnotationStore(synth_dir["mat_file_path"], synth_dir["h5_file_path"])
+        cps = store.change_points("vidA")
+        assert cps.shape[1] == 2
+        # the mat↔h5 nframes+1 rule must land on the right video
+        assert cps[-1][1] == 240 - 1
+        assert store.change_points("vidB")[-1][1] == 270 - 1
+
+    def test_store_caches_parsing(self, synth_dir):
+        store = AnnotationStore(synth_dir["mat_file_path"], synth_dir["h5_file_path"])
+        a = store._mat_data
+        b = store._mat_data
+        assert a is b  # cached_property: single parse
+
+
+class TestAudioIO:
+    def test_wav_roundtrip(self, tmp_path):
+        y = synthetic_waveform(22050)
+        fp = str(tmp_path / "x.wav")
+        write_wav(fp, y, 22050)
+        loaded, sr = load_waveform(fp, 22050)
+        assert sr == 22050
+        assert len(loaded) == len(y)
+        np.testing.assert_allclose(loaded, y, atol=2e-4)  # PCM16 quantization
+
+    def test_resample(self, tmp_path):
+        y = synthetic_waveform(44100, sr=44100)
+        fp = str(tmp_path / "y.wav")
+        write_wav(fp, y, 44100)
+        loaded, sr = load_waveform(fp, 22050)
+        assert sr == 22050
+        assert abs(len(loaded) - 22050) <= 1
+
+    def test_native_reader_matches_scipy(self, tmp_path):
+        from cvml_goalnet_tpu.runtime import wav_read_native
+
+        y = synthetic_waveform(8000)
+        fp = str(tmp_path / "z.wav")
+        write_wav(fp, y, 22050)
+        native = wav_read_native(fp)
+        if native is None:
+            pytest.skip("native runtime not built")
+        ny, nsr = native
+        from scipy.io import wavfile
+
+        sr, data = wavfile.read(fp)
+        ref = data.astype(np.float32) / 32768.0
+        assert nsr == sr
+        np.testing.assert_allclose(ny, ref, atol=1e-6)
+
+
+class TestDatasetBuild:
+    @pytest.fixture(scope="class")
+    def datasets(self, synth_dir, small_cfg):
+        return build_datasets(
+            synth_dir["video_fps"], small_cfg,
+            synth_dir["annotation_fp"], synth_dir["mat_file_path"], synth_dir["h5_file_path"],
+            synth_dir["info_fp"], audio_included=True,
+        )
+
+    def test_split_sizes(self, datasets):
+        train_ds, val_ds = datasets
+        assert len(train_ds) == 1 and len(val_ds) == 1  # ratio 0.8 of 2 videos
+
+    def test_item_tensors(self, datasets, small_cfg):
+        item = datasets[0][0]
+        n = len(item.visual)
+        assert item.visual.shape[1:] == (*small_cfg.preprocess.frame_size, 3)
+        assert item.audio.shape == (n, small_cfg.audio.bin_length, small_cfg.audio.n_mfcc)
+        assert item.labels.shape == (n,)
+        assert item.gd_summary_masks.shape == (20, item.full_n_frames)
+        assert item.title == "Title of vidA"
+
+    def test_gd_masks_budget(self, datasets, small_cfg):
+        # knapsack GT masks respect the 15% budget approximately (inclusive ends
+        # can exceed by at most n_clips frames)
+        item = datasets[0][0]
+        budget = 0.15 * item.full_n_frames
+        assert item.gd_summary_masks.sum(axis=1).max() <= budget + len(item.clip_intervals)
+
+    def test_prefetcher_order_and_error(self):
+        items = list(range(10))
+        assert list(Prefetcher(iter(items))) == items
+
+        def boom():
+            yield 1
+            raise ValueError("x")
+
+        with pytest.raises(ValueError):
+            list(Prefetcher(boom()))

@@ -1,0 +1,142 @@
+"""Model-layer tests: shapes, output ranges, grads, state, and variants."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cvml_goalnet_tpu.config import PipelineConfig
+from cvml_goalnet_tpu.models.audio import audio_encoder_apply, audio_encoder_init, audio_temporal_trace
+from cvml_goalnet_tpu.models.avm import avm_apply, avm_init, fusion_input_dim
+from cvml_goalnet_tpu.models.layers import count_params
+from cvml_goalnet_tpu.models.temporal import detect_peaks, temporal_scorer_apply, temporal_scorer_init
+from cvml_goalnet_tpu.models.text import text_encoder_apply, text_encoder_init
+from cvml_goalnet_tpu.models.visual import visual_encoder_apply, visual_encoder_init, visual_spatial_trace
+
+
+class TestVisual:
+    def test_reference_spatial_trace(self, full_cfg):
+        # 40→15→13 / 13→13→11 / 11→11→9 (SURVEY.md C8) → flatten 512·81.
+        assert visual_spatial_trace((40, 40), 3) == [(13, 13), (11, 11), (9, 9)]
+        params, _ = visual_encoder_init(jax.random.PRNGKey(0), full_cfg.model, full_cfg.preprocess)
+        assert params["head"]["w"].shape == (512 * 9 * 9, 512)
+
+    def test_forward_shapes_and_state(self, small_cfg):
+        params, state = visual_encoder_init(jax.random.PRNGKey(0), small_cfg.model, small_cfg.preprocess)
+        x = jnp.asarray(np.random.default_rng(0).random((4, 24, 24, 3), ).astype(np.float32))
+        out, new_state = visual_encoder_apply(
+            params, state, x, train=True, rng=jax.random.PRNGKey(1), dropout_rate=0.2
+        )
+        assert out.shape == (4, small_cfg.model.vis_feature_dim)
+        # batchnorm running stats must move in train mode
+        assert not np.allclose(np.asarray(new_state["bn0"]["mean"]), 0.0)
+
+
+class TestAudioBranch:
+    def test_reference_temporal_trace(self, full_cfg):
+        # 30→15→8 (SURVEY.md C8a) → flatten 128·8=1024.
+        assert audio_temporal_trace(30, 2) == [15, 8]
+        params = audio_encoder_init(jax.random.PRNGKey(0), full_cfg.model, full_cfg.audio)
+        assert params["head"]["w"].shape == (1024, 128)
+
+    def test_forward(self, small_cfg):
+        params = audio_encoder_init(jax.random.PRNGKey(0), small_cfg.model, small_cfg.audio)
+        x = jnp.asarray(np.random.default_rng(0).random((5, small_cfg.audio.bin_length, small_cfg.audio.n_mfcc)).astype(np.float32))
+        out = audio_encoder_apply(params, x)
+        assert out.shape == (5, small_cfg.model.aud_feature_dim)
+
+
+class TestAVM:
+    def _batch(self, cfg, n=6):
+        rng = np.random.default_rng(0)
+        vis = jnp.asarray(rng.random((n, *cfg.preprocess.frame_size, 3)).astype(np.float32))
+        aud = jnp.asarray(rng.random((n, cfg.audio.bin_length, cfg.audio.n_mfcc)).astype(np.float32))
+        return vis, aud
+
+    def test_output_range(self, small_cfg):
+        params, state = avm_init(jax.random.PRNGKey(0), small_cfg.model, small_cfg.preprocess, small_cfg.audio)
+        vis, aud = self._batch(small_cfg)
+        out, _ = avm_apply(params, state, vis, aud, cfg=small_cfg.model)
+        assert out.shape == (6, 1)
+        assert float(out.min()) >= 1.0 and float(out.max()) <= 5.0
+
+    def test_no_audio_variant(self, small_cfg):
+        mc = dataclasses.replace(small_cfg.model, audio_included=False)
+        params, state = avm_init(jax.random.PRNGKey(0), mc, small_cfg.preprocess, small_cfg.audio)
+        assert "audio" not in params
+        vis, _ = self._batch(small_cfg)
+        out, _ = avm_apply(params, state, vis, None, cfg=mc)
+        assert out.shape == (6, 1)
+
+    def test_classifier_variant(self, small_cfg):
+        params, state = avm_init(
+            jax.random.PRNGKey(0), small_cfg.model, small_cfg.preprocess, small_cfg.audio, classifier=True
+        )
+        vis, aud = self._batch(small_cfg)
+        out, _ = avm_apply(params, state, vis, aud, cfg=small_cfg.model, classifier=True)
+        assert out.shape == (6, 5)
+
+    def test_grads_finite_and_nonzero(self, small_cfg):
+        params, state = avm_init(jax.random.PRNGKey(0), small_cfg.model, small_cfg.preprocess, small_cfg.audio)
+        vis, aud = self._batch(small_cfg)
+        labels = jnp.asarray(np.random.default_rng(1).uniform(1, 5, 6).astype(np.float32))
+
+        def loss(p):
+            out, _ = avm_apply(p, state, vis, aud, cfg=small_cfg.model, train=True, rng=jax.random.PRNGKey(2))
+            return jnp.mean((out[:, 0] - labels) ** 2)
+
+        grads = jax.grad(loss)(params)
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+        total = sum(float(jnp.sum(jnp.abs(g))) for g in leaves)
+        assert total > 0
+
+    def test_dropout_rng_determinism(self, small_cfg):
+        params, state = avm_init(jax.random.PRNGKey(0), small_cfg.model, small_cfg.preprocess, small_cfg.audio)
+        vis, aud = self._batch(small_cfg)
+        a, _ = avm_apply(params, state, vis, aud, cfg=small_cfg.model, train=True, rng=jax.random.PRNGKey(5))
+        b, _ = avm_apply(params, state, vis, aud, cfg=small_cfg.model, train=True, rng=jax.random.PRNGKey(5))
+        c, _ = avm_apply(params, state, vis, aud, cfg=small_cfg.model, train=True, rng=jax.random.PRNGKey(6))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not np.allclose(np.asarray(a), np.asarray(c))
+
+    def test_three_modality_fusion(self, small_cfg):
+        mc = dataclasses.replace(small_cfg.model, text_included=True)
+        params, state = avm_init(jax.random.PRNGKey(0), mc, small_cfg.preprocess, small_cfg.audio)
+        assert fusion_input_dim(mc) == mc.vis_feature_dim + mc.aud_feature_dim + mc.text_feature_dim
+        vis, aud = self._batch(small_cfg)
+        tokens = jnp.asarray(np.random.default_rng(0).integers(1, mc.text_vocab_size, (6, mc.text_max_len)))
+        out, _ = avm_apply(params, state, vis, aud, tokens, cfg=mc)
+        assert out.shape == (6, 1)
+
+
+class TestText:
+    def test_masked_pooling_ignores_padding(self, small_cfg):
+        mc = small_cfg.model
+        params = text_encoder_init(jax.random.PRNGKey(0), mc)
+        toks = np.zeros((2, mc.text_max_len), np.int32)
+        toks[0, :4] = [5, 6, 7, 8]
+        toks[1, :4] = [5, 6, 7, 8]
+        toks[1, 4:8] = 0  # same content, padding only differs in zeros
+        out = text_encoder_apply(params, jnp.asarray(toks), cfg=mc)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out[1]), atol=1e-5)
+
+
+class TestTemporal:
+    def test_scan_scorer_and_peaks(self, small_cfg):
+        params = temporal_scorer_init(jax.random.PRNGKey(0), 16, small_cfg.model.temporal_hidden)
+        feats = jnp.asarray(np.random.default_rng(0).standard_normal((50, 16)).astype(np.float32))
+        scores = temporal_scorer_apply(params, feats, small_cfg.model.temporal_hidden)
+        assert scores.shape == (50,)
+        mask = np.asarray(detect_peaks(scores, window=3, threshold=-1e9))
+        assert mask.any()
+        # peaks are local maxima
+        s = np.asarray(scores)
+        for i in np.nonzero(mask)[0]:
+            lo, hi = max(0, i - 3), min(50, i + 4)
+            assert s[i] >= s[lo:hi].max() - 1e-6
+
+    def test_param_count_positive(self, small_cfg):
+        params = temporal_scorer_init(jax.random.PRNGKey(0), 16, 8)
+        assert count_params(params) > 0

@@ -1,0 +1,140 @@
+"""Mesh / sharding / collectives tests on an 8-device virtual CPU mesh.
+
+SURVEY.md §4: "mesh tests on CPU (× N via --xla_force_host_platform_device_count)
+to test DP sharding without real TPUs" — set up in conftest.py.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.shard_map import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cvml_goalnet_tpu.config import MeshConfig
+from cvml_goalnet_tpu.parallel.collectives import all_gather, pmean, ppermute_ring, psum
+from cvml_goalnet_tpu.parallel.dp import make_dp_train_step
+from cvml_goalnet_tpu.parallel.mesh import build_mesh, cpu_mesh, mesh_axis_sizes
+from cvml_goalnet_tpu.parallel.sharding import fusion_param_shardings, place_params, shard_batch
+from cvml_goalnet_tpu.train.optim import adam_update
+from cvml_goalnet_tpu.train.state import create_train_state
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices("cpu")) >= 8, "conftest must force 8 CPU devices"
+    return cpu_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def mesh42():
+    return cpu_mesh(8, model=2)
+
+
+class TestMesh:
+    def test_axis_sizes(self):
+        assert mesh_axis_sizes(MeshConfig(), 8) == (8, 1)
+        assert mesh_axis_sizes(MeshConfig(model=2), 8) == (4, 2)
+        with pytest.raises(ValueError):
+            mesh_axis_sizes(MeshConfig(model=3), 8)
+
+    def test_build(self, mesh8, mesh42):
+        assert mesh8.shape == {"data": 8, "model": 1}
+        assert mesh42.shape == {"data": 4, "model": 2}
+
+
+class TestCollectives:
+    def test_psum_pmean_allgather(self, mesh8):
+        x = jnp.arange(8.0)
+
+        def body(xs):
+            return psum(xs), pmean(xs), all_gather(xs)
+
+        f = shard_map(
+            body, mesh=mesh8,
+            in_specs=P("data"), out_specs=(P(), P(), P("data")),
+        )
+        s, m, g = f(x)
+        assert float(s[0]) == 28.0
+        assert float(m[0]) == 3.5
+        # tiled=False all_gather: each device holds all 8 values
+        assert np.asarray(g).size == 64
+
+    def test_ppermute_ring(self, mesh8):
+        x = jnp.arange(8.0)
+
+        def body(xs):
+            return ppermute_ring(xs, shift=1)
+
+        f = shard_map(body, mesh=mesh8, in_specs=P("data"), out_specs=P("data"))
+        out = np.asarray(f(x))
+        np.testing.assert_array_equal(out, np.roll(np.arange(8.0), 1))
+
+
+class TestDataParallelStep:
+    def _batch(self, cfg, n):
+        rng = np.random.default_rng(0)
+        vis = rng.random((n, *cfg.preprocess.frame_size, 3)).astype(np.float32)
+        aud = rng.random((n, cfg.audio.bin_length, cfg.audio.n_mfcc)).astype(np.float32)
+        lab = rng.integers(1, 6, n).astype(np.float32)
+        return vis, aud, lab
+
+    def test_dp_matches_single_device(self, small_cfg, mesh8):
+        cfg = small_cfg
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        vis, aud, lab = self._batch(cfg, 16)
+        rng = jax.random.PRNGKey(3)
+
+        step = make_dp_train_step(cfg, mesh8)
+        p_dp, ms_dp, opt_dp, loss_dp = step(
+            state.params, state.model_state, state.opt_state,
+            shard_batch(mesh8, jnp.asarray(vis)), shard_batch(mesh8, jnp.asarray(aud)),
+            shard_batch(mesh8, jnp.asarray(lab)), rng,
+        )
+
+        # single-device equivalent: same loss fn on the full batch
+        from cvml_goalnet_tpu.models.avm import avm_apply
+
+        def loss_fn(p):
+            preds, new_ms = avm_apply(
+                p, state.model_state, jnp.asarray(vis), jnp.asarray(aud), None,
+                cfg=cfg.model, train=True, rng=rng,
+            )
+            return jnp.mean((preds[:, 0] - jnp.asarray(lab)) ** 2), new_ms
+
+        (loss1, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        p1, _ = adam_update(
+            grads, state.opt_state, state.params,
+            cfg.train.learning_rate, cfg.train.b1, cfg.train.b2, cfg.train.eps,
+        )
+        assert np.isclose(float(loss_dp), float(loss1), atol=1e-5)
+        # sharded grads all-reduce in a different order than the single-device
+        # reduction → small float32 drift through Adam's rsqrt is expected
+        for a, b in zip(jax.tree_util.tree_leaves(p_dp), jax.tree_util.tree_leaves(p1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+    def test_tensor_parallel_forward_matches(self, small_cfg, mesh42):
+        """Fusion-TP sharded params produce the same outputs as replicated."""
+        from cvml_goalnet_tpu.models.avm import avm_apply
+
+        cfg = small_cfg
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        vis, aud, _ = self._batch(cfg, 8)
+
+        def fwd(params):
+            out, _ = avm_apply(params, state.model_state, jnp.asarray(vis), jnp.asarray(aud), None, cfg=cfg.model)
+            return out
+
+        base = np.asarray(fwd(state.params))
+        sharded_params = place_params(state.params, mesh42, tensor_parallel=True)
+        tp = np.asarray(jax.jit(fwd)(sharded_params))
+        np.testing.assert_allclose(tp, base, atol=1e-5)
+
+    def test_fusion_shardings_structure(self, small_cfg, mesh42):
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        sh = fusion_param_shardings(state.params, mesh42)
+        assert isinstance(sh["fusion"], list)
+        # first hidden layer: column-parallel over "model"
+        assert sh["fusion"][0]["w"].spec == P(None, "model")
+        # last layer (scalar head) replicated
+        assert sh["fusion"][-1]["w"].spec == P()

@@ -1,0 +1,173 @@
+"""Training-loop tests: scan sub-batch semantics, learning, checkpoints, baseline."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cvml_goalnet_tpu.data.dataset import VideoItem, VideoDataset
+from cvml_goalnet_tpu.data.synthetic import synthetic_change_points
+from cvml_goalnet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from cvml_goalnet_tpu.train.loop import eval_video, make_train_video_fn, train_importance_model
+from cvml_goalnet_tpu.train.optim import adam_init, adam_update
+from cvml_goalnet_tpu.train.state import TrainState, create_train_state
+
+
+def _make_item(cfg, n=20, seed=0, with_audio=True):
+    rng = np.random.default_rng(seed)
+    full_n = n * cfg.preprocess.skip_frames
+    visual = rng.random((n, *cfg.preprocess.frame_size, 3)).astype(np.float32)
+    audio = (
+        rng.random((n, cfg.audio.bin_length, cfg.audio.n_mfcc)).astype(np.float32)
+        if with_audio
+        else None
+    )
+    labels = rng.integers(1, 6, n).astype(np.float32)
+    masks = (rng.random((20, full_n)) < 0.15).astype(np.uint8)
+    return VideoItem(
+        video_id=f"synth{seed}",
+        title=f"synth{seed}",
+        visual=visual,
+        audio=audio,
+        labels=labels,
+        gd_summary_masks=masks,
+        full_n_frames=full_n,
+        clip_intervals=synthetic_change_points(full_n, 6, seed=seed),
+    )
+
+
+class TestAdam:
+    def test_matches_scalar_reference(self):
+        # One-parameter closed-form check of bias-corrected Adam.
+        params = {"w": jnp.asarray(1.0)}
+        state = adam_init(params)
+        grads = {"w": jnp.asarray(0.5)}
+        new_params, state2 = adam_update(grads, state, params, lr=0.1)
+        # step1: m=0.05, v=2.5e-4 ⇒ m̂=0.5, v̂=0.25 ⇒ p - 0.1*0.5/(0.5+1e-8)
+        assert np.isclose(float(new_params["w"]), 1.0 - 0.1 * 0.5 / (0.5 + 1e-8), atol=1e-6)
+        assert int(state2.step) == 1
+
+
+class TestTrainStep:
+    def test_scan_equals_manual_subbatch_loop(self, small_cfg):
+        """The fused lax.scan pass must equal per-sub-batch jitted steps."""
+        cfg = small_cfg
+        item = _make_item(cfg, n=10)
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        fn = make_train_video_fn(cfg)
+        rng = jax.random.PRNGKey(42)
+        S = cfg.train.subbatch_size
+
+        p, ms, opt, preds, loss = fn(
+            state.params, state.model_state, state.opt_state,
+            jnp.asarray(item.visual), jnp.asarray(item.audio),
+            jnp.asarray(item.labels), jnp.ones(10), rng,
+        )
+
+        # manual: same rng split sequence, one jitted update per sub-batch
+        from cvml_goalnet_tpu.models.avm import avm_apply
+
+        @jax.jit
+        def manual_step(params, ms, opt, vis, aud, lab, step_rng):
+            def loss_of(pp):
+                out, new_ms = avm_apply(pp, ms, vis, aud, cfg=cfg.model, train=True, rng=step_rng)
+                return jnp.mean((out[:, 0] - lab) ** 2), new_ms
+
+            (l, new_ms), g = jax.value_and_grad(loss_of, has_aux=True)(params)
+            params, opt = adam_update(
+                g, opt, params, cfg.train.learning_rate, cfg.train.b1, cfg.train.b2, cfg.train.eps
+            )
+            return params, new_ms, opt, l
+
+        params2, ms2, opt2 = state.params, state.model_state, state.opt_state
+        rngs = jax.random.split(rng, 2)
+        losses = []
+        for i in range(2):
+            sl = slice(i * S, (i + 1) * S)
+            params2, ms2, opt2, l = manual_step(
+                params2, ms2, opt2, jnp.asarray(item.visual[sl]), jnp.asarray(item.audio[sl]),
+                jnp.asarray(item.labels[sl]), rngs[i],
+            )
+            losses.append(float(l))
+
+        # scan body and unrolled steps compile separately → small float drift
+        # is expected; semantics (sequential per-sub-batch updates) must agree.
+        for a, b in zip(jax.tree_util.tree_leaves(p), jax.tree_util.tree_leaves(params2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+        assert np.isclose(float(loss), np.mean(losses), atol=1e-4)
+
+    def test_padding_masks_loss(self, small_cfg):
+        item = _make_item(small_cfg, n=7)  # pads to 10 with subbatch 5
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        preds, loss = eval_video(state, item, small_cfg)
+        assert preds.shape == (7,)
+        assert np.isfinite(loss)
+
+
+class TestTrainLoop:
+    @pytest.fixture(scope="class")
+    def trained(self, small_cfg, tmp_path_factory):
+        ckdir = str(tmp_path_factory.mktemp("ckpt"))
+        train_ds = VideoDataset([_make_item(small_cfg, n=10, seed=0)])
+        val_ds = VideoDataset([_make_item(small_cfg, n=10, seed=1)])
+        state = create_train_state(jax.random.PRNGKey(small_cfg.train.seed), small_cfg)
+        best, history = train_importance_model(
+            small_cfg, train_ds, val_ds, state,
+            num_epochs=3, checkpoint_dir=ckdir, verbose=False,
+        )
+        return best, history, ckdir, small_cfg
+
+    def test_loss_decreases(self, trained):
+        _, history, _, _ = trained
+        assert history["train_loss"][-1] < history["train_loss"][0]
+
+    def test_history_lengths_consistent(self, trained):
+        _, history, _, _ = trained
+        lens = {len(v) for k, v in history.items() if isinstance(v, list)}
+        assert lens == {4}  # initial + 3 epochs
+
+    def test_checkpoint_roundtrip(self, trained, small_cfg):
+        best, _, ckdir, cfg = trained
+        template = create_train_state(jax.random.PRNGKey(0), cfg)
+        restored = load_checkpoint(ckdir, template, tag="ckp")
+        assert restored.epoch == 3
+        item = _make_item(cfg, n=10, seed=2)
+        p1, _ = eval_video(restored, item, cfg)
+        # the rolling ckp holds the final state; recompute from it directly
+        final_state = TrainState(restored.params, restored.model_state, restored.opt_state, restored.epoch)
+        p2, _ = eval_video(final_state, item, cfg)
+        np.testing.assert_allclose(p1, p2, atol=1e-6)
+
+    def test_checkpoint_preserves_opt_state(self, trained, small_cfg):
+        _, _, ckdir, cfg = trained
+        template = create_train_state(jax.random.PRNGKey(0), cfg)
+        restored = load_checkpoint(ckdir, template, tag="ckp")
+        assert int(restored.opt_state.step) > 0  # reference lost Adam moments on resume
+
+    def test_no_audio_training(self, small_cfg):
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False)
+        )
+        ds = VideoDataset([_make_item(cfg, n=10, seed=0, with_audio=False)])
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        _, history = train_importance_model(cfg, ds, ds, state, num_epochs=1, verbose=False)
+        assert np.isfinite(history["train_loss"]).all()
+
+
+class TestBroadcastCompatLoss:
+    def test_bug_mode_differs(self, small_cfg):
+        """broadcast_loss_compat reproduces the (n,n) reference loss (main.py:191)."""
+        cfg_bug = dataclasses.replace(
+            small_cfg, train=dataclasses.replace(small_cfg.train, broadcast_loss_compat=True)
+        )
+        item = _make_item(small_cfg, n=10)
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        _, loss_fixed = eval_video(state, item, small_cfg)
+        _, loss_bug = eval_video(state, item, cfg_bug)
+        assert not np.isclose(loss_fixed, loss_bug)
+        # bug semantics: mean over all (pred_i - label_j) pairs
+        preds, _ = eval_video(state, item, small_cfg)
+        want = np.mean((preds[:, None] - item.labels[None, :]) ** 2)
+        assert np.isclose(loss_bug, want, atol=1e-5)
