@@ -1,0 +1,51 @@
+"""Pallas kernels vs their XLA reference paths (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cvml_goalnet_tpu.models.avm import avm_init
+from cvml_goalnet_tpu.models.layers import linear_apply
+from cvml_goalnet_tpu.ops.pallas.fused_mlp import fused_fusion_mlp
+from cvml_goalnet_tpu.ops.pallas.fused_preprocess import fused_preprocess_frames
+from cvml_goalnet_tpu.ops.preprocess import preprocess_frames
+
+
+class TestFusedPreprocess:
+    def test_matches_xla_path(self, rng):
+        frames = rng.integers(0, 255, (5, 48, 64, 3)).astype(np.float32)
+        want = np.asarray(preprocess_frames(jnp.asarray(frames), (24, 24)))
+        got = np.asarray(
+            fused_preprocess_frames(jnp.asarray(frames), (24, 24), interpret=True)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_uint8_input(self, rng):
+        frames = rng.integers(0, 255, (3, 36, 36, 3), dtype=np.uint8)
+        want = np.asarray(preprocess_frames(jnp.asarray(frames), (24, 24)))
+        got = np.asarray(
+            fused_preprocess_frames(jnp.asarray(frames), (24, 24), interpret=True)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestFusedMLP:
+    def test_matches_eval_fusion_chain(self, small_cfg):
+        params, _ = avm_init(
+            jax.random.PRNGKey(0), small_cfg.model, small_cfg.preprocess, small_cfg.audio
+        )
+        fusion = tuple(params["fusion"])
+        d = fusion[0]["w"].shape[0]
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((37, d)).astype(np.float32))
+
+        # XLA reference: the exact eval-mode chain from models/avm.py
+        h = x
+        for i, lp in enumerate(fusion):
+            h = linear_apply(lp, h)
+            if i < len(fusion) - 1:
+                h = jax.nn.relu(h)
+        want = 4.0 * jax.nn.sigmoid(h) + 1.0
+
+        got = fused_fusion_mlp(x, fusion, block_rows=16, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+        assert got.shape == (37, 1)  # padding stripped
