@@ -38,18 +38,28 @@ def extract_features(
     frames: np.ndarray,
     waveform: np.ndarray | None,
     cfg: PipelineConfig,
+    commentary: list[str] | None = None,
 ) -> dict:
-    """Raw decimated frames (N, H, W, C) + waveform → model-ready tensors.
+    """Raw decimated frames (N, H, W, C) + waveform (+ commentary) → tensors.
 
-    Returns ``{"visual": (N, h, w, C) float32, "audio": (N, B, n_mfcc) | None}``.
-    Visual math matches reference ``utils.py:283-292`` (min-max normalize then
-    resize); audio matches ``utils.py:313-349`` (per-slot MFCC + cubic interp).
+    Returns ``{"visual": (N, h, w, C) float32, "audio": (N, B, n_mfcc) | None,
+    "text": (N, T) int32 | None}``.  Visual math matches reference
+    ``utils.py:283-292`` (min-max normalize then resize); audio matches
+    ``utils.py:313-349`` (per-slot MFCC + cubic interp); ``commentary`` is a
+    per-frame list of strings for the text branch (new capability,
+    BASELINE.json config 4).
     """
     visual = np.asarray(preprocess_frames(jnp.asarray(frames), cfg.preprocess.frame_size, cfg.preprocess.eps))
     audio = None
     if waveform is not None:
         audio = extract_audio_features(waveform, len(frames), cfg.audio)
-    return {"visual": visual, "audio": audio}
+    text = None
+    if commentary is not None:
+        from cvml_goalnet_tpu.data.text import tokenize
+
+        assert len(commentary) == len(frames), "one commentary string per frame"
+        text = tokenize(commentary, cfg.model.text_vocab_size, cfg.model.text_max_len)
+    return {"visual": visual, "audio": audio, "text": text}
 
 
 # ------------------------------------------------------------------------ fuse
@@ -67,11 +77,14 @@ def _jitted_fuse(cfg_model):
 def fuse(params, state, features: dict, cfg: PipelineConfig, text=None) -> np.ndarray:
     """Modality features → (N,) per-frame importance scores in [lo, hi].
 
-    Jitted eval-mode forward of the AVM model (reference ``utils.py:260-272``).
+    Jitted eval-mode forward of the AVM model (reference ``utils.py:260-272``);
+    late-fuses audio ‖ visual (‖ text when ``cfg.model.text_included``).
     """
     fn = _jitted_fuse(cfg.model)
     visual = jnp.asarray(features["visual"])
     audio = jnp.asarray(features["audio"]) if cfg.model.audio_included else None
+    if text is None and cfg.model.text_included and features.get("text") is not None:
+        text = jnp.asarray(features["text"])
     return np.asarray(fn(params, state, visual, audio, text))
 
 

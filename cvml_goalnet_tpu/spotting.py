@@ -1,0 +1,145 @@
+"""Temporal event spotting over long timelines (new capability).
+
+The reference scores frames independently (report §1: "exactly one frame at a
+time") and has no temporal model.  BASELINE.json's north star adds
+"temporal goal-event spotting and highlight selection … a scan-based XLA pass
+so a full 90-minute match is scored in one device program".  This module is
+that layer:
+
+* :func:`encode_timeline` — run the AVM trunk (visual ‖ audio encoders,
+  no fusion head) over all frames → (T, D) per-frame features;
+* :func:`score_timeline` — bidirectional-GRU ``lax.scan`` pass → (T,) event
+  scores, one device program for the whole timeline;
+* :func:`score_timeline_chunked` — the long-context answer: the timeline is
+  split into overlapping chunks scored in parallel (vmap over the chunk axis,
+  shardable over the mesh ``"data"`` axis); halos absorb boundary effects and
+  are discarded.  The reference has no sequence parallelism to mirror
+  (SURVEY.md §2.3) — chunk+halo is the scan-native equivalent;
+* :func:`spot_events` — static-shape peak detection → event timestamps
+  (host-side ``nonzero``, by design);
+* :func:`summarize_match` — spotting scores → knapsack highlight selection,
+  reusing the same ``summarize`` contract as the frame-importance path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cvml_goalnet_tpu.config import KnapsackConfig, PipelineConfig
+from cvml_goalnet_tpu.models.audio import audio_encoder_apply
+from cvml_goalnet_tpu.models.temporal import detect_peaks, temporal_scorer_apply
+from cvml_goalnet_tpu.models.visual import visual_encoder_apply
+from cvml_goalnet_tpu.pipeline import SummaryResult, summarize
+
+
+@lru_cache(maxsize=8)
+def _jitted_trunk(cfg_model):
+    def trunk(params, state, visual, audio):
+        feats, _ = visual_encoder_apply(
+            params["visual"], state["visual"], visual,
+            train=False, rng=jax.random.PRNGKey(0), dropout_rate=0.0,
+        )
+        if cfg_model.audio_included and audio is not None:
+            a = audio_encoder_apply(params["audio"], audio)
+            feats = jnp.concatenate([a, feats], axis=-1)
+        return feats
+
+    return jax.jit(trunk, static_argnames=())
+
+
+def encode_timeline(params, state, visual, audio, cfg: PipelineConfig) -> jax.Array:
+    """(T, h, w, C) frames (+ audio) → (T, D) fused per-frame features."""
+    return _jitted_trunk(cfg.model)(params, state, visual, audio)
+
+
+def score_timeline(temporal_params, features, hidden: int) -> jax.Array:
+    """(T, D) features → (T,) event scores in one scan pass."""
+    return temporal_scorer_apply(temporal_params, features, hidden)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def score_timeline_chunked(
+    temporal_params,
+    features: jax.Array,
+    hidden: int,
+    chunk: int = 512,
+    overlap: int = 64,
+) -> jax.Array:
+    """Chunked+halo scoring: parallel over chunks, shardable over the mesh.
+
+    Each chunk of ``chunk`` frames is scored with up to ``overlap`` frames of
+    REAL context on both sides (windows are clamped into the timeline, never
+    zero-padded, so the first/last chunks agree exactly with the monolithic
+    scan at the timeline boundaries); halo scores are discarded.  Interior
+    chunk borders agree up to GRU state decay across the halo.
+    """
+    t, d = features.shape
+    window = chunk + 2 * overlap
+    if t <= window:
+        return temporal_scorer_apply(temporal_params, features, hidden)
+
+    n_chunks = -(-t // chunk)
+    chunk_starts = jnp.arange(n_chunks) * chunk
+    win_starts = jnp.clip(chunk_starts - overlap, 0, t - window)
+    keep_offsets = chunk_starts - win_starts
+
+    def one(win_start, keep_off):
+        sl = jax.lax.dynamic_slice(features, (win_start, 0), (window, d))
+        s = temporal_scorer_apply(temporal_params, sl, hidden)
+        # static-size keep-slice; the final chunk's tail garbage is trimmed below
+        s_ext = jnp.concatenate([s, jnp.zeros((chunk,), s.dtype)])
+        return jax.lax.dynamic_slice(s_ext, (keep_off,), (chunk,))
+
+    scores = jax.vmap(one)(win_starts, keep_offsets).reshape(-1)
+    return scores[:t]
+
+
+def spot_events(scores, window: int = 5, threshold: float = 0.0) -> np.ndarray:
+    """Event timestamps (frame indices) from temporal scores."""
+    mask = detect_peaks(jnp.asarray(scores), window, threshold)
+    return np.nonzero(np.asarray(mask))[0]
+
+
+@dataclass
+class MatchSummary:
+    events: np.ndarray                # spotted event frame indices
+    scores: np.ndarray                # (T,) temporal event scores
+    summary: SummaryResult            # knapsack highlight selection
+
+
+def summarize_match(
+    params,
+    state,
+    temporal_params,
+    visual,
+    audio,
+    clip_intervals,
+    cfg: PipelineConfig,
+    skip_frames: int | None = None,
+    full_n_frames: int | None = None,
+    peak_window: int = 5,
+    peak_threshold: float = 0.0,
+    kcfg: KnapsackConfig | None = None,
+) -> MatchSummary:
+    """Full spotting pipeline: frames → features → scan scores → highlights.
+
+    Scores are affinely mapped to the [1, 5] importance scale so the knapsack
+    stage is shared verbatim with the frame-importance path.
+    """
+    skip = cfg.preprocess.skip_frames if skip_frames is None else skip_frames
+    full_n = len(visual) * skip if full_n_frames is None else full_n_frames
+    feats = encode_timeline(params, state, visual, audio, cfg)
+    scores = np.asarray(score_timeline(temporal_params, feats, cfg.model.temporal_hidden))
+    events = spot_events(scores, peak_window, peak_threshold)
+
+    lo, hi = scores.min(), scores.max()
+    importances = 1.0 + 4.0 * (scores - lo) / max(hi - lo, 1e-7)
+    res = summarize(
+        importances, clip_intervals, skip, full_n, kcfg or cfg.knapsack
+    )
+    return MatchSummary(events=events, scores=scores, summary=res)

@@ -1,0 +1,40 @@
+"""Training the temporal spotting head (BASELINE.json config 3/5).
+
+SoccerNet-style supervision: per-frame binary event labels over a timeline.
+The step jits loss + grad + Adam for the GRU scorer over precomputed frame
+features; class imbalance (rare events on a 90-min timeline) is handled with
+a positive-class weight.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+
+from cvml_goalnet_tpu.train.optim import adam_init, adam_update
+
+
+@lru_cache(maxsize=8)
+def make_spotting_train_step(hidden: int, lr: float = 1e-3, pos_weight: float = 10.0):
+    """→ jitted ``step(params, opt_state, features (T,D), labels (T,)) →
+    (params, opt_state, loss)`` with weighted BCE on event frames."""
+    from cvml_goalnet_tpu.models.temporal import temporal_scorer_apply
+
+    def loss_fn(params, features, labels):
+        logits = temporal_scorer_apply(params, features, hidden)
+        w = jnp.where(labels > 0.5, pos_weight, 1.0)
+        per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        return jnp.sum(w * per) / jnp.sum(w)
+
+    def step(params, opt_state, features, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, features, labels)
+        params, opt_state = adam_update(grads, opt_state, params, lr)
+        return params, opt_state, loss
+
+    return jax.jit(step)
+
+
+def init_spotting_opt(params):
+    return adam_init(params)

@@ -1,0 +1,120 @@
+"""Temporal spotting tests: timeline scoring, chunked parity, training, e2e."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cvml_goalnet_tpu.data.synthetic import synthetic_change_points
+from cvml_goalnet_tpu.data.text import tokenize
+from cvml_goalnet_tpu.models.avm import avm_init
+from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
+from cvml_goalnet_tpu.pipeline import extract_features
+from cvml_goalnet_tpu.spotting import (
+    encode_timeline,
+    score_timeline,
+    score_timeline_chunked,
+    spot_events,
+    summarize_match,
+)
+from cvml_goalnet_tpu.train.spotting import init_spotting_opt, make_spotting_train_step
+
+
+def _features(d=16, t=300, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).standard_normal((t, d)).astype(np.float32))
+
+
+class TestTimelineScoring:
+    def test_chunked_matches_monolithic_away_from_borders(self):
+        params = temporal_scorer_init(jax.random.PRNGKey(0), 16, 8)
+        feats = _features(t=300)
+        full = np.asarray(score_timeline(params, feats, 8))
+        chunked = np.asarray(score_timeline_chunked(params, feats, 8, chunk=100, overlap=40))
+        assert chunked.shape == full.shape
+        # GRU state decays across the 40-frame halo → interior agreement
+        np.testing.assert_allclose(chunked, full, atol=2e-2)
+
+    def test_chunked_handles_non_divisible_lengths(self):
+        params = temporal_scorer_init(jax.random.PRNGKey(0), 16, 8)
+        feats = _features(t=257)
+        out = np.asarray(score_timeline_chunked(params, feats, 8, chunk=100, overlap=20))
+        assert out.shape == (257,)
+        assert np.isfinite(out).all()
+
+    def test_spot_events_returns_indices(self):
+        scores = np.zeros(100, np.float32)
+        scores[[10, 50, 90]] = 5.0
+        events = spot_events(scores, window=5, threshold=1.0)
+        np.testing.assert_array_equal(events, [10, 50, 90])
+
+
+class TestSpottingTraining:
+    def test_loss_decreases_on_separable_events(self):
+        rng = np.random.default_rng(0)
+        t, d, hidden = 200, 8, 8
+        labels = (rng.random(t) < 0.05).astype(np.float32)
+        # events carry a distinctive feature signature
+        feats = rng.standard_normal((t, d)).astype(np.float32) * 0.1
+        feats[labels > 0.5, 0] += 3.0
+        params = temporal_scorer_init(jax.random.PRNGKey(0), d, hidden)
+        opt = init_spotting_opt(params)
+        step = make_spotting_train_step(hidden, lr=1e-2)
+        losses = []
+        for _ in range(30):
+            params, opt, loss = step(params, opt, jnp.asarray(feats), jnp.asarray(labels))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.5
+
+
+class TestMatchSummarization:
+    def test_end_to_end(self, small_cfg):
+        cfg = small_cfg
+        rng = np.random.default_rng(0)
+        n = 20
+        visual = jnp.asarray(rng.random((n, *cfg.preprocess.frame_size, 3)).astype(np.float32))
+        audio = jnp.asarray(rng.random((n, cfg.audio.bin_length, cfg.audio.n_mfcc)).astype(np.float32))
+        params, state = avm_init(jax.random.PRNGKey(0), cfg.model, cfg.preprocess, cfg.audio)
+
+        feats = encode_timeline(params, state, visual, audio, cfg)
+        d = cfg.model.vis_feature_dim + cfg.model.aud_feature_dim
+        assert feats.shape == (n, d)
+
+        tparams = temporal_scorer_init(jax.random.PRNGKey(1), d, cfg.model.temporal_hidden)
+        full_n = n * cfg.preprocess.skip_frames
+        intervals = synthetic_change_points(full_n, 6)
+        result = summarize_match(
+            params, state, tparams, visual, audio, intervals, cfg,
+            full_n_frames=full_n, peak_threshold=-1e9,
+        )
+        assert result.scores.shape == (n,)
+        assert result.summary.frame_mask.shape == (full_n,)
+        assert result.summary.frame_mask.sum() > 0
+        assert len(result.events) > 0
+
+
+class TestTextPipeline:
+    def test_tokenizer_deterministic_and_padded(self):
+        toks = tokenize(["Goal by PLAYER!", "goal by player", ""], 128, 8)
+        assert toks.shape == (3, 8)
+        np.testing.assert_array_equal(toks[0], toks[1])  # case-insensitive
+        assert (toks[2] == 0).all()
+        assert toks.max() < 128 and toks.min() >= 0
+
+    def test_extract_features_with_commentary(self, small_cfg):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, text_included=True)
+        )
+        frames = np.random.default_rng(0).integers(0, 255, (4, 32, 32, 3)).astype(np.float32)
+        feats = extract_features(frames, None, cfg, commentary=["a b", "c", "", "d e f"])
+        assert feats["text"].shape == (4, cfg.model.text_max_len)
+
+        from cvml_goalnet_tpu.pipeline import fuse
+
+        params, state = avm_init(jax.random.PRNGKey(0), cfg.model, cfg.preprocess, cfg.audio)
+        cfg_no_audio = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, audio_included=False, text_included=True)
+        )
+        params2, state2 = avm_init(jax.random.PRNGKey(0), cfg_no_audio.model, cfg.preprocess, cfg.audio)
+        scores = fuse(params2, state2, feats, cfg_no_audio)
+        assert scores.shape == (4,)
