@@ -94,13 +94,29 @@ def cmd_train(args) -> int:
         state = load_checkpoint(paths["ckp_dir"], state, tag="ckp")
         print(f"Resumed from epoch {state.epoch}")
 
+    from cvml_goalnet_tpu.train.loop import eval_video
+    from cvml_goalnet_tpu.pipeline import summarize
+    from cvml_goalnet_tpu.utils.metrics import MetricsLogger
+    from cvml_goalnet_tpu.viz import export_indices
+
+    metrics_logger = MetricsLogger(os.path.join(args.workdir, "tmp", "events.jsonl"))
+
     def on_epoch_end(epoch, history, best):
         generate_metric_plots(history, paths["curves"])
+        if best["epoch"] == epoch and len(train_ds):
+            # summary-mask png on each new optimum (reference main.py:265-280)
+            item = train_ds[len(train_ds) - 1]
+            preds, _ = eval_video(best["state"], item, cfg)
+            res = summarize(
+                preds, item.clip_intervals, cfg.preprocess.skip_frames,
+                item.full_n_frames, cfg.knapsack,
+            )
+            export_indices(res.frame_mask, item.gd_summary_masks, paths["indices"])
 
     _, history = train_importance_model(
         cfg, train_ds, val_ds, state,
         num_epochs=args.epochs, checkpoint_dir=paths["ckp_dir"],
-        on_epoch_end=on_epoch_end,
+        on_epoch_end=on_epoch_end, metrics_logger=metrics_logger,
     )
     print(f"Optimal epoch: {history['best_epoch']}")
     print("Operation completed")

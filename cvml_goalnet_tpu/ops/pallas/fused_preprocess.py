@@ -5,23 +5,38 @@ The XLA reference path (``ops/preprocess.py``, mirroring reference
 HBM between the normalize and resize stages.  At full-rate decode (25 fps,
 BASELINE.json config 5) that intermediate is the largest tensor in the
 pipeline — e.g. (N, 360, 640, 3) float32.  This kernel keeps everything for
-one frame block in VMEM:
+one frame in VMEM:
 
-    load raw frame → VPU min/max reduce → normalize → two MXU matmuls
-    (R_h · frame, then · R_wᵀ) → store only the (h_out, w_out, C) result.
+    load raw frame → VPU min/max reduce → normalize → two MXU matmuls → store
+    only the (h_out, w_out·C) result.
 
 HBM traffic drops from ``2·H·W·C + h·w·C`` floats per frame (read + write the
 normalized intermediate, then read again for resize) to ``H·W·C`` reads +
 ``h·w·C`` writes — a ~3× bandwidth cut on the preprocess stage.
 
-Grid: one program per frame; channels are moved to the sublane-friendly
-position by contracting H and W with the interpolation matrices per channel.
+Mosaic constraints shape the layout (vector reshapes of minor dims are not
+lowerable on TPU):
+
+* frames enter the kernel pre-flattened to (N, H, W·C) — a free relayout in
+  XLA since (W, C) are contiguous;
+* the H contraction is a plain matmul with R_h (h_out, H);
+* the W contraction uses R_wc = kron(R_wᵀ, I_C) of shape (W·C, w_out·C), so
+  channels stay interleaved and no in-kernel reshape is needed.  The extra
+  C× zeros in R_wc are irrelevant — the stage is bandwidth-bound.
+
+Measured (v5e, 512×180×320×3 uint8 → 40×40): bit-exact vs the XLA path, but
+2.2× slower (5.0 ms vs 2.3 ms) — the one-frame-per-program grid pays more in
+program overhead than it saves in HBM traffic at this resolution, and XLA
+fuses normalize+resize well on its own.  The XLA path stays the default;
+this kernel remains the hand-scheduled alternative for full-rate 25 fps
+pipelines where the decode intermediate dominates HBM.
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -30,26 +45,21 @@ from jax.experimental.pallas import tpu as pltpu
 from cvml_goalnet_tpu.ops.preprocess import resize_matrices
 
 
-def _kernel(frame_ref, rh_ref, rw_ref, out_ref, *, eps: float):
-    # frame_ref: (1, H, W, C); rh: (h_out, H); rw: (w_out, W); out: (1, h_out, w_out, C)
-    f = frame_ref[0].astype(jnp.float32)                      # (H, W, C)
+@lru_cache(maxsize=32)
+def _kron_resize_matrices(src_h: int, src_w: int, dst_h: int, dst_w: int, channels: int):
+    rh, rw = resize_matrices(src_h, src_w, dst_h, dst_w)
+    rwc = np.kron(rw.T, np.eye(channels, dtype=np.float32))  # (W·C, w_out·C)
+    return rh, rwc
+
+
+def _kernel(frame_ref, rh_ref, rwc_ref, out_ref, *, eps: float):
+    # frame_ref: (1, H, W·C); rh: (h_out, H); rwc: (W·C, w_out·C)
+    f = frame_ref[0]                                           # (H, W·C) f32
     lo = jnp.min(f)
     hi = jnp.max(f)
     f = (f - lo) / (hi - lo + eps)
-
-    h, w, c = f.shape
-    rh = rh_ref[:]                                            # (h_out, H)
-    rw = rw_ref[:]                                            # (w_out, W)
-    # Contract H: (h_out, H) @ (H, W*C) → (h_out, W*C)
-    x = jnp.dot(rh, f.reshape(h, w * c), preferred_element_type=jnp.float32)
-    x = x.reshape(rh.shape[0], w, c)
-    # Contract W per output row: einsum (h_out, W, C) × (w_out, W) → (h_out, w_out, C)
-    y = jax.lax.dot_general(
-        x, rw,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                          # (h_out, C, w_out)
-    out_ref[0] = y.transpose(0, 2, 1)
+    x = jnp.dot(rh_ref[:], f, preferred_element_type=jnp.float32)   # (h_out, W·C)
+    out_ref[0] = jnp.dot(x, rwc_ref[:], preferred_element_type=jnp.float32)
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
@@ -65,18 +75,24 @@ def fused_preprocess_frames(
     use that XLA path on CPU and this kernel on TPU for the full-rate pipeline.
     """
     n, h, w, c = frames.shape
-    rh, rw = resize_matrices(h, w, *out_hw)
-    return pl.pallas_call(
+    if frames.dtype != jnp.float32:
+        # Mosaic has no uint8→f32 cast in-kernel; convert at the boundary
+        # (XLA fuses the cast into the feeding copy).
+        frames = frames.astype(jnp.float32)
+    rh, rwc = _kron_resize_matrices(h, w, *out_hw, c)
+    flat = frames.reshape(n, h, w * c)
+    out = pl.pallas_call(
         partial(_kernel, eps=eps),
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((out_hw[0], h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_hw[1], w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w * c, out_hw[1] * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, *out_hw, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, out_hw[0], out_hw[1] * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n, *out_hw, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, out_hw[0], out_hw[1] * c), jnp.float32),
         interpret=interpret,
-    )(frames, jnp.asarray(rh), jnp.asarray(rw))
+    )(flat, jnp.asarray(rh), jnp.asarray(rwc))
+    return out.reshape(n, out_hw[0], out_hw[1], c)

@@ -170,6 +170,7 @@ def train_importance_model(
     checkpoint_dir: str | None = None,
     on_epoch_end=None,
     verbose: bool = True,
+    metrics_logger=None,
 ):
     """Full training driver (reference ``train_importance_model``, ``main.py:26-298``).
 
@@ -205,6 +206,8 @@ def train_importance_model(
         history[k].append(v)
     if verbose:
         log_metrics("initial", tr, vl)
+    if metrics_logger is not None:
+        metrics_logger.log_epoch(-1, tr, vl)
 
     best = {"state": state, "epoch": -1, "f_avg": tr[1], "metrics": (tr, vl)}
     if checkpoint_dir:
@@ -242,6 +245,8 @@ def train_importance_model(
         if verbose:
             log_val_delta(vl[0], prev_val_loss)
             log_metrics(f"epoch {epoch}", tr, vl, time.time() - t0)
+        if metrics_logger is not None:
+            metrics_logger.log_epoch(epoch, tr, vl, time.time() - t0)
         prev_val_loss = vl[0]
 
         # Optimum policy: best train-F-score-avg (reference main.py:255-263).

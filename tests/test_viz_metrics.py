@@ -1,0 +1,53 @@
+"""Observability-layer tests: metric plots, mask image, jsonl metrics logger."""
+
+import os
+
+import numpy as np
+
+from cvml_goalnet_tpu.utils.metrics import MetricsLogger
+from cvml_goalnet_tpu.utils.profiling import StageTimer
+from cvml_goalnet_tpu.viz import export_indices, generate_metric_plots
+
+
+class TestViz:
+    def test_metric_plots_written(self, tmp_path):
+        history = {
+            "train_loss": [1.0, 0.8, 0.6], "val_loss": [1.1, 0.9, 0.7],
+            "train_f_avg": [0.1, 0.2, 0.3], "train_f_max": [0.3, 0.4, 0.5],
+            "val_f_avg": [0.1, 0.15, 0.2], "val_f_max": [0.2, 0.3, 0.4],
+        }
+        fp = str(tmp_path / "curves.png")
+        generate_metric_plots(history, fp, opt_val_loss=0.7)
+        assert os.path.getsize(fp) > 1000
+
+    def test_export_indices(self, tmp_path, rng):
+        pred = (rng.random(200) < 0.2).astype(np.uint8)
+        gd = (rng.random((20, 200)) < 0.15).astype(np.uint8)
+        fp = str(tmp_path / "indices.png")
+        export_indices(pred, gd, fp)
+        assert os.path.getsize(fp) > 1000
+
+
+class TestMetricsLogger:
+    def test_jsonl_roundtrip(self, tmp_path):
+        fp = str(tmp_path / "events.jsonl")
+        logger = MetricsLogger(fp)
+        logger.log("start", config="test")
+        logger.log_epoch(0, (0.5, 0.1, 0.2), (0.6, 0.05, 0.1), dt=1.5)
+        events = MetricsLogger.read(fp)
+        assert [e["event"] for e in events] == ["start", "epoch"]
+        assert events[1]["epoch"] == 0
+        assert events[1]["train_loss"] == 0.5
+        assert events[1]["dt_s"] == 1.5
+
+
+class TestStageTimer:
+    def test_accumulates(self):
+        t = StageTimer()
+        with t.stage("decode"):
+            pass
+        with t.stage("decode"):
+            pass
+        s = t.summary()
+        assert s["decode"]["count"] == 2
+        assert s["decode"]["total_s"] >= 0
