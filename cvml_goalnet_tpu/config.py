@@ -95,7 +95,9 @@ class ModelConfig:
     audio_included: bool = True
     text_included: bool = False
 
-    # Visual branch (reference VisBl, utils.py:145-195)
+    # Visual branch (reference VisBl, utils.py:145-195); "resnet" swaps in the
+    # ResNet-18-class backbone (models/resnet.py, BASELINE.json config 1)
+    vis_backbone: str = "reference"
     vis_channels: tuple[int, ...] = (64, 256, 512)
     vis_feature_dim: int = 512
     # Audio branch (reference AudBl, utils.py:197-227)

@@ -67,9 +67,22 @@ def extract_features(
 
 @lru_cache(maxsize=8)
 def _jitted_fuse(cfg_model):
+    dtype = jnp.bfloat16 if cfg_model.dtype == "bfloat16" else jnp.float32
+
+    def cast(tree):
+        return jax.tree.map(
+            lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
+        )
+
     def fwd(params, state, visual, audio, text):
-        out, _ = avm_apply(params, state, visual, audio, text, cfg=cfg_model, train=False)
-        return out[:, 0]
+        out, _ = avm_apply(
+            cast(params), cast(state),
+            visual.astype(dtype),
+            None if audio is None else audio.astype(dtype),
+            text,
+            cfg=cfg_model, train=False,
+        )
+        return out[:, 0].astype(jnp.float32)
 
     return jax.jit(fwd)
 

@@ -1,0 +1,137 @@
+"""Streaming end-to-end summarization: host decode double-buffered with device compute.
+
+SURVEY.md §7.3 "Host/device overlap: video decode is the true bottleneck at
+25 fps full-rate; double-buffering … is where the ≥50× real-time target is
+won or lost."  This module is the production inference driver:
+
+* a decoder thread streams decimated frame chunks (``data/video.py``);
+* the main thread runs the jitted preprocess+trunk+fusion program on chunk i
+  while the decoder produces chunk i+1 (JAX dispatch is async, so device
+  compute overlaps host decode naturally once the queue keeps one chunk
+  ahead);
+* per-stage wall-clock is captured with :class:`StageTimer` so the
+  decode-vs-device balance is observable per run.
+
+Chunks are padded to a fixed size so the device program compiles ONCE.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cvml_goalnet_tpu.config import PipelineConfig
+from cvml_goalnet_tpu.data.dataset import Prefetcher
+from cvml_goalnet_tpu.models.avm import avm_apply
+from cvml_goalnet_tpu.ops.preprocess import preprocess_frames
+from cvml_goalnet_tpu.pipeline import SummaryResult, summarize
+from cvml_goalnet_tpu.utils.profiling import StageTimer
+
+
+@lru_cache(maxsize=8)
+def _jitted_chunk_scorer(cfg: PipelineConfig):
+    dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+
+    def cast(tree):
+        return jax.tree.map(
+            lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
+        )
+
+    def score(params, state, raw_frames, audio):
+        visual = preprocess_frames(
+            raw_frames, cfg.preprocess.frame_size, cfg.preprocess.eps, dtype
+        ).astype(dtype)
+        out, _ = avm_apply(
+            cast(params), cast(state), visual,
+            None if audio is None else audio.astype(dtype),
+            None, cfg=cfg.model, train=False,
+        )
+        return out[:, 0].astype(jnp.float32)
+
+    return jax.jit(score)
+
+
+@dataclass
+class StreamStats:
+    chunks: int = 0
+    frames: int = 0
+    stage_seconds: dict = field(default_factory=dict)
+
+
+def score_video_stream(
+    params,
+    state,
+    frame_chunks,
+    cfg: PipelineConfig,
+    chunk_size: int = 256,
+    audio_chunks=None,
+    prefetch_depth: int = 2,
+) -> tuple[np.ndarray, StreamStats]:
+    """Score a stream of raw frame chunks → (N,) importance scores.
+
+    ``frame_chunks`` yields (k, H, W, C) arrays (k ≤ chunk_size); chunks are
+    right-padded to ``chunk_size`` so one compiled program serves the run.
+    ``audio_chunks`` (optional) yields matching (k, B, n_mfcc) MFCC blocks.
+    """
+    fn = _jitted_chunk_scorer(cfg)
+    timer = StageTimer()
+    scores: list[np.ndarray] = []
+    n_total = 0
+    n_chunks = 0
+
+    stream = Prefetcher(frame_chunks, depth=prefetch_depth)
+    audio_iter = iter(audio_chunks) if audio_chunks is not None else None
+
+    pending: list[tuple[jax.Array, int]] = []
+    for chunk in stream:
+        with timer.stage("stage_pad_h2d"):
+            k = len(chunk)
+            if k < chunk_size:
+                pad = np.zeros((chunk_size - k,) + chunk.shape[1:], chunk.dtype)
+                chunk = np.concatenate([chunk, pad])
+            audio = None
+            if audio_iter is not None:
+                a = next(audio_iter)
+                if len(a) < chunk_size:
+                    a = np.concatenate(
+                        [a, np.zeros((chunk_size - len(a),) + a.shape[1:], a.dtype)]
+                    )
+                audio = jnp.asarray(a)
+        with timer.stage("stage_dispatch"):
+            # async dispatch: device crunches while the decoder thread
+            # produces the next chunk
+            out = fn(params, state, jnp.asarray(chunk), audio)
+        pending.append((out, k))
+        n_total += k
+        n_chunks += 1
+
+    with timer.stage("stage_drain"):
+        for out, k in pending:
+            scores.append(np.asarray(out)[:k])
+
+    stats = StreamStats(chunks=n_chunks, frames=n_total, stage_seconds=timer.summary())
+    return (np.concatenate(scores) if scores else np.zeros((0,), np.float32)), stats
+
+
+def summarize_video_stream(
+    params,
+    state,
+    frame_chunks,
+    clip_intervals,
+    full_n_frames: int,
+    cfg: PipelineConfig,
+    chunk_size: int = 256,
+    audio_chunks=None,
+) -> tuple[SummaryResult, StreamStats]:
+    """Full streaming pipeline: decode chunks → device scoring → knapsack."""
+    scores, stats = score_video_stream(
+        params, state, frame_chunks, cfg, chunk_size, audio_chunks
+    )
+    res = summarize(
+        scores, clip_intervals, cfg.preprocess.skip_frames, full_n_frames, cfg.knapsack
+    )
+    return res, stats

@@ -140,3 +140,33 @@ class TestTemporal:
     def test_param_count_positive(self, small_cfg):
         params = temporal_scorer_init(jax.random.PRNGKey(0), 16, 8)
         assert count_params(params) > 0
+
+
+class TestResNetBackbone:
+    def test_forward_and_train_step(self, small_cfg):
+        import dataclasses
+        from cvml_goalnet_tpu.models.resnet import resnet_encoder_init, resnet_encoder_apply
+
+        cfg = dataclasses.replace(
+            small_cfg,
+            model=dataclasses.replace(small_cfg.model, vis_backbone="resnet", vis_channels=(8, 16)),
+        )
+        params, state = resnet_encoder_init(jax.random.PRNGKey(0), cfg.model, cfg.preprocess)
+        x = jnp.asarray(np.random.default_rng(0).random((4, 24, 24, 3)).astype(np.float32))
+        out, new_state = resnet_encoder_apply(
+            params, state, x, train=True, rng=jax.random.PRNGKey(1), dropout_rate=0.1
+        )
+        assert out.shape == (4, cfg.model.vis_feature_dim)
+        assert not np.allclose(np.asarray(new_state["bn_stem"]["mean"]), 0.0)
+
+        # full AVM with resnet backbone, grads flow
+        p, s = avm_init(jax.random.PRNGKey(0), cfg.model, cfg.preprocess, cfg.audio)
+        aud = jnp.asarray(np.random.default_rng(0).random((4, cfg.audio.bin_length, cfg.audio.n_mfcc)).astype(np.float32))
+
+        def loss(pp):
+            o, _ = avm_apply(pp, s, x, aud, cfg=cfg.model, train=True, rng=jax.random.PRNGKey(2))
+            return jnp.mean(o)
+
+        g = jax.grad(loss)(p)
+        total = sum(float(jnp.sum(jnp.abs(t))) for t in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(total) and total > 0

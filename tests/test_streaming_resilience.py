@@ -1,0 +1,115 @@
+"""Streaming inference pipeline + failure-recovery wrapper tests."""
+
+import numpy as np
+import jax
+import pytest
+
+from cvml_goalnet_tpu.models.avm import avm_init
+from cvml_goalnet_tpu.pipeline import fuse
+from cvml_goalnet_tpu.streaming import score_video_stream, summarize_video_stream
+from cvml_goalnet_tpu.data.synthetic import synthetic_change_points
+from cvml_goalnet_tpu.train.resilience import train_with_recovery
+from cvml_goalnet_tpu.train.state import create_train_state
+
+
+def _chunks(frames, size):
+    for i in range(0, len(frames), size):
+        yield frames[i : i + size]
+
+
+class TestStreaming:
+    @pytest.fixture(scope="class")
+    def setup(self, small_cfg):
+        rng = np.random.default_rng(0)
+        n = 70
+        frames = rng.integers(0, 255, (n, 48, 64, 3)).astype(np.uint8)
+        audio = rng.random((n, small_cfg.audio.bin_length, small_cfg.audio.n_mfcc)).astype(np.float32)
+        params, state = avm_init(
+            jax.random.PRNGKey(0), small_cfg.model, small_cfg.preprocess, small_cfg.audio
+        )
+        return frames, audio, params, state
+
+    def test_stream_matches_monolithic(self, setup, small_cfg):
+        frames, audio, params, state = setup
+        scores, stats = score_video_stream(
+            params, state, _chunks(frames, 32), small_cfg, chunk_size=32,
+            audio_chunks=_chunks(audio, 32),
+        )
+        assert scores.shape == (70,)
+        assert stats.chunks == 3 and stats.frames == 70
+
+        from cvml_goalnet_tpu.pipeline import extract_features
+
+        feats = extract_features(frames, None, small_cfg)
+        feats["audio"] = audio
+        want = fuse(params, state, feats, small_cfg)
+        np.testing.assert_allclose(scores, want, atol=1e-4)
+
+    def test_stream_no_audio(self, setup, small_cfg):
+        import dataclasses
+
+        frames, _, _, _ = setup
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False)
+        )
+        params, state = avm_init(jax.random.PRNGKey(0), cfg.model, cfg.preprocess, cfg.audio)
+        scores, _ = score_video_stream(params, state, _chunks(frames, 32), cfg, chunk_size=32)
+        assert scores.shape == (70,)
+
+    def test_summarize_video_stream(self, setup, small_cfg):
+        frames, audio, params, state = setup
+        full_n = 70 * small_cfg.preprocess.skip_frames
+        intervals = synthetic_change_points(full_n, 6)
+        res, stats = summarize_video_stream(
+            params, state, _chunks(frames, 32), intervals, full_n, small_cfg,
+            chunk_size=32, audio_chunks=_chunks(audio, 32),
+        )
+        assert res.frame_mask.shape == (full_n,)
+        assert res.frame_mask.sum() > 0
+        assert "stage_dispatch" in stats.stage_seconds
+
+
+class TestRecovery:
+    def test_restores_after_injected_failure(self, small_cfg, tmp_path):
+        from tests.test_train import _make_item
+        from cvml_goalnet_tpu.data.dataset import VideoDataset
+        from cvml_goalnet_tpu.utils.metrics import MetricsLogger
+
+        ds = VideoDataset([_make_item(small_cfg, n=10, seed=0)])
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        ckdir = str(tmp_path / "ck")
+        logger = MetricsLogger(str(tmp_path / "events.jsonl"))
+
+        calls = {"n": 0}
+
+        def failing_callback(epoch, history, best):
+            calls["n"] += 1
+            if calls["n"] == 2:  # fail once, mid-run
+                raise RuntimeError("injected transient failure")
+
+        best, history, restarts = train_with_recovery(
+            small_cfg, ds, ds, state, ckdir,
+            max_restarts=2, metrics_logger=logger,
+            num_epochs=3, verbose=False, on_epoch_end=failing_callback,
+        )
+        assert restarts == 1
+        events = MetricsLogger.read(str(tmp_path / "events.jsonl"))
+        assert any(e["event"] == "train_failure" for e in events)
+        # resumed run completed all epochs
+        assert history["best_epoch"] >= -1
+
+    def test_exhausted_budget_raises(self, small_cfg, tmp_path):
+        from tests.test_train import _make_item
+        from cvml_goalnet_tpu.data.dataset import VideoDataset
+
+        ds = VideoDataset([_make_item(small_cfg, n=10, seed=0)])
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg)
+
+        def always_fail(epoch, history, best):
+            raise RuntimeError("persistent failure")
+
+        with pytest.raises(RuntimeError, match="persistent"):
+            train_with_recovery(
+                small_cfg, ds, ds, state, str(tmp_path / "ck2"),
+                max_restarts=1, num_epochs=2, verbose=False, on_epoch_end=always_fail,
+            )
