@@ -1,0 +1,98 @@
+"""End-to-end CLI tests (subprocess) on the synthetic dataset.
+
+Covers the reference's four CLI capabilities + resume (``main.py:351-373``):
+train, train --no-audio, infer, baseline, and --checkpoint resume — driving
+the same artifact chain a user would (checkpoints, curves png, events.jsonl,
+summary mp4).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd):
+    env = dict(os.environ)
+    env["GOALNET_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-m", "cvml_goalnet_tpu.cli", *args],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=420,
+    )
+
+
+@pytest.fixture(scope="module")
+def cli_env(tmp_path_factory, small_cfg):
+    root = tmp_path_factory.mktemp("cli")
+    from cvml_goalnet_tpu.data.synthetic import synthetic_dataset_dir
+
+    meta = synthetic_dataset_dir(str(root / "data"), full_n_frames=240, n_clips=6)
+    small_cfg.save(str(root / "cfg.json"))
+    meta["root"] = str(root)
+    meta["cfg"] = str(root / "cfg.json")
+    return meta
+
+
+def _data_args(meta):
+    return [
+        "--videos", *meta["video_fps"],
+        "--annotation-fp", meta["annotation_fp"],
+        "--mat-fp", meta["mat_file_path"],
+        "--h5-fp", meta["h5_file_path"],
+        "--info-fp", meta["info_fp"],
+        "--config", meta["cfg"],
+    ]
+
+
+class TestCLI:
+    def test_train_then_resume_then_infer(self, cli_env):
+        root = cli_env["root"]
+        r = _run(["train", *_data_args(cli_env), "--workdir", root, "--epochs", "2"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "Operation completed" in r.stdout
+
+        ckdir = os.path.join(root, "models", "importance")
+        assert os.path.exists(os.path.join(ckdir, "ckp_state.npz"))
+        assert os.path.exists(os.path.join(ckdir, "opt_state.npz"))
+        assert os.path.exists(os.path.join(root, "tmp", "train_states.png"))
+        events = [json.loads(l) for l in open(os.path.join(root, "tmp", "events.jsonl"))]
+        assert sum(e["event"] == "epoch" for e in events) == 3  # initial + 2
+
+        # resume continues epoch numbering
+        r = _run(["train", *_data_args(cli_env), "--workdir", root, "--epochs", "3", "--checkpoint"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "Resumed from epoch 2" in r.stdout
+
+        # infer exports a summary video at the 15% knapsack budget
+        r = _run(["infer", cli_env["video_fps"][0], "--mat-fp", cli_env["mat_file_path"],
+                  "--h5-fp", cli_env["h5_file_path"], "--config", cli_env["cfg"],
+                  "--workdir", root], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        out_fp = os.path.join(root, "tmp", "vidA.mp4")
+        assert os.path.exists(out_fp) and os.path.getsize(out_fp) > 1000
+        import cv2
+
+        cap = cv2.VideoCapture(out_fp)
+        n = 0
+        while cap.read()[0]:
+            n += 1
+        cap.release()
+        assert 0 < n <= int(0.15 * 240)  # within the knapsack budget
+
+    def test_train_no_audio(self, cli_env):
+        root = cli_env["root"]
+        r = _run(["train", *_data_args(cli_env), "--workdir", root, "--epochs", "1", "--no-audio"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert os.path.exists(os.path.join(root, "models", "importance_no_audio", "ckp_state.npz"))
+
+    def test_baseline(self, cli_env):
+        root = cli_env["root"]
+        r = _run(["baseline", *_data_args(cli_env), "--samples", "2"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "mean_train_f_avg" in r.stdout
