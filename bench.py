@@ -6,17 +6,31 @@ on-device preprocessing (min-max normalize + matmul bilinear resize from
 decode resolution) → visual conv stack → audio branch → fusion MLP — in
 steady state on one chip, and prints ONE JSON line.
 
+Production configuration (selected by measurement — docs/BENCHMARKS.md):
+bfloat16 activations/params with f32 MXU accumulation, batch 2048, XLA
+preprocess path.  bf16 scores stay within 0.1 of f32 on the [1, 5] scale
+(tests/test_precision.py).
+
 ``vs_baseline`` is measured throughput divided by the BASELINE.md build
 target of ≥50× real-time at 25 fps full-rate decode (50 × 25 = 1250
 frames/sec/chip); 1.0 means the target is exactly met.
+
+Env: ``GOALNET_PLATFORM=cpu`` forces the CPU backend (smoke runs);
+``GOALNET_BENCH_BATCH`` / ``GOALNET_BENCH_DTYPE=float32`` override defaults.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+from cvml_goalnet_tpu.utils import apply_platform_override
+
+apply_platform_override()
+
 import jax
 import jax.numpy as jnp
 
@@ -33,21 +47,32 @@ def main() -> None:
     state = create_train_state(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
 
-    batch = 512
+    batch = int(os.environ.get("GOALNET_BENCH_BATCH", 2048))
+    dtype = jnp.float32 if os.environ.get("GOALNET_BENCH_DTYPE") == "float32" else jnp.bfloat16
     decode_hw = (180, 320)  # host decoder output resolution fed to the device
+
     raw_frames = jax.device_put(jnp.asarray(
         rng.integers(0, 255, (batch, *decode_hw, 3), dtype=np.uint8)))
     audio = jax.device_put(jnp.asarray(
         rng.standard_normal((batch, cfg.audio.bin_length, cfg.audio.n_mfcc)).astype(np.float32)))
 
+    def cast(tree):
+        return jax.tree.map(
+            lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
+        )
+
+    params, model_state = cast(state.params), cast(state.model_state)
+
     @jax.jit
     def step(raw_frames, audio):
-        visual = preprocess_frames(raw_frames, cfg.preprocess.frame_size)
+        visual = preprocess_frames(
+            raw_frames, cfg.preprocess.frame_size, cfg.preprocess.eps
+        ).astype(dtype)
         scores, _ = avm_apply(
-            state.params, state.model_state, visual, audio, None,
+            params, model_state, visual, audio.astype(dtype), None,
             cfg=cfg.model, train=False,
         )
-        return scores[:, 0]
+        return scores[:, 0].astype(jnp.float32)
 
     # Warmup / compile.
     step(raw_frames, audio).block_until_ready()

@@ -117,6 +117,13 @@ def knapsack_select(
     * ``"auto"``   — native if available, else host
     """
     values = np.asarray(values, dtype=np.float64)
+    w_arr = np.asarray(weights, dtype=np.float64)
+    if w_arr.size and np.all(w_arr == np.floor(w_arr)) and capacity == int(capacity):
+        # All-integer weights (the frame-count case): scaling weights and
+        # capacity by the same factor leaves the feasible set, DP argmax, and
+        # traceback decisions identical, so skip it — the DP table shrinks by
+        # scale_factor× (90-min match: capacity 101,250 → 20,250 columns).
+        scale_factor = 1
     int_weights, int_capacity = _scaled(weights, capacity, scale_factor)
     if len(values) == 0 or int_capacity <= 0:
         return []
