@@ -1,0 +1,111 @@
+"""End-to-end full-rate match summarization: real decode → device → knapsack.
+
+BASELINE.json config 5 / north star: "end-to-end summarization of a 90-min
+match at ≥50× real-time per chip", with host decode double-buffered against
+device compute.  This benchmark:
+
+1. synthesizes a 25 fps 180×320 mp4 once (cv2 encoder),
+2. streams it through ``summarize_video_stream`` — decoder thread →
+   fixed-size chunks → one compiled preprocess+trunk+fusion program →
+   C++ knapsack,
+3. reports end-to-end frames/s and the real-time multiple (frames/s ÷ 25),
+   plus the decode-only rate so the host/device balance is visible.
+
+Run: ``python benchmarks/match_stream_bench.py`` (add
+``GOALNET_PLATFORM=cpu`` for a host smoke run; ``GOALNET_BENCH_SECONDS``
+controls clip length, default 60).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from cvml_goalnet_tpu.utils import apply_platform_override
+
+apply_platform_override()
+
+import jax
+
+from cvml_goalnet_tpu.config import PipelineConfig
+from cvml_goalnet_tpu.data.synthetic import synthetic_change_points, synthetic_video_frames
+from cvml_goalnet_tpu.data.video import stream_condensed_frames
+from cvml_goalnet_tpu.streaming import summarize_video_stream
+from cvml_goalnet_tpu.train.state import create_train_state
+
+FPS = 25
+HW = (180, 320)
+
+
+def _make_clip(path: str, seconds: int) -> int:
+    import cv2
+
+    n = seconds * FPS
+    out = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), FPS, (HW[1], HW[0]))
+    # chunked generation to bound memory
+    done = 0
+    while done < n:
+        k = min(250, n - done)
+        frames = synthetic_video_frames(k, *HW, seed=done)
+        for f in frames:
+            out.write(f[..., ::-1].copy())
+        done += k
+    out.release()
+    return n
+
+
+def main() -> None:
+    import dataclasses
+
+    seconds = int(os.environ.get("GOALNET_BENCH_SECONDS", 60))
+    clip_fp = f"/tmp/goalnet_bench_clip_{seconds}s.mp4"
+    if not os.path.exists(clip_fp):
+        _make_clip(clip_fp, seconds)
+
+    # decode-only rate (the host-side roof)
+    t0 = time.perf_counter()
+    n_frames = sum(len(c) for c in stream_condensed_frames(clip_fp, 1, chunk=256))
+    decode_fps = n_frames / (time.perf_counter() - t0)
+
+    cfg = dataclasses.replace(
+        PipelineConfig(),
+        model=dataclasses.replace(PipelineConfig().model, audio_included=False, dtype="bfloat16"),
+    )
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    intervals = synthetic_change_points(n_frames, max(4, n_frames // 500), seed=1)
+
+    # warmup compile on one chunk shape
+    warm = np.zeros((256, *HW, 3), np.uint8)
+    from cvml_goalnet_tpu.streaming import score_video_stream
+
+    score_video_stream(state.params, state.model_state, iter([warm]), cfg, chunk_size=256)
+
+    t0 = time.perf_counter()
+    res, stats = summarize_video_stream(
+        state.params, state.model_state,
+        stream_condensed_frames(clip_fp, 1, chunk=256),
+        intervals, n_frames, cfg, chunk_size=256,
+    )
+    wall = time.perf_counter() - t0
+
+    e2e_fps = n_frames / wall
+    print(json.dumps({
+        "metric": "match_stream_end_to_end",
+        "value": round(e2e_fps, 1),
+        "unit": "frames/s (decode+device+knapsack)",
+        "realtime_multiple": round(e2e_fps / FPS, 1),
+        "decode_only_fps": round(decode_fps, 1),
+        "frames": n_frames,
+        "summary_frames": int(res.frame_mask.sum()),
+        "stage_seconds": {k: round(v["total_s"], 3) for k, v in stats.stage_seconds.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,7 +22,7 @@ import sys
 
 import numpy as np
 
-from cvml_goalnet_tpu.config import ModelConfig, PipelineConfig
+from cvml_goalnet_tpu.config import PipelineConfig
 import dataclasses
 
 

@@ -13,8 +13,6 @@ This is the scaling path; the single-chip ``lax.scan`` sub-batch loop in
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh

@@ -12,12 +12,25 @@ def apply_platform_override() -> None:
     Some TPU images pin ``jax_platforms`` from sitecustomize, so the standard
     ``JAX_PLATFORMS`` env var alone can be ineffective; this re-pins the
     config explicitly.  Call early in entry points (CLI, bench).
+
+    Also enables the persistent compilation cache (first TPU compile through
+    a remote-compile tunnel can take minutes; cached reloads take seconds).
+    Opt out with ``GOALNET_NO_COMPILE_CACHE=1`` or relocate with
+    ``GOALNET_COMPILE_CACHE_DIR``.
     """
+    import jax
+
     platform = os.environ.get("GOALNET_PLATFORM")
     if platform:
-        import jax
-
         jax.config.update("jax_platforms", platform)
+    if not os.environ.get("GOALNET_NO_COMPILE_CACHE"):
+        cache_dir = os.environ.get(
+            "GOALNET_COMPILE_CACHE_DIR",
+            os.path.expanduser("~/.cache/goalnet_jax"),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 __all__ = [

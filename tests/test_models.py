@@ -6,7 +6,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cvml_goalnet_tpu.config import PipelineConfig
 from cvml_goalnet_tpu.models.audio import audio_encoder_apply, audio_encoder_init, audio_temporal_trace
 from cvml_goalnet_tpu.models.avm import avm_apply, avm_init, fusion_input_dim
 from cvml_goalnet_tpu.models.layers import count_params

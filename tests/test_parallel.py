@@ -9,12 +9,12 @@ import jax
 import jax.numpy as jnp
 import pytest
 from jax.experimental.shard_map import shard_map
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from cvml_goalnet_tpu.config import MeshConfig
 from cvml_goalnet_tpu.parallel.collectives import all_gather, pmean, ppermute_ring, psum
 from cvml_goalnet_tpu.parallel.dp import make_dp_train_step
-from cvml_goalnet_tpu.parallel.mesh import build_mesh, cpu_mesh, mesh_axis_sizes
+from cvml_goalnet_tpu.parallel.mesh import cpu_mesh, mesh_axis_sizes
 from cvml_goalnet_tpu.parallel.sharding import fusion_param_shardings, place_params, shard_batch
 from cvml_goalnet_tpu.train.optim import adam_update
 from cvml_goalnet_tpu.train.state import create_train_state

@@ -9,7 +9,7 @@ import pytest
 
 from cvml_goalnet_tpu.data.dataset import VideoItem, VideoDataset
 from cvml_goalnet_tpu.data.synthetic import synthetic_change_points
-from cvml_goalnet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from cvml_goalnet_tpu.train.checkpoint import load_checkpoint
 from cvml_goalnet_tpu.train.loop import eval_video, make_train_video_fn, train_importance_model
 from cvml_goalnet_tpu.train.optim import adam_init, adam_update
 from cvml_goalnet_tpu.train.state import TrainState, create_train_state
