@@ -105,6 +105,70 @@ def stream_condensed_frames(
         yield np.stack(buf)
 
 
+def decode_condensed_frames_parallel(
+    path: str,
+    skip_frames: int,
+    workers: int = 4,
+) -> tuple[np.ndarray, int]:
+    """Segment-parallel decode: N threads, each seeking to its own segment.
+
+    The single-threaded decode loop is the end-to-end bottleneck of the
+    full-rate pipeline (~2.5k frames/s at 180×320 — docs/BENCHMARKS.md); cv2
+    releases the GIL inside ``read()``, so decoding disjoint segments in
+    threads scales with cores ("decode sharding", SURVEY.md §7.3).  Each
+    worker opens its own capture, seeks to its segment start and decodes its
+    range; global decimation indices are preserved so the output is
+    bit-identical to :func:`decode_condensed_frames`.
+
+    Falls back to sequential decode when seeking is unreliable (frame count
+    unknown) or ``workers <= 1``.
+    """
+    import threading
+
+    cap = _open_cv2(path)
+    if cap is None or workers <= 1:
+        if cap is not None:
+            cap.release()
+        return decode_condensed_frames(path, skip_frames)
+    import cv2
+
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    if total <= 0:
+        return decode_condensed_frames(path, skip_frames)
+
+    bounds = np.linspace(0, total, workers + 1).astype(int)
+    results: list[list[np.ndarray] | None] = [None] * workers
+    errors: list[BaseException] = []
+
+    def worker(w: int):
+        try:
+            c = _open_cv2(path)
+            start, end = int(bounds[w]), int(bounds[w + 1])
+            c.set(cv2.CAP_PROP_POS_FRAMES, start)
+            kept = []
+            for idx in range(start, end):
+                ok, img = c.read()
+                if not ok:
+                    break
+                if idx % skip_frames == 0:
+                    kept.append(img)
+            c.release()
+            results[w] = kept
+        except BaseException as e:  # surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(workers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors or any(r is None for r in results):
+        return decode_condensed_frames(path, skip_frames)
+    frames = [f for seg in results for f in seg]
+    return np.stack(frames), total
+
+
 def export_video(frames: np.ndarray, output_path: str, fps: int = 30) -> None:
     """Write frames to an mp4 (reference ``export_video``, ``utils.py:512-523``)."""
     try:

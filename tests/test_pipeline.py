@@ -120,3 +120,25 @@ class TestExtractAndFuse:
         feats = extract_features(frames, None, small_cfg)
         assert feats["audio"] is None
         assert feats["visual"].min() >= -1e-4 and feats["visual"].max() <= 1.0 + 1e-4
+
+
+class TestLogMelVariant:
+    def test_log_mel_end_to_end(self, small_cfg):
+        """BASELINE config 2: log-mel frontend feeding the jitted fusion head."""
+        import dataclasses
+        import jax
+
+        from cvml_goalnet_tpu.data.synthetic import synthetic_waveform
+
+        cfg = dataclasses.replace(
+            small_cfg, audio=dataclasses.replace(small_cfg.audio, log_mel=True)
+        )
+        frames = synthetic_video_frames(6, 32, 32)
+        wav = synthetic_waveform(22050)
+        feats = extract_features(frames, wav, cfg)
+        assert feats["audio"].shape == (6, cfg.audio.bin_length, cfg.audio.n_mels)
+
+        params, state = avm_init(jax.random.PRNGKey(0), cfg.model, cfg.preprocess, cfg.audio)
+        scores = fuse(params, state, feats, cfg)
+        assert scores.shape == (6,)
+        assert np.isfinite(scores).all()
