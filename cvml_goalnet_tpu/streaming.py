@@ -83,12 +83,14 @@ def score_video_stream(
     n_total = 0
     n_chunks = 0
 
-    stream = Prefetcher(frame_chunks, depth=prefetch_depth)
     audio_iter = iter(audio_chunks) if audio_chunks is not None else None
 
-    pending: list[tuple[jax.Array, int]] = []
-    for chunk in stream:
-        with timer.stage("stage_pad_h2d"):
+    def staged():
+        # Runs in the prefetch thread: pad to the fixed chunk shape and START
+        # the host→device transfer there, so H2D overlaps both decode and
+        # device compute (the transfer, not the decode, can dominate on
+        # bandwidth-constrained hosts).
+        for chunk in frame_chunks:
             k = len(chunk)
             if k < chunk_size:
                 pad = np.zeros((chunk_size - k,) + chunk.shape[1:], chunk.dtype)
@@ -100,11 +102,15 @@ def score_video_stream(
                     a = np.concatenate(
                         [a, np.zeros((chunk_size - len(a),) + a.shape[1:], a.dtype)]
                     )
-                audio = jnp.asarray(a)
+                audio = jax.device_put(a)
+            yield jax.device_put(chunk), audio, k
+
+    pending: list[tuple[jax.Array, int]] = []
+    for chunk_dev, audio_dev, k in Prefetcher(staged(), depth=prefetch_depth):
         with timer.stage("stage_dispatch"):
             # async dispatch: device crunches while the decoder thread
-            # produces the next chunk
-            out = fn(params, state, jnp.asarray(chunk), audio)
+            # produces and uploads the next chunk
+            out = fn(params, state, chunk_dev, audio_dev)
         pending.append((out, k))
         n_total += k
         n_chunks += 1

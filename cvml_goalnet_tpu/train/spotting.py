@@ -17,13 +17,29 @@ from cvml_goalnet_tpu.train.optim import adam_init, adam_update
 
 
 @lru_cache(maxsize=8)
-def make_spotting_train_step(hidden: int, lr: float = 1e-3, pos_weight: float = 10.0):
+def make_spotting_train_step(
+    hidden: int, lr: float = 1e-3, pos_weight: float = 10.0, remat: bool = False
+):
     """→ jitted ``step(params, opt_state, features (T,D), labels (T,)) →
-    (params, opt_state, loss)`` with weighted BCE on event frames."""
+    (params, opt_state, loss)`` with weighted BCE on event frames.
+
+    ``remat=True`` rematerializes the GRU scan in the backward pass
+    (``jax.checkpoint``): activations are recomputed instead of stored, so
+    full-rate 90-min timelines (T=135k) train within a bounded activation
+    footprint — the standard TPU FLOPs-for-HBM trade.
+    """
+    import jax as _jax
+
     from cvml_goalnet_tpu.models.temporal import temporal_scorer_apply
 
+    scorer = (
+        _jax.checkpoint(temporal_scorer_apply, static_argnums=(2,))
+        if remat
+        else temporal_scorer_apply
+    )
+
     def loss_fn(params, features, labels):
-        logits = temporal_scorer_apply(params, features, hidden)
+        logits = scorer(params, features, hidden)
         w = jnp.where(labels > 0.5, pos_weight, 1.0)
         per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
         return jnp.sum(w * per) / jnp.sum(w)

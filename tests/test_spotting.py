@@ -118,3 +118,19 @@ class TestTextPipeline:
         params2, state2 = avm_init(jax.random.PRNGKey(0), cfg_no_audio.model, cfg.preprocess, cfg.audio)
         scores = fuse(params2, state2, feats, cfg_no_audio)
         assert scores.shape == (4,)
+
+
+class TestRematSpotting:
+    def test_remat_matches_plain(self):
+        rng = np.random.default_rng(0)
+        t, d, hidden = 64, 8, 8
+        feats = jnp.asarray(rng.standard_normal((t, d)).astype(np.float32))
+        labels = jnp.asarray((rng.random(t) < 0.1).astype(np.float32))
+        params = temporal_scorer_init(jax.random.PRNGKey(0), d, hidden)
+        opt = init_spotting_opt(params)
+
+        p1, _, l1 = make_spotting_train_step(hidden)(params, opt, feats, labels)
+        p2, _, l2 = make_spotting_train_step(hidden, remat=True)(params, opt, feats, labels)
+        assert np.isclose(float(l1), float(l2), atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
