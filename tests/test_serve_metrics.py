@@ -1,0 +1,128 @@
+"""Serving facade + HTTP endpoint + event-spotting metrics tests."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from cvml_goalnet_tpu.ops.spotting_metrics import (
+    average_map,
+    average_precision,
+    match_events,
+    spotting_pr,
+)
+from cvml_goalnet_tpu.serve import Summarizer, start_http_background
+
+
+class TestSpottingMetrics:
+    def test_perfect_predictions(self):
+        gt = np.array([100, 500, 900])
+        p, r, f1 = spotting_pr(gt, np.ones(3), gt, tolerance=5)
+        assert (p, r, f1) == (1.0, 1.0, 1.0)
+        assert average_precision(gt, np.ones(3), gt, 5) == 1.0
+
+    def test_tolerance_window(self):
+        gt = np.array([100])
+        p, r, _ = spotting_pr(np.array([104]), np.array([1.0]), gt, tolerance=5)
+        assert p == 1.0 and r == 1.0
+        p, r, _ = spotting_pr(np.array([106]), np.array([1.0]), gt, tolerance=5)
+        assert p == 0.0 and r == 0.0
+
+    def test_one_to_one_matching(self):
+        # two predictions near one gt event: only the higher-scored matches
+        gt = np.array([100])
+        matched = match_events(np.array([99, 101]), np.array([0.9, 0.5]), gt, 5)
+        assert matched.tolist() == [True, False]
+
+    def test_ap_ordering_sensitivity(self):
+        # false positive ranked first lowers AP below 1
+        gt = np.array([100, 200])
+        preds = np.array([100, 200, 300])
+        high_fp = average_precision(preds, np.array([0.5, 0.4, 0.9]), gt, 5)
+        low_fp = average_precision(preds, np.array([0.9, 0.8, 0.1]), gt, 5)
+        assert low_fp > high_fp
+        assert low_fp == 1.0
+
+    def test_average_map_structure(self):
+        gt = np.array([50, 150])
+        out = average_map(np.array([52, 149]), np.array([0.9, 0.8]), gt, tolerances=(1, 5))
+        assert set(out) == {"average_map", "per_tolerance"}
+        assert out["per_tolerance"][5] >= out["per_tolerance"][1]
+
+    def test_empty_cases(self):
+        assert spotting_pr([], [], np.array([1]), 5) == (0.0, 0.0, 0.0)
+        assert average_precision([], [], np.array([1]), 5) == 0.0
+
+
+class TestSummarizer:
+    @pytest.fixture(scope="class")
+    def summarizer(self, small_cfg):
+        s = Summarizer(small_cfg)
+        s.warmup()
+        return s
+
+    def test_summarize_frames(self, summarizer):
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (10, 48, 48, 3), dtype=np.uint8)
+        resp = summarizer.summarize_frames("vid", frames)
+        full_n = 10 * summarizer.cfg.preprocess.skip_frames
+        assert resp.frame_mask.shape == (full_n,)
+        assert resp.scores.shape == (10,)
+        assert resp.frame_mask.sum() > 0
+
+    def test_summarize_path_npz(self, summarizer, tmp_path):
+        rng = np.random.default_rng(1)
+        frames = rng.integers(0, 255, (301, 32, 32, 3), dtype=np.uint8)
+        fp = str(tmp_path / "clip.npz")
+        np.savez_compressed(fp, frames=frames)
+        import dataclasses
+
+        summarizer_no_audio = Summarizer(
+            dataclasses.replace(
+                summarizer.cfg,
+                model=dataclasses.replace(summarizer.cfg.model, audio_included=False),
+            )
+        )
+        resp = summarizer_no_audio.summarize_path(fp)
+        assert resp.video_id == "clip"
+        assert resp.frame_mask.shape == (301,)
+
+    def test_http_endpoint(self, small_cfg, tmp_path):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False)
+        )
+        s = Summarizer(cfg)
+        server = start_http_background(s, port=0)
+        port = server.server_address[1]
+        try:
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+                assert json.load(r)["status"] == "ok"
+
+            rng = np.random.default_rng(2)
+            fp = str(tmp_path / "v.npz")
+            np.savez_compressed(fp, frames=rng.integers(0, 255, (120, 32, 32, 3), dtype=np.uint8))
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/summarize",
+                data=json.dumps({"video": fp}).encode(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                payload = json.load(r)
+            assert payload["video_id"] == "v"
+            assert payload["mask_frames"] > 0
+            assert len(payload["scores"]) == 4  # 120 frames / skip 30
+
+            # missing video → 404
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/summarize",
+                data=json.dumps({"video": "/nope.npz"}).encode(),
+                method="POST",
+            )
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req)
+            assert e.value.code in (404, 500)
+        finally:
+            server.shutdown()
