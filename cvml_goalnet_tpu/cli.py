@@ -94,6 +94,20 @@ def cmd_train(args) -> int:
         state = load_checkpoint(paths["ckp_dir"], state, tag="ckp")
         print(f"Resumed from epoch {state.epoch}")
 
+    if getattr(args, "dp", False):
+        # mesh-parallel global-batch training (train/dp_loop.py)
+        from cvml_goalnet_tpu.train.checkpoint import save_checkpoint
+        from cvml_goalnet_tpu.train.dp_loop import train_data_parallel
+
+        state, history = train_data_parallel(
+            cfg, train_ds, val_ds, state,
+            num_epochs=args.epochs, global_batch=args.global_batch,
+        )
+        save_checkpoint(paths["ckp_dir"], state, cfg, tag="ckp")
+        save_checkpoint(paths["ckp_dir"], state, cfg, tag="opt")
+        print("Operation completed")
+        return 0
+
     from cvml_goalnet_tpu.train.loop import eval_video
     from cvml_goalnet_tpu.pipeline import summarize
     from cvml_goalnet_tpu.utils.metrics import MetricsLogger
@@ -194,6 +208,8 @@ def main(argv=None) -> int:
     p.add_argument("--no-audio", action="store_true")
     p.add_argument("--checkpoint", action="store_true", help="resume from rolling ckp")
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--dp", action="store_true", help="mesh data-parallel training")
+    p.add_argument("--global-batch", type=int, default=None)
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("infer", help="summarize one video")

@@ -23,7 +23,9 @@ def apply_platform_override() -> None:
     platform = os.environ.get("GOALNET_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
-    if not os.environ.get("GOALNET_NO_COMPILE_CACHE"):
+    # Cache only accelerator programs: XLA:CPU AOT entries are pinned to exact
+    # host CPU features and reload with noisy feature-mismatch warnings.
+    if platform != "cpu" and not os.environ.get("GOALNET_NO_COMPILE_CACHE"):
         cache_dir = os.environ.get(
             "GOALNET_COMPILE_CACHE_DIR",
             os.path.expanduser("~/.cache/goalnet_jax"),

@@ -138,3 +138,36 @@ class TestDataParallelStep:
         assert sh["fusion"][0]["w"].spec == P(None, "model")
         # last layer (scalar head) replicated
         assert sh["fusion"][-1]["w"].spec == P()
+
+
+class TestDataParallelLoop:
+    def test_dp_training_learns(self, small_cfg):
+        from tests.test_train import _make_item
+        from cvml_goalnet_tpu.data.dataset import VideoDataset
+        from cvml_goalnet_tpu.train.dp_loop import train_data_parallel
+
+        mesh = cpu_mesh(8)
+        train_ds = VideoDataset([_make_item(small_cfg, n=16, seed=0), _make_item(small_cfg, n=16, seed=1)])
+        val_ds = VideoDataset([_make_item(small_cfg, n=16, seed=2)])
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        final, history = train_data_parallel(
+            small_cfg, train_ds, val_ds, state,
+            num_epochs=4, global_batch=16, mesh=mesh, verbose=False,
+        )
+        assert len(history["train_loss"]) == 4
+        assert history["train_loss"][-1] < history["train_loss"][0]
+        assert final.epoch == 4
+
+    def test_dp_loop_with_tensor_parallel(self, small_cfg):
+        from tests.test_train import _make_item
+        from cvml_goalnet_tpu.data.dataset import VideoDataset
+        from cvml_goalnet_tpu.train.dp_loop import train_data_parallel
+
+        mesh = cpu_mesh(8, model=2)
+        ds = VideoDataset([_make_item(small_cfg, n=16, seed=0)])
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        _, history = train_data_parallel(
+            small_cfg, ds, ds, state,
+            num_epochs=2, global_batch=8, mesh=mesh, tensor_parallel=True, verbose=False,
+        )
+        assert np.isfinite(history["train_loss"]).all()
