@@ -225,7 +225,11 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_baseline)
 
     args = parser.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except FileNotFoundError as e:
+        print(f"E: file not found: {e.filename or e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

@@ -137,6 +137,9 @@ class TrainConfig:
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-8
+    # Mixed precision: "bfloat16" runs forward/backward compute in bf16 with
+    # f32 master params, Adam state, and loss (standard TPU mixed precision).
+    compute_dtype: str = "float32"
     # The reference's MSELoss((n,1), (n,)) silently broadcasts to (n,n)
     # (main.py:191 — SURVEY.md §7.1 documents this as a bug NOT to replicate).
     # False (default) = intended semantics: elementwise MSE on aligned shapes.

@@ -61,6 +61,12 @@ def make_train_video_fn(cfg: PipelineConfig, classifier: bool = False):
     tc = cfg.train
     mc = cfg.model
     S = tc.subbatch_size
+    dtype = jnp.bfloat16 if tc.compute_dtype == "bfloat16" else jnp.float32
+
+    def cast(tree, d):
+        return jax.tree.map(
+            lambda x: x.astype(d) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
+        )
 
     def fn(params, model_state, opt_state, visual, audio, labels, valid, rng):
         n = visual.shape[0]
@@ -77,16 +83,19 @@ def make_train_video_fn(cfg: PipelineConfig, classifier: bool = False):
             vis, aud, lab, msk, step_rng = xs
 
             def loss_of(p):
+                # mixed precision: bf16 forward/backward, f32 master params +
+                # loss; grads land back in f32 through the cast's vjp
                 preds, new_ms = avm_apply(
-                    p, model_state, vis, aud, None,
+                    cast(p, dtype), cast(model_state, dtype),
+                    cast(vis, dtype), cast(aud, dtype), None,
                     cfg=mc, train=True, rng=step_rng, classifier=classifier,
                 )
                 loss = _loss_fn(
-                    preds, lab, msk,
+                    preds.astype(jnp.float32), lab, msk,
                     broadcast_compat=tc.broadcast_loss_compat,
                     classifier=classifier,
                 )
-                return loss, (preds, new_ms)
+                return loss, (preds.astype(jnp.float32), cast(new_ms, jnp.float32))
 
             (loss, (preds, new_ms)), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
             new_params, new_opt = adam_update(

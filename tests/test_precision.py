@@ -44,3 +44,35 @@ class TestBF16:
         np.testing.assert_allclose(
             np.asarray(out16, np.float32), np.asarray(out32), atol=0.1
         )
+
+
+class TestMixedPrecisionTraining:
+    def test_bf16_train_step_runs_and_learns(self, small_cfg):
+        import dataclasses
+
+        from tests.test_train import _make_item
+        from cvml_goalnet_tpu.train.loop import make_train_video_fn
+        from cvml_goalnet_tpu.train.state import create_train_state
+        import jax.numpy as jnp2
+
+        cfg = dataclasses.replace(
+            small_cfg, train=dataclasses.replace(small_cfg.train, compute_dtype="bfloat16")
+        )
+        item = _make_item(cfg, n=10)
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        fn = make_train_video_fn(cfg)
+        params, ms, opt = state.params, state.model_state, state.opt_state
+        losses = []
+        for i in range(5):
+            params, ms, opt, preds, loss = fn(
+                params, ms, opt, jnp2.asarray(item.visual), jnp2.asarray(item.audio),
+                jnp2.asarray(item.labels), jnp2.ones(10), jax.random.PRNGKey(i),
+            )
+            losses.append(float(loss))
+        # master params stay f32, loss finite and improving
+        assert all(l == l for l in losses)
+        assert losses[-1] < losses[0]
+        assert all(
+            leaf.dtype == jnp2.float32
+            for leaf in jax.tree_util.tree_leaves(params)
+        )
