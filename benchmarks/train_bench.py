@@ -38,7 +38,14 @@ N_FRAMES = 110              # ≈ condensed frames of the train video at skip 30
 
 
 def main() -> None:
+    import dataclasses
+    import os
+
     cfg = PipelineConfig()
+    if os.environ.get("GOALNET_BENCH_DTYPE") == "bfloat16":
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, compute_dtype="bfloat16")
+        )
     state = create_train_state(jax.random.PRNGKey(0), cfg)
     fn = make_train_video_fn(cfg)
 

@@ -171,3 +171,24 @@ class TestDataParallelLoop:
             num_epochs=2, global_batch=8, mesh=mesh, tensor_parallel=True, verbose=False,
         )
         assert np.isfinite(history["train_loss"]).all()
+
+
+class TestMultiSlice:
+    def test_single_slice_degenerate(self):
+        from cvml_goalnet_tpu.parallel.multislice import build_multislice_mesh, grad_reduce_axes
+
+        mesh = build_multislice_mesh(devices=jax.devices("cpu")[:8])
+        assert mesh.shape == {"slice": 1, "data": 8, "model": 1}
+        assert grad_reduce_axes(mesh) == ("data",)
+
+    def test_model_axis_split(self):
+        from cvml_goalnet_tpu.parallel.multislice import build_multislice_mesh
+
+        mesh = build_multislice_mesh(model=2, devices=jax.devices("cpu")[:8])
+        assert mesh.shape == {"slice": 1, "data": 4, "model": 2}
+
+    def test_invalid_model_axis(self):
+        from cvml_goalnet_tpu.parallel.multislice import build_multislice_mesh
+
+        with pytest.raises(ValueError):
+            build_multislice_mesh(model=3, devices=jax.devices("cpu")[:8])

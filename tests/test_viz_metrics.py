@@ -51,3 +51,35 @@ class TestStageTimer:
         s = t.summary()
         assert s["decode"]["count"] == 2
         assert s["decode"]["total_s"] >= 0
+
+
+class TestConfigRoundtrip:
+    def test_json_roundtrip(self, small_cfg):
+        from cvml_goalnet_tpu.config import PipelineConfig
+
+        s = small_cfg.to_json()
+        back = PipelineConfig.from_json(s)
+        assert back == small_cfg
+
+    def test_file_roundtrip(self, small_cfg, tmp_path):
+        from cvml_goalnet_tpu.config import PipelineConfig
+
+        fp = str(tmp_path / "cfg.json")
+        small_cfg.save(fp)
+        assert PipelineConfig.load(fp) == small_cfg
+
+    def test_defaults_match_reference_constants(self):
+        from cvml_goalnet_tpu.config import PipelineConfig
+
+        cfg = PipelineConfig()
+        # reference main.py:45-53, utils.py:333,466,629
+        assert cfg.preprocess.skip_frames == 30
+        assert cfg.preprocess.frame_size == (40, 40)
+        assert cfg.train.num_epochs == 150
+        assert cfg.train.subbatch_size == 10
+        assert cfg.train.learning_rate == 1e-3
+        assert cfg.train.train_ratio == 0.8
+        assert cfg.train.seed == 12344321
+        assert cfg.audio.n_mfcc == 30
+        assert cfg.knapsack.summary_ratio == 0.15
+        assert cfg.knapsack.scale_factor == 5
