@@ -182,6 +182,64 @@ def cmd_infer(args) -> int:
     return 0
 
 
+def cmd_spot(args) -> int:
+    """Temporal event spotting over one video (new capability — spotting.py)."""
+    import json
+
+    import jax
+
+    from cvml_goalnet_tpu.data.annotations import AnnotationStore
+    from cvml_goalnet_tpu.data.dataset import build_video_item
+    from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
+    from cvml_goalnet_tpu.spotting import summarize_match
+    from cvml_goalnet_tpu.train.checkpoint import load_checkpoint
+    from cvml_goalnet_tpu.train.spotting import load_spotting_checkpoint
+    from cvml_goalnet_tpu.train.state import create_train_state
+
+    cfg = _load_cfg(args)
+    data = _resolve_data(args)
+    paths = _artifact_paths(args.workdir, cfg.model.audio_included)
+    store = (
+        AnnotationStore(data["mat_fp"], data["h5_fp"])
+        if os.path.exists(data["mat_fp"]) and os.path.exists(data["h5_fp"])
+        else None
+    )
+    item = build_video_item(args.video, cfg, None, store, cfg.model.audio_included)
+
+    state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
+    try:
+        state = load_checkpoint(paths["ckp_dir"], state, tag="opt")
+    except FileNotFoundError:
+        print("W: no trained importance checkpoint; using random-init trunk")
+
+    d = cfg.model.vis_feature_dim + (cfg.model.aud_feature_dim if cfg.model.audio_included else 0)
+    tparams = temporal_scorer_init(jax.random.PRNGKey(1), d, cfg.model.temporal_hidden)
+    if args.temporal_checkpoint:
+        tparams = load_spotting_checkpoint(args.temporal_checkpoint, tparams)
+    else:
+        print("W: no --temporal-checkpoint; scoring with a random-init temporal head")
+
+    import jax.numpy as jnp
+
+    result = summarize_match(
+        state.params, state.model_state, tparams,
+        jnp.asarray(item.visual),
+        jnp.asarray(item.audio) if item.audio is not None else None,
+        item.clip_intervals, cfg,
+        full_n_frames=item.full_n_frames,
+        peak_window=args.peak_window, peak_threshold=args.peak_threshold,
+    )
+    payload = {
+        "video_id": item.video_id,
+        "events_condensed_frames": result.events.tolist(),
+        "events_seconds": [round(float(e * cfg.preprocess.skip_frames) / 30.0, 2) for e in result.events],
+        "summary_clips": np.asarray(result.summary.clip_intervals).tolist(),
+        "summary_frames": int(result.summary.frame_mask.sum()),
+    }
+    print(json.dumps(payload, indent=2))
+    return 0
+
+
 def cmd_baseline(args) -> int:
     from cvml_goalnet_tpu.baseline import run_random_baseline
 
@@ -217,6 +275,15 @@ def main(argv=None) -> int:
     p.add_argument("video")
     p.add_argument("--no-audio", action="store_true")
     p.set_defaults(fn=cmd_infer)
+
+    p = sub.add_parser("spot", help="temporal event spotting over one video")
+    _add_data_args(p)
+    p.add_argument("video")
+    p.add_argument("--no-audio", action="store_true")
+    p.add_argument("--temporal-checkpoint", default=None)
+    p.add_argument("--peak-window", type=int, default=5)
+    p.add_argument("--peak-threshold", type=float, default=0.0)
+    p.set_defaults(fn=cmd_spot)
 
     p = sub.add_parser("baseline", help="random-init chance baseline")
     _add_data_args(p)

@@ -54,3 +54,35 @@ def make_spotting_train_step(
 
 def init_spotting_opt(params):
     return adam_init(params)
+
+
+def save_spotting_checkpoint(path: str, params) -> None:
+    """Atomic npz checkpoint of the temporal scorer params."""
+    import os
+
+    import numpy as np
+
+    from cvml_goalnet_tpu.train.checkpoint import _flatten_with_paths
+
+    arrays, _ = _flatten_with_paths(params)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+def load_spotting_checkpoint(path: str, template):
+    """Restore temporal scorer params into ``template``'s structure."""
+    import numpy as np
+
+    import jax
+
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for p, leaf in flat:
+        key = "/".join(str(x) for x in p)
+        stored = data[key]
+        assert stored.shape == np.shape(leaf), f"shape mismatch for {key}"
+        leaves.append(stored)
+    return jax.tree_util.tree_unflatten(treedef, leaves)

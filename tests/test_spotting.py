@@ -134,3 +134,19 @@ class TestRematSpotting:
         assert np.isclose(float(l1), float(l2), atol=1e-6)
         for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestSpottingCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from cvml_goalnet_tpu.train.spotting import (
+            load_spotting_checkpoint,
+            save_spotting_checkpoint,
+        )
+
+        params = temporal_scorer_init(jax.random.PRNGKey(3), 16, 8)
+        fp = str(tmp_path / "temporal.npz")
+        save_spotting_checkpoint(fp, params)
+        template = temporal_scorer_init(jax.random.PRNGKey(9), 16, 8)
+        restored = load_spotting_checkpoint(fp, template)
+        for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
