@@ -47,7 +47,7 @@ def main() -> None:
     state = create_train_state(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
 
-    batch = int(os.environ.get("GOALNET_BENCH_BATCH", 2048))
+    batch = int(os.environ.get("GOALNET_BENCH_BATCH", 4096))
     dtype = jnp.float32 if os.environ.get("GOALNET_BENCH_DTYPE") == "float32" else jnp.bfloat16
     decode_hw = (180, 320)  # host decoder output resolution fed to the device
 

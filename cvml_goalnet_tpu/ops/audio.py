@@ -135,9 +135,15 @@ def stft_frame_count(n_samples: int, n_fft: int, hop: int) -> int:
 
 @partial(jax.jit, static_argnums=(1, 2))
 def stft_power(y: jax.Array, n_fft: int, hop: int) -> jax.Array:
-    """Centered, reflect-padded power spectrogram → (T, 1 + n_fft//2)."""
+    """Centered power spectrogram → (T, 1 + n_fft//2).
+
+    Reflect padding needs ``len(y) > n_fft//2``; shorter signals (full-rate
+    slots: e.g. 735 samples/frame at 25 fps) fall back to zero padding — the
+    same degradation librosa applies to too-short inputs.
+    """
     pad = n_fft // 2
-    y = jnp.pad(y.astype(jnp.float32), (pad, pad), mode="reflect")
+    mode = "reflect" if y.shape[0] > pad else "constant"
+    y = jnp.pad(y.astype(jnp.float32), (pad, pad), mode=mode)
     t = (y.shape[0] - n_fft) // hop + 1
     idx = jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None, :]
     frames = y[idx] * jnp.asarray(hann_window(n_fft))
@@ -221,7 +227,8 @@ def extract_audio_features(y: np.ndarray, n_frames: int, cfg: AudioConfig) -> np
 
 def stft_power_host(y: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
     pad = n_fft // 2
-    y = np.pad(np.asarray(y, np.float32), (pad, pad), mode="reflect")
+    mode = "reflect" if len(y) > pad else "constant"
+    y = np.pad(np.asarray(y, np.float32), (pad, pad), mode=mode)
     t = (len(y) - n_fft) // hop + 1
     idx = np.arange(t)[:, None] * hop + np.arange(n_fft)[None, :]
     frames = y[idx] * hann_window(n_fft)

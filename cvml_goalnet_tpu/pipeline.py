@@ -101,6 +101,27 @@ def fuse(params, state, features: dict, cfg: PipelineConfig, text=None) -> np.nd
     return np.asarray(fn(params, state, visual, audio, text))
 
 
+def fuse_many(params, state, features_list: list[dict], cfg: PipelineConfig) -> list[np.ndarray]:
+    """Batched multi-match inference (BASELINE.json config 2).
+
+    The model is per-frame, so many videos batch by concatenating their frame
+    axes into ONE device program invocation; scores are split back per video.
+    """
+    if not features_list:
+        return []
+    visual = np.concatenate([f["visual"] for f in features_list])
+    audio = None
+    if cfg.model.audio_included:
+        audio = np.concatenate([f["audio"] for f in features_list])
+    scores = fuse(params, state, {"visual": visual, "audio": audio}, cfg)
+    sizes = [len(f["visual"]) for f in features_list]
+    out, off = [], 0
+    for n in sizes:
+        out.append(scores[off : off + n])
+        off += n
+    return out
+
+
 # -------------------------------------------------------------------- summarize
 
 

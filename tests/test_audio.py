@@ -118,3 +118,20 @@ class TestSlotPipeline:
         feats = jnp.asarray(np.random.default_rng(0).standard_normal((9, 13)).astype(np.float32))
         out = np.asarray(interp_to_bins(feats, 12))
         assert out.shape == (12, 13)
+
+
+class TestShortSlots:
+    def test_full_rate_slot_shorter_than_pad(self):
+        """Full-rate slots (~735 samples at 25 fps) must not crash the STFT
+        reflect pad (reference's frontend would; config-5 regression)."""
+        y = synthetic_waveform(735)
+        d = np.asarray(mfcc_slot(jnp.asarray(y), CFG))
+        h = mfcc_slot_host(y, CFG)
+        np.testing.assert_allclose(d, h, rtol=1e-3, atol=2e-3)
+        assert np.isfinite(d).all()
+
+    def test_full_rate_extract(self):
+        y = synthetic_waveform(22050)  # 1 s at 25 fps → 882-sample slots
+        out = extract_audio_features(y, 25, CFG)
+        assert out.shape == (25, CFG.bin_length, CFG.n_mfcc)
+        assert np.isfinite(out).all()

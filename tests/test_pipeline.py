@@ -142,3 +142,25 @@ class TestLogMelVariant:
         scores = fuse(params, state, feats, cfg)
         assert scores.shape == (6,)
         assert np.isfinite(scores).all()
+
+
+class TestFuseMany:
+    def test_multi_video_batching(self, small_cfg):
+        from cvml_goalnet_tpu.pipeline import fuse_many
+
+        rng = np.random.default_rng(0)
+        params, state = avm_init(
+            jax.random.PRNGKey(0), small_cfg.model, small_cfg.preprocess, small_cfg.audio
+        )
+        feats = []
+        for n in (4, 7, 3):
+            feats.append({
+                "visual": rng.random((n, *small_cfg.preprocess.frame_size, 3)).astype(np.float32),
+                "audio": rng.random((n, small_cfg.audio.bin_length, small_cfg.audio.n_mfcc)).astype(np.float32),
+            })
+        outs = fuse_many(params, state, feats, small_cfg)
+        assert [len(o) for o in outs] == [4, 7, 3]
+        # identical to per-video scoring
+        for f, o in zip(feats, outs):
+            np.testing.assert_allclose(fuse(params, state, f, small_cfg), o, atol=1e-5)
+        assert fuse_many(params, state, [], small_cfg) == []
