@@ -1,0 +1,123 @@
+"""Import a reference-format PyTorch ``state_dict`` into our param pytrees.
+
+Users of the reference hold trained checkpoints saved by
+``torch.save(model.state_dict())`` (reference ``main.py:263,282``) with keys
+named after its module attributes (``visbl.conv1.weight``,
+``audbl.linear3.bias``, ``fusion.0.weight`` … — reference
+``utils.py:145-258``).  This module maps those tensors onto our NHWC/NWC
+pytrees so a reference-trained model runs here unchanged:
+
+* conv2d ``(O, I, kH, kW)`` → HWIO; conv1d ``(O, I, K)`` → WIO;
+* linear ``(O, I)`` → ``(I, O)``;
+* the two flatten boundaries change order with the layout —
+  visual: NCHW ``c·(H·W) + h·W + w`` → NHWC ``h·(W·C) + w·C + c``;
+  audio:  ``(C, L)`` ``c·L + l``     → NWC  ``l·C + c`` —
+  so the first linear after each flatten gets its input features permuted;
+* batchnorm ``weight/bias/running_mean/running_var`` → scale/bias + state.
+
+Works on actual ``.pt`` files (via torch, if installed) or on any mapping of
+numpy arrays with the same keys (no torch needed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from cvml_goalnet_tpu.config import AudioConfig, ModelConfig, PreprocessConfig
+from cvml_goalnet_tpu.models.audio import audio_temporal_trace
+from cvml_goalnet_tpu.models.visual import visual_spatial_trace
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _conv2d(sd, prefix):
+    w = _np(sd[f"{prefix}.weight"])      # (O, I, kH, kW)
+    return {
+        "w": jnp.asarray(w.transpose(2, 3, 1, 0)),  # HWIO
+        "b": jnp.asarray(_np(sd[f"{prefix}.bias"])),
+    }
+
+
+def _conv1d(sd, prefix):
+    w = _np(sd[f"{prefix}.weight"])      # (O, I, K)
+    return {
+        "w": jnp.asarray(w.transpose(2, 1, 0)),     # WIO
+        "b": jnp.asarray(_np(sd[f"{prefix}.bias"])),
+    }
+
+
+def _linear(sd, prefix, in_perm=None):
+    w = _np(sd[f"{prefix}.weight"]).T    # (I, O)
+    if in_perm is not None:
+        w = w[in_perm]
+    return {"w": jnp.asarray(w), "b": jnp.asarray(_np(sd[f"{prefix}.bias"]))}
+
+
+def _batchnorm(sd, prefix):
+    params = {
+        "scale": jnp.asarray(_np(sd[f"{prefix}.weight"])),
+        "bias": jnp.asarray(_np(sd[f"{prefix}.bias"])),
+    }
+    state = {
+        "mean": jnp.asarray(_np(sd[f"{prefix}.running_mean"])),
+        "var": jnp.asarray(_np(sd[f"{prefix}.running_var"])),
+    }
+    return params, state
+
+
+def _nchw_to_nhwc_flat_perm(c: int, h: int, w: int) -> np.ndarray:
+    """perm[nhwc_index] = nchw_index for the flatten boundary."""
+    idx = np.arange(c * h * w).reshape(c, h, w)     # value = nchw index
+    return idx.transpose(1, 2, 0).reshape(-1)       # iterate in nhwc order
+
+
+def _cl_to_lc_flat_perm(c: int, length: int) -> np.ndarray:
+    idx = np.arange(c * length).reshape(c, length)
+    return idx.transpose(1, 0).reshape(-1)
+
+
+def import_reference_state_dict(
+    state_dict,
+    cfg: ModelConfig,
+    pre: PreprocessConfig,
+    aud: AudioConfig,
+):
+    """Reference state_dict (torch tensors or numpy) → (params, model_state).
+
+    The returned pytrees are congruent with ``avm_init``'s and drop into
+    ``avm_apply``/``TrainState`` directly.
+    """
+    sd = dict(state_dict)
+    params: dict = {"visual": {}, "fusion": []}
+    state: dict = {"visual": {}}
+
+    # Visual branch: conv1..3 + bnorm1..3 + linear5 (reference utils.py:151-170).
+    for i in range(len(cfg.vis_channels)):
+        params["visual"][f"conv{i}"] = _conv2d(sd, f"visbl.conv{i + 1}")
+        bn_p, bn_s = _batchnorm(sd, f"visbl.bnorm{i + 1}")
+        params["visual"][f"bn{i}"] = bn_p
+        state["visual"][f"bn{i}"] = bn_s
+    h, w = visual_spatial_trace(pre.frame_size, len(cfg.vis_channels))[-1]
+    perm = _nchw_to_nhwc_flat_perm(cfg.vis_channels[-1], h, w)
+    params["visual"]["head"] = _linear(sd, "visbl.linear5", perm)
+
+    # Audio branch (reference utils.py:203-211), when present.
+    if cfg.audio_included and any(k.startswith("audbl.") for k in sd):
+        params["audio"] = {}
+        for i in range(len(cfg.aud_channels)):
+            params["audio"][f"conv{i}"] = _conv1d(sd, f"audbl.conv{i + 1}")
+        t = audio_temporal_trace(aud.bin_length, len(cfg.aud_channels))[-1]
+        perm = _cl_to_lc_flat_perm(cfg.aud_channels[-1], t)
+        params["audio"]["head"] = _linear(sd, "audbl.linear3", perm)
+
+    # Fusion Sequential: Linear layers at indices 0,3,6,9,12 (utils.py:242-256).
+    li = 0
+    while f"fusion.{li}.weight" in sd:
+        params["fusion"].append(_linear(sd, f"fusion.{li}"))
+        li += 3
+    return params, state

@@ -52,45 +52,53 @@ def _kron_resize_matrices(src_h: int, src_w: int, dst_h: int, dst_w: int, channe
     return rh, rwc
 
 
-def _kernel(frame_ref, rh_ref, rwc_ref, out_ref, *, eps: float):
-    # frame_ref: (1, H, W·C); rh: (h_out, H); rwc: (W·C, w_out·C)
-    f = frame_ref[0]                                           # (H, W·C) f32
-    lo = jnp.min(f)
-    hi = jnp.max(f)
-    f = (f - lo) / (hi - lo + eps)
-    x = jnp.dot(rh_ref[:], f, preferred_element_type=jnp.float32)   # (h_out, W·C)
-    out_ref[0] = jnp.dot(x, rwc_ref[:], preferred_element_type=jnp.float32)
+def _kernel(frame_ref, rh_ref, rwc_ref, out_ref, *, eps: float, block: int):
+    # frame_ref: (block, H, W·C); rh: (h_out, H); rwc: (W·C, w_out·C)
+    # Static unroll over the frame block: 1/block as many grid programs, so
+    # per-program overhead amortizes while each matmul stays 2-D (no
+    # in-kernel minor-dim reshapes — Mosaic lowering constraint).
+    for k in range(block):
+        f = frame_ref[k]                                       # (H, W·C) f32
+        lo = jnp.min(f)
+        hi = jnp.max(f)
+        f = (f - lo) / (hi - lo + eps)
+        x = jnp.dot(rh_ref[:], f, preferred_element_type=jnp.float32)   # (h_out, W·C)
+        out_ref[k] = jnp.dot(x, rwc_ref[:], preferred_element_type=jnp.float32)
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def fused_preprocess_frames(
     frames: jax.Array,
     out_hw: tuple[int, int] = (40, 40),
     eps: float = 1e-7,
     interpret: bool = False,
+    block: int = 8,
 ) -> jax.Array:
     """(N, H, W, C) raw frames → (N, h_out, w_out, C) normalized+resized.
 
-    Numerically equivalent to ``ops.preprocess.preprocess_frames`` (tested);
-    use that XLA path on CPU and this kernel on TPU for the full-rate pipeline.
+    Numerically equivalent to ``ops.preprocess.preprocess_frames`` (tested).
+    ``block`` frames are processed per grid program to amortize per-program
+    overhead; it auto-shrinks to divide N and respect a ~8 MB VMEM budget.
     """
     n, h, w, c = frames.shape
     if frames.dtype != jnp.float32:
         # Mosaic has no uint8→f32 cast in-kernel; convert at the boundary
         # (XLA fuses the cast into the feeding copy).
         frames = frames.astype(jnp.float32)
+    while block > 1 and (n % block != 0 or block * h * w * c * 4 > 8 * 2**20):
+        block //= 2
     rh, rwc = _kron_resize_matrices(h, w, *out_hw, c)
     flat = frames.reshape(n, h, w * c)
     out = pl.pallas_call(
-        partial(_kernel, eps=eps),
-        grid=(n,),
+        partial(_kernel, eps=eps, block=block),
+        grid=(n // block,),
         in_specs=[
-            pl.BlockSpec((1, h, w * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, h, w * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((out_hw[0], h), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((w * c, out_hw[1] * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, out_hw[0], out_hw[1] * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (block, out_hw[0], out_hw[1] * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, out_hw[0], out_hw[1] * c), jnp.float32),
         interpret=interpret,
