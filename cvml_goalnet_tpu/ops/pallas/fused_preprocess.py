@@ -24,12 +24,16 @@ lowerable on TPU):
   channels stay interleaved and no in-kernel reshape is needed.  The extra
   C× zeros in R_wc are irrelevant — the stage is bandwidth-bound.
 
-Measured (v5e, 512×180×320×3 uint8 → 40×40): bit-exact vs the XLA path, but
-2.2× slower (5.0 ms vs 2.3 ms) — the one-frame-per-program grid pays more in
-program overhead than it saves in HBM traffic at this resolution, and XLA
-fuses normalize+resize well on its own.  The XLA path stays the default;
-this kernel remains the hand-scheduled alternative for full-rate 25 fps
-pipelines where the decode intermediate dominates HBM.
+Measured (v5e, 512×180×320×3 uint8 → 40×40): bit-exact vs the XLA path but
+~2.5× slower (4.45 ms blocked×8 / 5.0 ms per-frame vs 1.74 ms XLA).  The gap
+is NOT program overhead (blocking 8 frames/program barely moved it) — it is
+GEMM shape: this kernel issues per-frame (40, H)×(H, W·C) matmuls whose
+M=40 underutilizes the 128×128 MXU, while XLA's einsum batches ALL frames
+into two giant GEMMs ((h_out, H) × (H, N·W·C), then (N·h_out, W·C) ×
+(W·C, w_out·C)) at full tile occupancy.  Matching that inside Pallas would
+reproduce XLA's exact schedule for no gain, so the XLA path stays the
+default; this kernel is kept as the validated hand-scheduled alternative and
+a documented negative result.
 """
 
 from __future__ import annotations
