@@ -54,7 +54,7 @@ def make_dp_train_step(cfg: PipelineConfig, mesh: Mesh, tensor_parallel: bool = 
 
     def jitted(params, model_state, opt_state, visual, audio, labels, rng):
         has_audio = audio is not None
-        if has_audio not in cache:
+        if has_audio not in cache:  # one compile per audio-arity
             param_sh = pspec(params, mesh)
             state_sh = jax.tree.map(lambda _: rep, (model_state, opt_state))
             in_sh = (
@@ -71,3 +71,65 @@ def make_dp_train_step(cfg: PipelineConfig, mesh: Mesh, tensor_parallel: bool = 
         return cache[has_audio](params, model_state, opt_state, visual, audio, labels, rng)
 
     return jitted
+
+
+def make_dp_train_step_shardmap(cfg: PipelineConfig, mesh: Mesh):
+    """Explicit-collectives DP step: ``shard_map`` body + manual ``pmean``.
+
+    The GSPMD path above lets the compiler insert the gradient all-reduce;
+    this variant writes the comms out by hand (``collectives.pmean``) so the
+    communication pattern is explicit and independently testable — the
+    "testable comms layer" SURVEY.md §2.3 calls for.
+
+    Semantics note: batchnorm batch statistics are per-device here (the
+    standard non-sync-BN data-parallel convention), whereas the GSPMD path
+    normalizes over the global batch — losses differ by the BN-stats
+    locality, gradients are exactly all-reduced in both.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from cvml_goalnet_tpu.parallel.collectives import pmean
+
+    tc, mc = cfg.train, cfg.model
+
+    def body(params, model_state, opt_state, visual, audio, labels, rng):
+        def loss_fn(p):
+            preds, new_ms = avm_apply(
+                p, model_state, visual, audio, None, cfg=mc, train=True, rng=rng
+            )
+            d = preds[:, 0] - labels
+            return jnp.mean(d * d), new_ms
+
+        (loss, new_ms), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = jax.tree.map(lambda g: pmean(g, "data"), grads)
+        loss = pmean(loss, "data")
+        new_ms = jax.tree.map(lambda s: pmean(s, "data"), new_ms)
+        new_params, new_opt = adam_update(
+            grads, opt_state, params, tc.learning_rate, tc.b1, tc.b2, tc.eps
+        )
+        return new_params, new_ms, new_opt, loss
+
+    rep = P()
+    batch = P("data")
+
+    def step(params, model_state, opt_state, visual, audio, labels, rng):
+        in_specs = (
+            jax.tree.map(lambda _: rep, params),
+            jax.tree.map(lambda _: rep, model_state),
+            jax.tree.map(lambda _: rep, opt_state),
+            batch,
+            None if audio is None else batch,
+            batch,
+            rep,
+        )
+        out_specs = (
+            jax.tree.map(lambda _: rep, params),
+            jax.tree.map(lambda _: rep, model_state),
+            jax.tree.map(lambda _: rep, opt_state),
+            rep,
+        )
+        fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
+        return jax.jit(fn)(params, model_state, opt_state, visual, audio, labels, rng)
+
+    return step
