@@ -80,17 +80,22 @@ def main() -> None:
     state = create_train_state(jax.random.PRNGKey(0), cfg)
     intervals = synthetic_change_points(n_frames, max(4, n_frames // 500), seed=1)
 
+    host_pre = os.environ.get("GOALNET_HOST_PREPROCESS") == "1"
+
     # warmup compile on one chunk shape
     warm = np.zeros((256, *HW, 3), np.uint8)
     from cvml_goalnet_tpu.streaming import score_video_stream
 
-    score_video_stream(state.params, state.model_state, iter([warm]), cfg, chunk_size=256)
+    score_video_stream(
+        state.params, state.model_state, iter([warm]), cfg,
+        chunk_size=256, host_preprocess=host_pre,
+    )
 
     t0 = time.perf_counter()
     res, stats = summarize_video_stream(
         state.params, state.model_state,
         stream_condensed_frames(clip_fp, 1, chunk=256),
-        intervals, n_frames, cfg, chunk_size=256,
+        intervals, n_frames, cfg, chunk_size=256, host_preprocess=host_pre,
     )
     wall = time.perf_counter() - t0
 

@@ -82,6 +82,22 @@ def resize_bilinear(frames: jax.Array, out_hw: tuple[int, int], compute_dtype=jn
     return jnp.einsum("bw,nawc->nabc", rw, x, preferred_element_type=jnp.float32)
 
 
+def preprocess_frames_host(frames: np.ndarray, out_hw: tuple[int, int] = (40, 40), eps: float = 1e-7) -> np.ndarray:
+    """NumPy mirror of :func:`preprocess_frames` (same matrices, same order).
+
+    Used by the streaming pipeline's host-preprocess mode: on links where
+    host→device bandwidth is the bottleneck, resizing on the host shrinks the
+    transfer by H·W/(h·w) (e.g. 36× at 180×320→40×40) at trivial CPU cost.
+    """
+    f = np.asarray(frames, np.float32)
+    lo = f.min(axis=(1, 2, 3), keepdims=True)
+    hi = f.max(axis=(1, 2, 3), keepdims=True)
+    f = (f - lo) / (hi - lo + eps)
+    rh, rw = resize_matrices(f.shape[1], f.shape[2], *out_hw)
+    x = np.einsum("ah,nhwc->nawc", rh, f)
+    return np.einsum("bw,nawc->nabc", rw, x)
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def preprocess_frames(
     frames: jax.Array,

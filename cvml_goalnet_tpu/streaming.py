@@ -33,7 +33,7 @@ from cvml_goalnet_tpu.utils.profiling import StageTimer
 
 
 @lru_cache(maxsize=8)
-def _jitted_chunk_scorer(cfg: PipelineConfig):
+def _jitted_chunk_scorer(cfg: PipelineConfig, preprocessed: bool = False):
     dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
 
     def cast(tree):
@@ -41,10 +41,13 @@ def _jitted_chunk_scorer(cfg: PipelineConfig):
             lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
         )
 
-    def score(params, state, raw_frames, audio):
-        visual = preprocess_frames(
-            raw_frames, cfg.preprocess.frame_size, cfg.preprocess.eps, dtype
-        ).astype(dtype)
+    def score(params, state, frames, audio):
+        if preprocessed:
+            visual = frames.astype(dtype)  # host already normalized+resized
+        else:
+            visual = preprocess_frames(
+                frames, cfg.preprocess.frame_size, cfg.preprocess.eps, dtype
+            ).astype(dtype)
         out, _ = avm_apply(
             cast(params), cast(state), visual,
             None if audio is None else audio.astype(dtype),
@@ -70,14 +73,21 @@ def score_video_stream(
     chunk_size: int = 256,
     audio_chunks=None,
     prefetch_depth: int = 2,
+    host_preprocess: bool = False,
 ) -> tuple[np.ndarray, StreamStats]:
     """Score a stream of raw frame chunks → (N,) importance scores.
 
     ``frame_chunks`` yields (k, H, W, C) arrays (k ≤ chunk_size); chunks are
     right-padded to ``chunk_size`` so one compiled program serves the run.
     ``audio_chunks`` (optional) yields matching (k, B, n_mfcc) MFCC blocks.
+
+    ``host_preprocess=True`` runs normalize+resize on the host in the
+    prefetch thread and ships only the (h, w, C) frames — 36× less
+    host→device traffic at 180×320→40×40, the right trade on
+    bandwidth-constrained links (tunnels, remote devices); device-side
+    preprocessing is the default for direct-attached TPUs.
     """
-    fn = _jitted_chunk_scorer(cfg)
+    fn = _jitted_chunk_scorer(cfg, host_preprocess)
     timer = StageTimer()
     scores: list[np.ndarray] = []
     n_total = 0
@@ -92,6 +102,12 @@ def score_video_stream(
         # bandwidth-constrained hosts).
         for chunk in frame_chunks:
             k = len(chunk)
+            if host_preprocess:
+                from cvml_goalnet_tpu.ops.preprocess import preprocess_frames_host
+
+                chunk = preprocess_frames_host(
+                    chunk, cfg.preprocess.frame_size, cfg.preprocess.eps
+                )
             if k < chunk_size:
                 pad = np.zeros((chunk_size - k,) + chunk.shape[1:], chunk.dtype)
                 chunk = np.concatenate([chunk, pad])
@@ -132,10 +148,12 @@ def summarize_video_stream(
     cfg: PipelineConfig,
     chunk_size: int = 256,
     audio_chunks=None,
+    host_preprocess: bool = False,
 ) -> tuple[SummaryResult, StreamStats]:
     """Full streaming pipeline: decode chunks → device scoring → knapsack."""
     scores, stats = score_video_stream(
-        params, state, frame_chunks, cfg, chunk_size, audio_chunks
+        params, state, frame_chunks, cfg, chunk_size, audio_chunks,
+        host_preprocess=host_preprocess,
     )
     res = summarize(
         scores, clip_intervals, cfg.preprocess.skip_frames, full_n_frames, cfg.knapsack

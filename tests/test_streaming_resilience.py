@@ -113,3 +113,25 @@ class TestRecovery:
                 small_cfg, ds, ds, state, str(tmp_path / "ck2"),
                 max_restarts=1, num_epochs=2, verbose=False, on_epoch_end=always_fail,
             )
+
+
+class TestHostPreprocessStream:
+    def test_matches_device_preprocess(self, small_cfg):
+        import jax as _jax
+
+        rng = np.random.default_rng(5)
+        frames = rng.integers(0, 255, (64, 48, 64, 3)).astype(np.uint8)
+        params, state = avm_init(
+            _jax.random.PRNGKey(0), small_cfg.model, small_cfg.preprocess, small_cfg.audio
+        )
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False)
+        )
+        params, state = avm_init(_jax.random.PRNGKey(0), cfg.model, cfg.preprocess, cfg.audio)
+        dev, _ = score_video_stream(params, state, _chunks(frames, 32), cfg, chunk_size=32)
+        host, _ = score_video_stream(
+            params, state, _chunks(frames, 32), cfg, chunk_size=32, host_preprocess=True
+        )
+        np.testing.assert_allclose(host, dev, atol=1e-4)
