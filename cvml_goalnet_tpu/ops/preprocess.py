@@ -89,13 +89,30 @@ def preprocess_frames_host(frames: np.ndarray, out_hw: tuple[int, int] = (40, 40
     host→device bandwidth is the bottleneck, resizing on the host shrinks the
     transfer by H·W/(h·w) (e.g. 36× at 180×320→40×40) at trivial CPU cost.
     """
-    f = np.asarray(frames, np.float32)
-    lo = f.min(axis=(1, 2, 3), keepdims=True)
-    hi = f.max(axis=(1, 2, 3), keepdims=True)
-    f = (f - lo) / (hi - lo + eps)
-    rh, rw = resize_matrices(f.shape[1], f.shape[2], *out_hw)
-    x = np.einsum("ah,nhwc->nawc", rh, f)
-    return np.einsum("bw,nawc->nabc", rw, x)
+    frames = np.asarray(frames)
+    n, h, w, c = frames.shape
+    # Per-frame min/max on the raw dtype (cheap on uint8), then resize FIRST
+    # and normalize on the small output — bilinear resize is affine-linear
+    # with unit row sums, so resize((f-lo)/s) == (resize(f)-lo)/s exactly.
+    lo = frames.min(axis=(1, 2, 3)).astype(np.float32)
+    hi = frames.max(axis=(1, 2, 3)).astype(np.float32)
+    small = np.empty((n, *out_hw, c), np.float32)
+    try:
+        import cv2
+
+        for i in range(n):
+            small[i] = cv2.resize(
+                frames[i].astype(np.float32), (out_hw[1], out_hw[0]),
+                interpolation=cv2.INTER_LINEAR,
+            )
+    except ImportError:
+        rh, rw = resize_matrices(h, w, *out_hw)
+        f = frames.astype(np.float32)
+        x = np.matmul(rh, f.reshape(n, h, w * c))
+        x = x.reshape(n, out_hw[0], w, c).transpose(0, 1, 3, 2)
+        small = np.ascontiguousarray(np.matmul(x, rw.T).transpose(0, 1, 3, 2))
+    scale = (hi - lo + eps)[:, None, None, None]
+    return (small - lo[:, None, None, None]) / scale
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
