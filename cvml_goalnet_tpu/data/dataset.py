@@ -113,7 +113,13 @@ def build_video_item(
         clip_intervals = np.asarray(store.change_points(video_id))
         if annotation_fp is not None:
             labels, _ = load_tvsum_annotations(annotation_fp, video_id, skip)
-            labels = labels[: len(feats["visual"])]
+            # annotation and decode streams can disagree by a trailing frame;
+            # align every per-frame tensor to the common length
+            n = min(len(labels), len(feats["visual"]))
+            labels = labels[:n]
+            feats["visual"] = feats["visual"][:n]
+            if feats["audio"] is not None:
+                feats["audio"] = feats["audio"][:n]
         # Ground-truth summaries: run each annotator's importances through the
         # same expand→clips→knapsack pipeline (reference utils.py:104-116).
         masks = []
