@@ -119,7 +119,13 @@ class ModelConfig:
     out_hi: float = 5.0
 
     # Temporal spotting head (new capability — BASELINE.json config 5)
+    # "gru": bidirectional scan (models/temporal.py); "transformer":
+    # flash-attention transformer (models/temporal_attention.py)
+    temporal_model: str = "gru"
     temporal_hidden: int = 128
+    temporal_num_layers: int = 2
+    temporal_num_heads: int = 1
+    temporal_max_len: int = 8192
 
     dtype: str = "float32"         # activations dtype ("bfloat16" on TPU hot path)
     param_dtype: str = "float32"

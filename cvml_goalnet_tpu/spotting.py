@@ -62,6 +62,23 @@ def score_timeline(temporal_params, features, hidden: int) -> jax.Array:
     return temporal_scorer_apply(temporal_params, features, hidden)
 
 
+def score_timeline_auto(temporal_params, features, cfg: PipelineConfig) -> jax.Array:
+    """Dispatch on ``ModelConfig.temporal_model``: GRU scan or transformer.
+
+    The transformer path uses the flash-attention Pallas kernel on TPU and
+    the XLA reference attention elsewhere.
+    """
+    mc = cfg.model
+    if mc.temporal_model == "transformer":
+        from cvml_goalnet_tpu.models.temporal_attention import temporal_transformer_apply
+
+        use_flash = jax.default_backend() not in ("cpu",)
+        return temporal_transformer_apply(
+            temporal_params, features, mc.temporal_num_heads, use_flash
+        )
+    return temporal_scorer_apply(temporal_params, features, mc.temporal_hidden)
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4))
 def score_timeline_chunked(
     temporal_params,

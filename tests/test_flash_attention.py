@@ -1,0 +1,105 @@
+"""Flash-attention kernel parity (interpret mode) + transformer scorer tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cvml_goalnet_tpu.models.temporal_attention import (
+    temporal_transformer_apply,
+    temporal_transformer_init,
+)
+from cvml_goalnet_tpu.ops.pallas.flash_attention import attention_reference, flash_attention
+
+
+def _qkv(h, t, d, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.standard_normal((h, t, d)).astype(np.float32))
+    return mk(), mk(), mk()
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("t", [128, 256, 384])
+    def test_matches_reference_aligned(self, t):
+        q, k, v = _qkv(2, t, 128)
+        want = np.asarray(attention_reference(q, k, v))
+        got = np.asarray(flash_attention(q, k, v, interpret=True))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    @pytest.mark.parametrize("t", [100, 257, 300])
+    def test_unaligned_lengths_padded_and_masked(self, t):
+        q, k, v = _qkv(1, t, 128, seed=1)
+        want = np.asarray(attention_reference(q, k, v))
+        got = np.asarray(flash_attention(q, k, v, interpret=True))
+        assert got.shape == (1, t, 128)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_multi_block_online_softmax(self):
+        # spread of magnitudes across KV tiles exercises the running-max path
+        rng = np.random.default_rng(2)
+        q = jnp.asarray(rng.standard_normal((1, 128, 128)).astype(np.float32))
+        k = jnp.asarray(np.concatenate([
+            rng.standard_normal((1, 128, 128)) * 0.1,
+            rng.standard_normal((1, 128, 128)) * 5.0,   # large scores late
+            rng.standard_normal((1, 128, 128)) * 0.1,
+        ], axis=1).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((1, 384, 128)).astype(np.float32))
+        want = np.asarray(attention_reference(q, k, v))
+        got = np.asarray(flash_attention(q, k, v, interpret=True))
+        np.testing.assert_allclose(got, want, atol=3e-5)
+
+    def test_bf16_inputs(self):
+        q, k, v = _qkv(1, 256, 128, seed=3)
+        q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        want = np.asarray(attention_reference(q, k, v), dtype=np.float32)
+        got = np.asarray(flash_attention(q, k, v, interpret=True), dtype=np.float32)
+        np.testing.assert_allclose(got, want, atol=0.05)
+
+
+class TestTemporalTransformer:
+    def test_scores_shape_and_grads(self):
+        params = temporal_transformer_init(
+            jax.random.PRNGKey(0), in_dim=48, model_dim=32, num_layers=2, num_heads=2, max_len=64
+        )
+        feats = jnp.asarray(np.random.default_rng(0).standard_normal((50, 48)).astype(np.float32))
+        scores = temporal_transformer_apply(params, feats, num_heads=2)
+        assert scores.shape == (50,)
+
+        def loss(p):
+            return jnp.mean(temporal_transformer_apply(p, feats, 2) ** 2)
+
+        g = jax.grad(loss)(params)
+        total = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(total) and total > 0
+
+    def test_long_timeline_beyond_max_len(self):
+        params = temporal_transformer_init(
+            jax.random.PRNGKey(0), in_dim=16, model_dim=32, num_layers=1, max_len=32
+        )
+        feats = jnp.asarray(np.random.default_rng(1).standard_normal((100, 16)).astype(np.float32))
+        scores = temporal_transformer_apply(params, feats)
+        assert scores.shape == (100,)
+        assert np.isfinite(np.asarray(scores)).all()
+
+    def test_config_dispatch_in_spotting(self, small_cfg):
+        import dataclasses
+
+        from cvml_goalnet_tpu.spotting import score_timeline_auto
+
+        cfg = dataclasses.replace(
+            small_cfg,
+            model=dataclasses.replace(small_cfg.model, temporal_model="transformer"),
+        )
+        feats = jnp.asarray(np.random.default_rng(2).standard_normal((40, 16)).astype(np.float32))
+        params = temporal_transformer_init(
+            jax.random.PRNGKey(0), 16, model_dim=32, num_layers=1, max_len=64
+        )
+        scores = score_timeline_auto(params, feats, cfg)
+        assert scores.shape == (40,)
+
+        # default GRU dispatch still works
+        from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
+
+        gparams = temporal_scorer_init(jax.random.PRNGKey(1), 16, small_cfg.model.temporal_hidden)
+        scores2 = score_timeline_auto(gparams, feats, small_cfg)
+        assert scores2.shape == (40,)
