@@ -82,13 +82,22 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     scale: float | None = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int | None = None,
+    block_k: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Full (non-causal) attention: q (H, Tq, d) × k/v (H, Tk, d) → (H, Tq, d)."""
+    """Full (non-causal) attention: q (H, Tq, d) × k/v (H, Tk, d) → (H, Tq, d).
+
+    Default block sizes: 512 for long sequences (measured 1.42× faster than
+    XLA's attention at T=16k on v5e — docs/BENCHMARKS.md), shrinking to 128
+    for short ones to bound padding waste.
+    """
     h, t, d = q.shape
     t_kv = k.shape[1]
+    if block_q is None:
+        block_q = 512 if t >= 512 else 128
+    if block_k is None:
+        block_k = 512 if t_kv >= 512 else 128
     scale = (1.0 / np.sqrt(d)) if scale is None else scale
     t_pad = -(-t // block_q) * block_q
     tkv_pad = -(-t_kv // block_k) * block_k
