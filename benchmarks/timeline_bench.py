@@ -1,0 +1,103 @@
+"""90-minute-timeline scoring benchmark: one device program for a full match.
+
+BASELINE.json north star: "a full 90-minute match is scored in one device
+program".  This times the three temporal scorers over a full-match timeline
+(T = 90·60·25 = 135,000 frames at full rate; D = 640 trunk features):
+
+* GRU scan (monolithic ``lax.scan``) — the default scorer;
+* GRU chunked+halo (vmap over windows) — the parallel/shardable variant;
+* transformer with the flash-attention Pallas kernel — O(T·d) memory
+  (naive attention would need a 72 GB score matrix at this T).
+
+Chained iterations (data-dependent) for trustworthy timing.
+Run: ``python benchmarks/timeline_bench.py`` (GOALNET_BENCH_T overrides T).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from cvml_goalnet_tpu.utils import apply_platform_override
+
+apply_platform_override()
+
+import jax
+import jax.numpy as jnp
+
+from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
+from cvml_goalnet_tpu.models.temporal_attention import (
+    temporal_transformer_apply,
+    temporal_transformer_init,
+)
+from cvml_goalnet_tpu.spotting import score_timeline, score_timeline_chunked
+
+T = int(os.environ.get("GOALNET_BENCH_T", 90 * 60 * 25))
+D = 640
+HIDDEN = 128
+
+
+def bench_chained(name, fn, feats, iters=5):
+    g = jax.jit(lambda f: fn(f))
+    out = g(feats)
+    jax.block_until_ready(out)
+
+    @jax.jit
+    def chained(f):
+        s = fn(f)
+        return f + (jnp.mean(s) * 1e-12)
+
+    cur = feats
+    chained(cur).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        cur = chained(cur)
+    cur.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    return dt
+
+
+def main() -> None:
+    rng = np.random.default_rng(0)
+    feats = jax.device_put(jnp.asarray(rng.standard_normal((T, D)).astype(np.float32)))
+
+    gru = temporal_scorer_init(jax.random.PRNGKey(0), D, HIDDEN)
+    tfm = temporal_transformer_init(
+        jax.random.PRNGKey(1), D, model_dim=128, num_layers=2, num_heads=1, max_len=8192
+    )
+
+    results = {}
+    results["gru_scan_ms"] = round(
+        bench_chained("gru", lambda f: score_timeline(gru, f, HIDDEN), feats) * 1e3, 1
+    )
+    results["gru_chunked_ms"] = round(
+        bench_chained(
+            "gru_chunked",
+            lambda f: score_timeline_chunked(gru, f, HIDDEN, 4096, 256),
+            feats,
+        ) * 1e3, 1
+    )
+    results["transformer_flash_ms"] = round(
+        bench_chained(
+            "tfm", lambda f: temporal_transformer_apply(tfm, f, 1, True), feats
+        ) * 1e3, 1
+    )
+
+    best = min(results.values())
+    print(json.dumps({
+        "metric": "match_timeline_scoring",
+        "value": best,
+        "unit": f"ms for T={T} frames (one device program)",
+        "scorers": results,
+        "realtime_multiple_best": round((T / 25.0) / (best / 1e3), 0),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -151,7 +151,7 @@ def summarize_match(
     skip = cfg.preprocess.skip_frames if skip_frames is None else skip_frames
     full_n = len(visual) * skip if full_n_frames is None else full_n_frames
     feats = encode_timeline(params, state, visual, audio, cfg)
-    scores = np.asarray(score_timeline(temporal_params, feats, cfg.model.temporal_hidden))
+    scores = np.asarray(score_timeline_auto(temporal_params, feats, cfg))
     events = spot_events(scores, peak_window, peak_threshold)
 
     lo, hi = scores.min(), scores.max()

@@ -18,28 +18,38 @@ from cvml_goalnet_tpu.train.optim import adam_init, adam_update
 
 @lru_cache(maxsize=8)
 def make_spotting_train_step(
-    hidden: int, lr: float = 1e-3, pos_weight: float = 10.0, remat: bool = False
+    hidden: int,
+    lr: float = 1e-3,
+    pos_weight: float = 10.0,
+    remat: bool = False,
+    scorer: str = "gru",
+    num_heads: int = 1,
 ):
     """→ jitted ``step(params, opt_state, features (T,D), labels (T,)) →
     (params, opt_state, loss)`` with weighted BCE on event frames.
 
-    ``remat=True`` rematerializes the GRU scan in the backward pass
+    ``scorer``: "gru" (bidirectional scan) or "transformer"
+    (``models/temporal_attention``, XLA attention under autodiff).
+    ``remat=True`` rematerializes the scorer in the backward pass
     (``jax.checkpoint``): activations are recomputed instead of stored, so
     full-rate 90-min timelines (T=135k) train within a bounded activation
     footprint — the standard TPU FLOPs-for-HBM trade.
     """
     import jax as _jax
 
-    from cvml_goalnet_tpu.models.temporal import temporal_scorer_apply
+    if scorer == "transformer":
+        from cvml_goalnet_tpu.models.temporal_attention import temporal_transformer_apply
 
-    scorer = (
-        _jax.checkpoint(temporal_scorer_apply, static_argnums=(2,))
-        if remat
-        else temporal_scorer_apply
-    )
+        def scorer_fn(params, features, _hidden):
+            return temporal_transformer_apply(params, features, num_heads, False)
+    else:
+        from cvml_goalnet_tpu.models.temporal import temporal_scorer_apply as scorer_fn
+
+    if remat:
+        scorer_fn = _jax.checkpoint(scorer_fn, static_argnums=(2,))
 
     def loss_fn(params, features, labels):
-        logits = scorer(params, features, hidden)
+        logits = scorer_fn(params, features, hidden)
         w = jnp.where(labels > 0.5, pos_weight, 1.0)
         per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
         return jnp.sum(w * per) / jnp.sum(w)

@@ -103,3 +103,24 @@ class TestTemporalTransformer:
         gparams = temporal_scorer_init(jax.random.PRNGKey(1), 16, small_cfg.model.temporal_hidden)
         scores2 = score_timeline_auto(gparams, feats, small_cfg)
         assert scores2.shape == (40,)
+
+
+class TestTransformerSpottingTraining:
+    def test_transformer_scorer_learns(self):
+        from cvml_goalnet_tpu.train.spotting import init_spotting_opt, make_spotting_train_step
+
+        rng = np.random.default_rng(0)
+        t, d = 96, 8
+        labels = (rng.random(t) < 0.08).astype(np.float32)
+        feats = rng.standard_normal((t, d)).astype(np.float32) * 0.1
+        feats[labels > 0.5, 0] += 3.0
+        params = temporal_transformer_init(
+            jax.random.PRNGKey(0), d, model_dim=16, num_layers=1, num_heads=2, max_len=128
+        )
+        opt = init_spotting_opt(params)
+        step = make_spotting_train_step(0, lr=3e-3, scorer="transformer", num_heads=2)
+        losses = []
+        for _ in range(40):
+            params, opt, loss = step(params, opt, jnp.asarray(feats), jnp.asarray(labels))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.7
