@@ -124,3 +124,31 @@ class TestTransformerSpottingTraining:
             params, opt, loss = step(params, opt, jnp.asarray(feats), jnp.asarray(labels))
             losses.append(float(loss))
         assert losses[-1] < losses[0] * 0.7
+
+
+class TestRingAttention:
+    def test_exact_vs_monolithic_on_mesh(self):
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+        from cvml_goalnet_tpu.parallel.ring_attention import ring_attention
+
+        mesh = cpu_mesh(8)
+        q, k, v = _qkv(2, 256, 64, seed=7)  # 32 frames per device shard
+        want = np.asarray(attention_reference(q, k, v))
+        got = np.asarray(ring_attention(q, k, v, mesh))
+        np.testing.assert_allclose(got, want, atol=3e-5)
+
+    def test_extreme_magnitude_blocks(self):
+        # running-max merge across ring hops with wildly different score scales
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+        from cvml_goalnet_tpu.parallel.ring_attention import ring_attention
+
+        mesh = cpu_mesh(8)
+        rng = np.random.default_rng(8)
+        q = jnp.asarray(rng.standard_normal((1, 128, 64)).astype(np.float32))
+        k = jnp.asarray((rng.standard_normal((1, 128, 64)) *
+                         np.repeat([0.1, 8.0, 0.1, 0.1, 8.0, 0.1, 0.1, 0.1], 16)[None, :, None]
+                         ).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((1, 128, 64)).astype(np.float32))
+        want = np.asarray(attention_reference(q, k, v))
+        got = np.asarray(ring_attention(q, k, v, mesh))
+        np.testing.assert_allclose(got, want, atol=5e-5)
