@@ -19,8 +19,6 @@ from cvml_goalnet_tpu.utils import apply_platform_override
 
 apply_platform_override()
 
-import dataclasses
-
 import jax
 
 from cvml_goalnet_tpu.config import (

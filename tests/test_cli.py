@@ -95,3 +95,21 @@ class TestCLI:
         r = _run(["baseline", *_data_args(cli_env), "--samples", "2"], root)
         assert r.returncode == 0, r.stderr[-2000:]
         assert "mean_train_f_avg" in r.stdout
+
+    def test_spot(self, cli_env):
+        root = cli_env["root"]
+        r = _run(["spot", cli_env["video_fps"][0], "--mat-fp", cli_env["mat_file_path"],
+                  "--h5-fp", cli_env["h5_file_path"], "--config", cli_env["cfg"],
+                  "--workdir", root, "--peak-threshold", "-1e9"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = json.loads(r.stdout[r.stdout.index("{"):])
+        assert payload["video_id"] == "vidA"
+        assert payload["summary_frames"] > 0
+        assert isinstance(payload["events_seconds"], list)
+
+    def test_missing_file_is_clean_error(self, cli_env):
+        root = cli_env["root"]
+        r = _run(["infer", "does_not_exist.npz", "--config", cli_env["cfg"], "--workdir", root], root)
+        assert r.returncode == 2
+        assert "file not found" in r.stderr
+        assert "Traceback" not in r.stderr
