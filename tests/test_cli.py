@@ -100,7 +100,7 @@ class TestCLI:
         root = cli_env["root"]
         r = _run(["spot", cli_env["video_fps"][0], "--mat-fp", cli_env["mat_file_path"],
                   "--h5-fp", cli_env["h5_file_path"], "--config", cli_env["cfg"],
-                  "--workdir", root, "--peak-threshold", "-1e9"], root)
+                  "--workdir", root, "--peak-threshold=-1e9"], root)
         assert r.returncode == 0, r.stderr[-2000:]
         payload = json.loads(r.stdout[r.stdout.index("{"):])
         assert payload["video_id"] == "vidA"
