@@ -35,7 +35,7 @@ import jax
 
 from cvml_goalnet_tpu.config import PipelineConfig
 from cvml_goalnet_tpu.data.synthetic import synthetic_change_points, synthetic_video_frames
-from cvml_goalnet_tpu.data.video import stream_condensed_frames
+from cvml_goalnet_tpu.data.video import stream_condensed_frames, stream_condensed_frames_parallel
 from cvml_goalnet_tpu.streaming import summarize_video_stream
 from cvml_goalnet_tpu.train.state import create_train_state
 
@@ -91,10 +91,16 @@ def main() -> None:
         chunk_size=256, host_preprocess=host_pre,
     )
 
+    decode_workers = int(os.environ.get("GOALNET_DECODE_WORKERS", 1))
+    stream = (
+        stream_condensed_frames_parallel(clip_fp, 1, chunk=256, workers=decode_workers)
+        if decode_workers > 1
+        else stream_condensed_frames(clip_fp, 1, chunk=256)
+    )
+
     t0 = time.perf_counter()
     res, stats = summarize_video_stream(
-        state.params, state.model_state,
-        stream_condensed_frames(clip_fp, 1, chunk=256),
+        state.params, state.model_state, stream,
         intervals, n_frames, cfg, chunk_size=256, host_preprocess=host_pre,
     )
     wall = time.perf_counter() - t0

@@ -169,6 +169,72 @@ def decode_condensed_frames_parallel(
     return np.stack(frames), total
 
 
+def stream_condensed_frames_parallel(
+    path: str,
+    skip_frames: int,
+    chunk: int = 256,
+    workers: int = 4,
+) -> Iterator[np.ndarray]:
+    """Ordered streaming decode with segment-parallel workers.
+
+    Segments are decoded concurrently (each worker seeks to its range) and
+    re-chunked IN ORDER, so the consumer sees the same chunk sequence as
+    :func:`stream_condensed_frames` while decode throughput scales with
+    threads.  Falls back to the sequential streamer when seeking is
+    unavailable.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    cap = _open_cv2(path)
+    if cap is None or workers <= 1:
+        if cap is not None:
+            cap.release()
+        yield from stream_condensed_frames(path, skip_frames, chunk)
+        return
+    import cv2
+
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    if total <= 0:
+        yield from stream_condensed_frames(path, skip_frames, chunk)
+        return
+
+    # segment boundaries aligned to the decimation grid so global indices hold
+    seg = max(chunk * skip_frames, -(-total // (workers * 4)))
+    seg -= seg % skip_frames or 0
+    starts = list(range(0, total, seg))
+
+    def decode_segment(start: int) -> list[np.ndarray]:
+        c = _open_cv2(path)
+        c.set(cv2.CAP_PROP_POS_FRAMES, start)
+        kept = []
+        for idx in range(start, min(start + seg, total)):
+            ok, img = c.read()
+            if not ok:
+                break
+            if idx % skip_frames == 0:
+                kept.append(img)
+        c.release()
+        return kept
+
+    buf: list[np.ndarray] = []
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        # sliding submission window bounds memory to ~(workers+1) segments
+        pending = []
+        next_start = 0
+        while pending or next_start < len(starts):
+            while next_start < len(starts) and len(pending) <= workers:
+                pending.append(pool.submit(decode_segment, starts[next_start]))
+                next_start += 1
+            frames = pending.pop(0).result()   # in-order consumption
+            buf.extend(frames)
+            while len(buf) >= chunk:
+                yield np.stack(buf[:chunk])
+                buf = buf[chunk:]
+    if buf:
+        yield np.stack(buf)
+
+
 def export_video(frames: np.ndarray, output_path: str, fps: int = 30) -> None:
     """Write frames to an mp4 (reference ``export_video``, ``utils.py:512-523``)."""
     try:

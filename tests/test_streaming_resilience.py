@@ -135,3 +135,26 @@ class TestHostPreprocessStream:
             params, state, _chunks(frames, 32), cfg, chunk_size=32, host_preprocess=True
         )
         np.testing.assert_allclose(host, dev, atol=1e-4)
+
+
+class TestParallelDecodeStream:
+    def test_ordered_chunks_match_sequential(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        from cvml_goalnet_tpu.data.synthetic import synthetic_video_frames
+        from cvml_goalnet_tpu.data.video import (
+            stream_condensed_frames,
+            stream_condensed_frames_parallel,
+        )
+
+        fp = str(tmp_path / "clip.mp4")
+        frames = synthetic_video_frames(200, 48, 64)
+        out = cv2.VideoWriter(fp, cv2.VideoWriter_fourcc(*"mp4v"), 25, (64, 48))
+        for f in frames:
+            out.write(f[..., ::-1].copy())
+        out.release()
+
+        seq = list(stream_condensed_frames(fp, 2, chunk=16))
+        par = list(stream_condensed_frames_parallel(fp, 2, chunk=16, workers=4))
+        assert len(seq) == len(par)
+        for a, b in zip(seq, par):
+            np.testing.assert_array_equal(a, b)
