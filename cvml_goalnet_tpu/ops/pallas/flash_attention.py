@@ -139,3 +139,29 @@ def attention_reference(q, k, v, scale: float | None = None) -> jax.Array:
     s = jnp.einsum("htd,hsd->hts", q, k).astype(jnp.float32) * scale
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("hts,hsd->htd", p.astype(v.dtype), v)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_trainable(q, k, v, scale: float | None = None):
+    """Flash forward with gradients: Pallas kernel forward, XLA backward.
+
+    The backward pass recomputes attention probabilities with the XLA
+    formulation (O(T²) memory in the bwd only) — exact gradients with the
+    fast forward.  Right trade for spotting training at 1 fps condensed
+    timelines (T≈5.4k per match → 117 MB bwd scores); full-rate T=135k
+    training would need a tiled backward kernel (future round).
+    """
+    return flash_attention(q, k, v, scale)
+
+
+def _fat_fwd(q, k, v, scale):
+    return flash_attention(q, k, v, scale), (q, k, v)
+
+
+def _fat_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: attention_reference(q_, k_, v_, scale), q, k, v)
+    return vjp(g)
+
+
+flash_attention_trainable.defvjp(_fat_fwd, _fat_bwd)

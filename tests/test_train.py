@@ -171,3 +171,24 @@ class TestBroadcastCompatLoss:
         preds, _ = eval_video(state, item, small_cfg)
         want = np.mean((preds[:, None] - item.labels[None, :]) ** 2)
         assert np.isclose(loss_bug, want, atol=1e-5)
+
+
+class TestClassifierTraining:
+    def test_cavm_classifier_learns(self, small_cfg):
+        """CAVM/CVM classifier variant (reference's commented-out ablation,
+        main.py:96-97/189-190) trains with cross-entropy."""
+        item = _make_item(small_cfg, n=10, seed=3)
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg, classifier=True)
+        fn = make_train_video_fn(small_cfg, classifier=True)
+        params, ms, opt = state.params, state.model_state, state.opt_state
+        losses = []
+        for i in range(6):
+            params, ms, opt, preds, loss = fn(
+                params, ms, opt, jnp.asarray(item.visual), jnp.asarray(item.audio),
+                jnp.asarray(item.labels), jnp.ones(10), jax.random.PRNGKey(i),
+            )
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        # predictions are argmax+1 grades in [1, 5]
+        p = np.asarray(preds)
+        assert ((p >= 1) & (p <= 5)).all()
