@@ -25,7 +25,7 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 from cvml_goalnet_tpu.utils import apply_platform_override
 

@@ -13,12 +13,13 @@ platform only affects the expand/clip-stats device ops).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 from cvml_goalnet_tpu.utils import apply_platform_override
 

@@ -14,12 +14,13 @@ Run on CPU: ``GOALNET_PLATFORM=cpu python benchmarks/train_bench.py``
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 from cvml_goalnet_tpu.utils import apply_platform_override
 
