@@ -1,0 +1,91 @@
+"""ResNet-style visual backbone (BASELINE.json config 1: "ResNet-18-class").
+
+An alternative to the reference-topology conv stack (``models/visual.py``),
+selected via ``ModelConfig.vis_backbone = "resnet"``.  NHWC basic-block
+ResNet: stem conv → stages of two 3×3 conv blocks with identity/projection
+shortcuts → global average pool → feature head.  Channel widths come from
+``ModelConfig.vis_channels`` so the small test config stays cheap; the
+default (64, 128, 256, 512) matches ResNet-18's four stages at depth 2.
+
+Pure init/apply with explicit shapes, batchnorm state threaded like the rest
+of the model zoo.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cvml_goalnet_tpu.config import ModelConfig, PreprocessConfig
+from cvml_goalnet_tpu.models import layers as L
+
+
+def _block_init(key, cin, cout, stride):
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = {
+        "conv1": L.conv2d_init(k1, cin, cout, 3),
+        "conv2": L.conv2d_init(k2, cout, cout, 3),
+    }
+    bn1_p, bn1_s = L.batchnorm_init(cout)
+    bn2_p, bn2_s = L.batchnorm_init(cout)
+    params["bn1"], params["bn2"] = bn1_p, bn2_p
+    state = {"bn1": bn1_s, "bn2": bn2_s}
+    if stride != 1 or cin != cout:
+        params["proj"] = L.conv2d_init(k3, cin, cout, 1)
+        bnp_p, bnp_s = L.batchnorm_init(cout)
+        params["bn_proj"] = bnp_p
+        state["bn_proj"] = bnp_s
+    return params, state
+
+
+def _block_apply(params, state, x, stride, train):
+    new_state = {}
+    y = L.conv2d_apply(params["conv1"], x, stride=stride, padding=1)
+    y, new_state["bn1"] = L.batchnorm_apply(params["bn1"], state["bn1"], y, train)
+    y = jax.nn.relu(y)
+    y = L.conv2d_apply(params["conv2"], y, stride=1, padding=1)
+    y, new_state["bn2"] = L.batchnorm_apply(params["bn2"], state["bn2"], y, train)
+    if "proj" in params:
+        x = L.conv2d_apply(params["proj"], x, stride=stride, padding=0)
+        x, new_state["bn_proj"] = L.batchnorm_apply(params["bn_proj"], state["bn_proj"], x, train)
+    return jax.nn.relu(x + y), new_state
+
+
+def resnet_encoder_init(key, cfg: ModelConfig, pre: PreprocessConfig):
+    chans = cfg.vis_channels
+    keys = jax.random.split(key, 2 + 2 * len(chans))
+    params, state = {}, {}
+    params["stem"] = L.conv2d_init(keys[0], pre.channels, chans[0], 3)
+    bn_p, bn_s = L.batchnorm_init(chans[0])
+    params["bn_stem"], state["bn_stem"] = bn_p, bn_s
+
+    cin = chans[0]
+    ki = 1
+    for si, cout in enumerate(chans):
+        for bi in range(2):  # depth-2 stages, ResNet-18 style
+            stride = 2 if (bi == 0 and si > 0) else 1
+            p, s = _block_init(keys[ki], cin, cout, stride)
+            params[f"s{si}b{bi}"], state[f"s{si}b{bi}"] = p, s
+            cin = cout
+            ki += 1
+    params["head"] = L.linear_init(keys[-1], chans[-1], cfg.vis_feature_dim)
+    return params, state
+
+
+def resnet_encoder_apply(params, state, x, *, train: bool, rng, dropout_rate: float):
+    """x: (N, H, W, C) → (N, vis_feature_dim)."""
+    new_state = {}
+    x = L.conv2d_apply(params["stem"], x, stride=1, padding=1)
+    x, new_state["bn_stem"] = L.batchnorm_apply(params["bn_stem"], state["bn_stem"], x, train)
+    x = jax.nn.relu(x)
+    si = 0
+    while f"s{si}b0" in params:
+        for bi in range(2):
+            stride = 2 if (bi == 0 and si > 0) else 1
+            x, new_state[f"s{si}b{bi}"] = _block_apply(
+                params[f"s{si}b{bi}"], state[f"s{si}b{bi}"], x, stride, train
+            )
+        si += 1
+    x = jnp.mean(x, axis=(1, 2))  # global average pool
+    x = jax.nn.relu(L.linear_apply(params["head"], x))
+    return L.dropout(x, dropout_rate, train, rng), new_state

@@ -1,0 +1,96 @@
+"""Temporal transformer scorer: attention-based long-timeline event scoring.
+
+The reference report lists temporal modeling as future work (§7; the shipped
+model scores frames independently).  This scorer is the attention-based
+alternative to the GRU scan (``models/temporal.py``): pre-LN transformer
+blocks over the (T, D) frame-feature timeline with learned positions,
+a per-frame scoring head, and the flash-attention Pallas kernel
+(``ops/pallas/flash_attention.py``) as the TPU compute core (XLA reference
+attention on CPU / in tests).
+
+Selected via ``ModelConfig.temporal_model = "transformer"``; the GRU scan
+remains the default.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from cvml_goalnet_tpu.models import layers as L
+from cvml_goalnet_tpu.ops.pallas.flash_attention import (
+    attention_reference,
+    flash_attention_trainable,
+)
+
+
+def temporal_transformer_init(
+    key,
+    in_dim: int,
+    model_dim: int = 128,
+    num_layers: int = 2,
+    num_heads: int = 1,
+    max_len: int = 8192,
+):
+    assert model_dim % num_heads == 0
+    keys = jax.random.split(key, 3 + num_layers)
+    params = {
+        "proj_in": L.linear_init(keys[0], in_dim, model_dim),
+        "pos": jax.random.normal(keys[1], (max_len, model_dim)) * 0.02,
+        "head": L.linear_init(keys[2], model_dim, 1),
+        "layers": [],
+    }
+    for lk in keys[3:]:
+        k1, k2, k3, k4, k5, k6 = jax.random.split(lk, 6)
+        params["layers"].append({
+            "ln1": L.layernorm_init(model_dim),
+            "wq": L.linear_init(k1, model_dim, model_dim),
+            "wk": L.linear_init(k2, model_dim, model_dim),
+            "wv": L.linear_init(k3, model_dim, model_dim),
+            "wo": L.linear_init(k4, model_dim, model_dim),
+            "ln2": L.layernorm_init(model_dim),
+            "mlp_in": L.linear_init(k5, model_dim, 4 * model_dim),
+            "mlp_out": L.linear_init(k6, 4 * model_dim, model_dim),
+        })
+    return params
+
+
+def _attend(layer, x, num_heads: int, use_flash: bool):
+    t, d = x.shape
+    hd = d // num_heads
+
+    def split(h):  # (T, D) → (H, T, hd)
+        return h.reshape(t, num_heads, hd).transpose(1, 0, 2)
+
+    q = split(L.linear_apply(layer["wq"], x))
+    k = split(L.linear_apply(layer["wk"], x))
+    v = split(L.linear_apply(layer["wv"], x))
+    # trainable variant: Pallas forward + exact XLA backward (grad-safe)
+    attn = flash_attention_trainable(q, k, v) if use_flash else attention_reference(q, k, v)
+    out = attn.transpose(1, 0, 2).reshape(t, d)
+    return L.linear_apply(layer["wo"], out)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def temporal_transformer_apply(
+    params,
+    features: jax.Array,          # (T, D) frame features
+    num_heads: int = 1,
+    use_flash: bool = False,
+) -> jax.Array:
+    """(T, D) → (T,) temporal event scores."""
+    t = features.shape[0]
+    x = L.linear_apply(params["proj_in"], features)
+    max_len = params["pos"].shape[0]
+    # learned positions, tiled for timelines beyond max_len (local continuity
+    # matters more than absolute phase at match scale)
+    idx = jnp.arange(t) % max_len
+    x = x + params["pos"][idx]
+    for layer in params["layers"]:
+        h = L.layernorm_apply(layer["ln1"], x)
+        x = x + _attend(layer, h, num_heads, use_flash)
+        h = L.layernorm_apply(layer["ln2"], x)
+        x = x + L.linear_apply(layer["mlp_out"], jax.nn.gelu(L.linear_apply(layer["mlp_in"], h)))
+    return L.linear_apply(params["head"], x)[:, 0]

@@ -1,0 +1,72 @@
+"""Visual branch encoder.
+
+Capability parity with reference ``VisBl`` (``utils.py:145-195``): three
+conv→ReLU→maxpool(3, stride 1)→batchnorm stages with channels (64, 256, 512)
+— conv1 uses kernel 3 / stride 3 / padding 3, convs 2–3 kernel 3 / stride 1 /
+padding 1 — followed by flatten → linear(512) → ReLU → dropout(0.2).
+
+For 40×40 input the spatial trace is 40→15→13→13→11→11→9, so the flatten dim
+is 512·9·9 = 41472 (the shape the reference's Lazy modules inferred at first
+forward; here it is computed explicitly from the config at init).
+
+TPU-first differences from the reference: NHWC layout, explicit shapes, and
+batchnorm placed AFTER the pool exactly as upstream so numerics line up.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from cvml_goalnet_tpu.config import ModelConfig, PreprocessConfig
+from cvml_goalnet_tpu.models import layers as L
+
+# (kernel, stride, padding) per conv stage — reference utils.py:151-163.
+_STAGE_GEOM = ((3, 3, 3), (3, 1, 1), (3, 1, 1))
+_POOL = (3, 1)  # kernel, stride — reference utils.py:153
+
+
+def visual_spatial_trace(hw: tuple[int, int], n_stages: int) -> list[tuple[int, int]]:
+    """Spatial sizes after each conv+pool stage (explicit Lazy-shape replacement)."""
+    h, w = hw
+    sizes = []
+    for k, s, p in _STAGE_GEOM[:n_stages]:
+        h = L.conv_out_size(h, k, s, p)
+        w = L.conv_out_size(w, k, s, p)
+        h = L.conv_out_size(h, _POOL[0], _POOL[1], 0)
+        w = L.conv_out_size(w, _POOL[0], _POOL[1], 0)
+        sizes.append((h, w))
+    return sizes
+
+
+def visual_encoder_init(key, cfg: ModelConfig, pre: PreprocessConfig):
+    chans = (pre.channels,) + cfg.vis_channels
+    keys = jax.random.split(key, len(cfg.vis_channels) + 1)
+    params, state = {}, {}
+    for i, (cin, cout) in enumerate(zip(chans[:-1], chans[1:])):
+        k, _, _ = _STAGE_GEOM[i]
+        params[f"conv{i}"] = L.conv2d_init(keys[i], cin, cout, k)
+        bn_p, bn_s = L.batchnorm_init(cout)
+        params[f"bn{i}"] = bn_p
+        state[f"bn{i}"] = bn_s
+    h, w = visual_spatial_trace(pre.frame_size, len(cfg.vis_channels))[-1]
+    flat = cfg.vis_channels[-1] * h * w
+    params["head"] = L.linear_init(keys[-1], flat, cfg.vis_feature_dim)
+    return params, state
+
+
+def visual_encoder_apply(params, state, x, *, train: bool, rng, dropout_rate: float):
+    """x: (N, H, W, C) normalized frames → (N, vis_feature_dim)."""
+    new_state = {}
+    for i in range(len(_STAGE_GEOM)):
+        name = f"conv{i}"
+        if name not in params:
+            break
+        _, s, p = _STAGE_GEOM[i]
+        x = L.conv2d_apply(params[name], x, stride=s, padding=p)
+        x = jax.nn.relu(x)
+        x = L.maxpool2d(x, *_POOL)
+        x, new_state[f"bn{i}"] = L.batchnorm_apply(params[f"bn{i}"], state[f"bn{i}"], x, train)
+    x = x.reshape(x.shape[0], -1)
+    x = jax.nn.relu(L.linear_apply(params["head"], x))
+    x = L.dropout(x, dropout_rate, train, rng)
+    return x, new_state
