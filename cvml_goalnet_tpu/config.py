@@ -126,6 +126,13 @@ class ModelConfig:
     temporal_num_layers: int = 2
     temporal_num_heads: int = 1
     temporal_max_len: int = 8192
+    # GRU timelines longer than this are scored chunked+halo (14× faster,
+    # 23.9 ms vs 340 ms per 135k-frame match — docs/BENCHMARKS.md) with
+    # documented tolerance ≤2e-2 at chunk borders vs the monolithic scan.
+    # 0 disables chunking (always monolithic/exact).
+    temporal_chunk_threshold: int = 16384
+    temporal_chunk: int = 4096
+    temporal_halo: int = 256
 
     dtype: str = "float32"         # activations dtype ("bfloat16" on TPU hot path)
     param_dtype: str = "float32"

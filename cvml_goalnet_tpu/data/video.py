@@ -63,10 +63,13 @@ def decode_condensed_frames(
     else:  # imageio fallback (no cv2 on host)
         import imageio.v3 as iio
 
+        count = -1
         for count, img in enumerate(iio.imiter(path), start=0):
             if count % skip_frames == 0:
                 frames.append(img[..., ::-1])  # RGB → BGR for parity
         count += 1
+    if not frames:
+        raise RuntimeError(f"no frames decoded from {path!r} (unreadable or empty video)")
     full_n = count - 1 if reference_off_by_one else count
     return np.stack(frames), full_n
 
@@ -139,6 +142,7 @@ def decode_condensed_frames_parallel(
 
     bounds = np.linspace(0, total, workers + 1).astype(int)
     results: list[list[np.ndarray] | None] = [None] * workers
+    decoded: list[int] = [0] * workers
     errors: list[BaseException] = []
 
     def worker(w: int):
@@ -147,13 +151,16 @@ def decode_condensed_frames_parallel(
             start, end = int(bounds[w]), int(bounds[w + 1])
             c.set(cv2.CAP_PROP_POS_FRAMES, start)
             kept = []
+            got = 0
             for idx in range(start, end):
                 ok, img = c.read()
                 if not ok:
                     break
+                got += 1
                 if idx % skip_frames == 0:
                     kept.append(img)
             c.release()
+            decoded[w] = got
             results[w] = kept
         except BaseException as e:  # surfaced below
             errors.append(e)
@@ -163,7 +170,14 @@ def decode_condensed_frames_parallel(
         t.start()
     for t in threads:
         t.join()
-    if errors or any(r is None for r in results):
+    # Contract check: every worker must have decoded its FULL range.  A short
+    # segment (mid-read failure, VFR metadata mismatch, inaccurate seek) would
+    # silently drop frames AND make the metadata `total` diverge from the
+    # actually-decodable count — which changes `full_n_frames` and therefore
+    # the knapsack capacity downstream.  Fall back to the sequential decoder,
+    # whose frame count is ground truth, whenever reality ≠ metadata.
+    expected = [int(bounds[w + 1]) - int(bounds[w]) for w in range(workers)]
+    if errors or any(r is None for r in results) or decoded != expected:
         return decode_condensed_frames(path, skip_frames)
     frames = [f for seg in results for f in seg]
     return np.stack(frames), total
@@ -204,33 +218,69 @@ def stream_condensed_frames_parallel(
     seg -= seg % skip_frames or 0
     starts = list(range(0, total, seg))
 
-    def decode_segment(start: int) -> list[np.ndarray]:
+    def decode_segment(start: int) -> tuple[list[np.ndarray], bool]:
         c = _open_cv2(path)
         c.set(cv2.CAP_PROP_POS_FRAMES, start)
         kept = []
-        for idx in range(start, min(start + seg, total)):
+        end = min(start + seg, total)
+        got = 0
+        for idx in range(start, end):
             ok, img = c.read()
             if not ok:
                 break
+            got += 1
             if idx % skip_frames == 0:
                 kept.append(img)
         c.release()
-        return kept
+        return kept, got == end - start
+
+    def resume_sequential(raw_start: int):
+        """Re-decode from frame 0 (reads are reliable; seeks are not) and
+        yield decimated frames from raw index ``raw_start`` on."""
+        c = _open_cv2(path)
+        idx = 0
+        while True:
+            ok, img = c.read()
+            if not ok:
+                break
+            if idx >= raw_start and idx % skip_frames == 0:
+                yield img
+            idx += 1
+        c.release()
 
     buf: list[np.ndarray] = []
+    aborted_at: int | None = None
     with ThreadPoolExecutor(max_workers=workers) as pool:
         # sliding submission window bounds memory to ~(workers+1) segments
         pending = []
         next_start = 0
+        seg_idx = 0
         while pending or next_start < len(starts):
             while next_start < len(starts) and len(pending) <= workers:
                 pending.append(pool.submit(decode_segment, starts[next_start]))
                 next_start += 1
-            frames = pending.pop(0).result()   # in-order consumption
+            frames, complete = pending.pop(0).result()   # in-order consumption
+            if not complete:
+                # A short segment means seeks/metadata lied for this file —
+                # discard this segment's frames (their indices are suspect)
+                # and finish with a sequential decode from its raw start.
+                # Every earlier segment was verified complete, so the global
+                # decimation grid up to here is exact.
+                aborted_at = starts[seg_idx]
+                for f in pending:
+                    f.cancel()
+                break
             buf.extend(frames)
+            seg_idx += 1
             while len(buf) >= chunk:
                 yield np.stack(buf[:chunk])
                 buf = buf[chunk:]
+    if aborted_at is not None:
+        for img in resume_sequential(aborted_at):
+            buf.append(img)
+            if len(buf) == chunk:
+                yield np.stack(buf)
+                buf = []
     if buf:
         yield np.stack(buf)
 

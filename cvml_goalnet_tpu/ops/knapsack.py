@@ -63,19 +63,30 @@ def knapsack_table_device(values: jax.Array, weights: jax.Array, capacity: int) 
     static shape upstream).  Each step computes
     ``row' = max(row, shift(row, w_i) + v_i)`` with the shift realized as a
     masked gather so the step stays O(W) vector work with no dynamic shapes.
+
+    Integer ``values`` run the DP in int32 — exact, so the host traceback's
+    ``==`` comparisons against the table are reliable at any magnitude below
+    2³¹ (asserted by the caller).  Float values use f32, which is only exact
+    for sums below 2²⁴; :func:`knapsack_select` routes float inputs to the
+    host f64 engine instead.
     """
-    values = values.astype(jnp.float32)
     weights = weights.astype(jnp.int32)
     wgrid = jnp.arange(capacity + 1, dtype=jnp.int32)
+    if jnp.issubdtype(values.dtype, jnp.integer):
+        values = values.astype(jnp.int32)
+        neg = jnp.iinfo(jnp.int32).min // 2
+    else:
+        values = values.astype(jnp.float32)
+        neg = -jnp.inf
 
     def step(row, item):
         v, w = item
         src = jnp.clip(wgrid - w, 0, capacity)
-        take = jnp.where(wgrid >= w, row[src] + v, -jnp.inf)
+        take = jnp.where(wgrid >= w, row[src] + v, neg)
         new = jnp.maximum(row, take)
         return new, new
 
-    row0 = jnp.zeros((capacity + 1,), jnp.float32)
+    row0 = jnp.zeros((capacity + 1,), values.dtype)
     _, rows = jax.lax.scan(step, row0, (values, weights))
     return jnp.concatenate([row0[None], rows], axis=0)
 
@@ -138,9 +149,18 @@ def knapsack_select(
 
         return knapsack_native(values, int_weights, int_capacity)
     if engine == "device":
-        table = np.asarray(
-            knapsack_table_device(jnp.asarray(values), jnp.asarray(int_weights), int_capacity)
-        )
+        if np.all(values == np.floor(values)):
+            # Integer importances (the pipeline path rounds to int8): run the
+            # device DP in exact int32 so traceback equality always holds.
+            iv = values.astype(np.int64)
+            assert np.abs(iv).sum() < 2**31, "device knapsack int32 overflow"
+            table = np.asarray(knapsack_table_device(
+                jnp.asarray(iv.astype(np.int32)), jnp.asarray(int_weights), int_capacity
+            )).astype(np.float64)
+        else:
+            # Float values: an f32 device table vs the f64 traceback is not
+            # exact (ADVICE round 1) — the host f64 engine is the correct tool.
+            table = knapsack_table_host(values, int_weights, int_capacity)
     else:
         table = knapsack_table_host(values, int_weights, int_capacity)
     return _traceback(table, values, int_weights, int_capacity)

@@ -54,11 +54,19 @@ class Summarizer:
         self.state = state
         self._lock = threading.Lock()
 
-    def warmup(self, n_frames: int = 8) -> None:
-        """Compile the scoring program ahead of the first request."""
+    def warmup(self, shapes: tuple[tuple[int, int, int], ...] = ((8, 64, 64),)) -> None:
+        """Compile the scoring program for each production ``(N, H, W)`` shape.
+
+        jit caches key on input shapes, so any request shape NOT warmed here
+        recompiles on the request path (minutes through a remote-compile
+        tunnel) — pass the real production shape set, e.g.
+        ``((256, 180, 320), (97, 180, 320))`` for 256-frame chunks plus the
+        tail shape.
+        """
         rng = np.random.default_rng(0)
-        frames = rng.integers(0, 255, (n_frames, 64, 64, 3), dtype=np.uint8)
-        self.summarize_frames("warmup", frames, np.array([[0, n_frames]]), n_frames)
+        for n_frames, h, w in shapes:
+            frames = rng.integers(0, 255, (n_frames, h, w, 3), dtype=np.uint8)
+            self.summarize_frames("warmup", frames, np.array([[0, n_frames]]), n_frames)
 
     def summarize_frames(
         self,
@@ -119,10 +127,37 @@ class Summarizer:
         return self.summarize_frames(video_id, frames, None, full_n, waveform)
 
 
-def serve_http(summarizer: Summarizer, host: str = "127.0.0.1", port: int = 8765):
+def serve_http(
+    summarizer: Summarizer,
+    host: str = "127.0.0.1",
+    port: int = 8765,
+    media_root: str | None = None,
+):
     """Blocking JSON-over-HTTP server; returns the server object when
-    started with ``threading=True`` via :func:`start_http_background`."""
+    started with ``threading=True`` via :func:`start_http_background`.
+
+    ``media_root`` confines requested video paths to one directory: requests
+    are resolved against it and rejected if they escape (symlinks included).
+    REQUIRED for any non-loopback ``host`` — without it the endpoint would
+    probe/read arbitrary host paths on behalf of remote callers.
+    """
+    import os
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    if media_root is None and host not in ("127.0.0.1", "localhost", "::1"):
+        raise ValueError(
+            f"serve_http(host={host!r}) binds a non-loopback interface; "
+            "pass media_root to confine which files requests may read"
+        )
+    root = os.path.realpath(media_root) if media_root is not None else None
+
+    def resolve(requested: str) -> str:
+        if root is None:
+            return requested
+        p = os.path.realpath(os.path.join(root, requested.lstrip("/")))
+        if p != root and not p.startswith(root + os.sep):
+            raise PermissionError(f"path escapes media root: {requested!r}")
+        return p
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
@@ -149,13 +184,15 @@ def serve_http(summarizer: Summarizer, host: str = "127.0.0.1", port: int = 8765
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                resp = summarizer.summarize_path(req["video"])
+                resp = summarizer.summarize_path(resolve(req["video"]))
                 self._reply(200, {
                     "video_id": resp.video_id,
                     "mask_frames": int(resp.frame_mask.sum()),
                     "clips": resp.clips.tolist(),
                     "scores": np.round(resp.scores, 4).tolist(),
                 })
+            except PermissionError as e:
+                self._reply(403, {"error": str(e)})
             except FileNotFoundError as e:
                 self._reply(404, {"error": f"video not found: {e}"})
             except Exception as e:  # surface as 500 with message
@@ -164,8 +201,8 @@ def serve_http(summarizer: Summarizer, host: str = "127.0.0.1", port: int = 8765
     return ThreadingHTTPServer((host, port), Handler)
 
 
-def start_http_background(summarizer: Summarizer, host="127.0.0.1", port=8765):
-    server = serve_http(summarizer, host, port)
+def start_http_background(summarizer: Summarizer, host="127.0.0.1", port=8765, media_root=None):
+    server = serve_http(summarizer, host, port, media_root)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server

@@ -66,7 +66,11 @@ def score_timeline_auto(temporal_params, features, cfg: PipelineConfig) -> jax.A
     """Dispatch on ``ModelConfig.temporal_model``: GRU scan or transformer.
 
     The transformer path uses the flash-attention Pallas kernel on TPU and
-    the XLA reference attention elsewhere.
+    the XLA reference attention elsewhere.  GRU timelines longer than
+    ``temporal_chunk_threshold`` run chunked+halo (the measured 14×-faster
+    public path, tolerance ≤2e-2 at interior chunk borders vs the monolithic
+    scan — docs/BENCHMARKS.md); set the threshold to 0 for always-exact
+    monolithic scoring.
     """
     mc = cfg.model
     if mc.temporal_model == "transformer":
@@ -75,6 +79,12 @@ def score_timeline_auto(temporal_params, features, cfg: PipelineConfig) -> jax.A
         use_flash = jax.default_backend() not in ("cpu",)
         return temporal_transformer_apply(
             temporal_params, features, mc.temporal_num_heads, use_flash
+        )
+    t = features.shape[0]
+    if mc.temporal_chunk_threshold and t > mc.temporal_chunk_threshold:
+        return score_timeline_chunked(
+            temporal_params, features, mc.temporal_hidden,
+            mc.temporal_chunk, mc.temporal_halo,
         )
     return temporal_scorer_apply(temporal_params, features, mc.temporal_hidden)
 

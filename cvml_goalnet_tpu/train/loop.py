@@ -198,7 +198,14 @@ def train_importance_model(
         "val_loss": [], "val_f_avg": [], "val_f_max": [],
     }
 
+    if len(train_ds) == 0:
+        raise ValueError("train_ds is empty — nothing to train on")
+
     def evaluate(ds):
+        # Empty val sets (e.g. a one-video dataset under train_ratio=0.8)
+        # are skipped rather than np.mean([])-ing into NaN history entries.
+        if len(ds) == 0:
+            return None
         losses, favgs, fmaxs = [], [], []
         for item in ds:
             preds, loss = eval_video(state, item, cfg, classifier)
@@ -208,11 +215,17 @@ def train_importance_model(
             fmaxs.append(fm)
         return float(np.mean(losses)), float(np.mean(favgs)), float(np.mean(fmaxs))
 
+    def record(tr, vl):
+        for k, v in zip(("train_loss", "train_f_avg", "train_f_max"), tr):
+            history[k].append(v)
+        if vl is not None:
+            for k, v in zip(("val_loss", "val_f_avg", "val_f_max"), vl):
+                history[k].append(v)
+
     # Initial (epoch -1) evaluation — reference main.py:82-146.
     tr = evaluate(train_ds)
     vl = evaluate(val_ds)
-    for k, v in zip(list(history), tr + vl):
-        history[k].append(v)
+    record(tr, vl)
     if verbose:
         log_metrics("initial", tr, vl)
     if metrics_logger is not None:
@@ -224,7 +237,7 @@ def train_importance_model(
         # the initial eval (the reference only wrote opt_* on improvement,
         # main.py:255-263, leaving inference broken for flat runs).
         save_checkpoint(checkpoint_dir, state, cfg, tag="opt")
-    prev_val_loss = vl[0]
+    prev_val_loss = vl[0] if vl is not None else None
 
     for epoch in range(state.epoch, num_epochs):
         t0 = time.time()
@@ -248,15 +261,16 @@ def train_importance_model(
 
         tr = (float(np.mean(ep_losses)), float(np.mean(ep_favg)), float(np.mean(ep_fmax)))
         vl = evaluate(val_ds)
-        for k, v in zip(list(history), tr + vl):
-            history[k].append(v)
+        record(tr, vl)
 
         if verbose:
-            log_val_delta(vl[0], prev_val_loss)
+            if vl is not None and prev_val_loss is not None:
+                log_val_delta(vl[0], prev_val_loss)
             log_metrics(f"epoch {epoch}", tr, vl, time.time() - t0)
         if metrics_logger is not None:
             metrics_logger.log_epoch(epoch, tr, vl, time.time() - t0)
-        prev_val_loss = vl[0]
+        if vl is not None:
+            prev_val_loss = vl[0]
 
         # Optimum policy: best train-F-score-avg (reference main.py:255-263).
         if tr[1] > best["f_avg"]:

@@ -37,11 +37,12 @@ def log_val_delta(val_loss: float, prev_val_loss: float) -> None:
         print("Val ΔL " + _wrap(Color.RED, f"↑ {delta:.4f}"))
 
 
-def log_metrics(label: str, train: tuple, val: tuple, dt: float | None = None) -> None:
-    msg = (
-        f"[{label}] Train - loss: {train[0]:.4f} - F-avg: {train[1]:.4f} - F-max: {train[2]:.4f}\n"
-        f"[{label}] Val   - loss: {val[0]:.4f} - F-avg: {val[1]:.4f} - F-max: {val[2]:.4f}"
-    )
+def log_metrics(label: str, train: tuple, val: tuple | None, dt: float | None = None) -> None:
+    msg = f"[{label}] Train - loss: {train[0]:.4f} - F-avg: {train[1]:.4f} - F-max: {train[2]:.4f}"
+    if val is not None:
+        msg += f"\n[{label}] Val   - loss: {val[0]:.4f} - F-avg: {val[1]:.4f} - F-max: {val[2]:.4f}"
+    else:
+        msg += f"\n[{label}] Val   - (no validation videos)"
     if dt is not None:
         msg += f"\nΔt: {dt:.1f}s"
     print(msg)

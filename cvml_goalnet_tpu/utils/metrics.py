@@ -27,12 +27,16 @@ class MetricsLogger:
         with open(self.path, "a") as f:
             f.write(json.dumps(record) + "\n")
 
-    def log_epoch(self, epoch: int, train: tuple, val: tuple, dt: float | None = None) -> None:
+    def log_epoch(self, epoch: int, train: tuple, val: tuple | None, dt: float | None = None) -> None:
+        val_fields = (
+            {"val_loss": val[0], "val_f_avg": val[1], "val_f_max": val[2]}
+            if val is not None else {}
+        )
         self.log(
             "epoch",
             epoch=epoch,
             train_loss=train[0], train_f_avg=train[1], train_f_max=train[2],
-            val_loss=val[0], val_f_avg=val[1], val_f_max=val[2],
+            **val_fields,
             **({"dt_s": round(dt, 2)} if dt is not None else {}),
         )
 

@@ -154,3 +154,31 @@ class TestKnapsack:
     def test_empty_and_zero_capacity(self):
         assert knapsack_select([], [], 10, engine="host") == []
         assert knapsack_select([1.0], [1.0], 0, engine="host") == []
+
+
+class TestKnapsackDeviceExactness:
+    """Round-2 hardening: the device engine must never diverge from host
+    (ADVICE round 1: f32 table vs f64 traceback equality)."""
+
+    def test_float_values_route_to_exact_engine(self):
+        rng = np.random.default_rng(7)
+        values = rng.random(30) * 100          # fractional importances
+        weights = rng.integers(1, 20, 30).astype(float)
+        host = knapsack_select(values, weights, 80, engine="host")
+        device = knapsack_select(values, weights, 80, engine="device")
+        assert host == device
+
+    def test_large_integer_values_exact(self):
+        # Sums beyond the f32 integer-exactness bound (2^24) — would break a
+        # f32 device table; the int32 device DP stays exact.
+        values = [float(2**23 + i) for i in range(8)]
+        weights = [1.0] * 8
+        host = knapsack_select(values, weights, 5, engine="host")
+        device = knapsack_select(values, weights, 5, engine="device")
+        assert host == device
+        assert len(host) == 5
+
+    def test_int_table_dtype(self):
+        import jax.numpy as jnp
+        t = knapsack_table_device(jnp.arange(4, dtype=jnp.int32), jnp.ones(4, jnp.int32), 3)
+        assert t.dtype == jnp.int32

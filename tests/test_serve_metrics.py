@@ -1,6 +1,7 @@
 """Serving facade + HTTP endpoint + event-spotting metrics tests."""
 
 import json
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -126,3 +127,68 @@ class TestSummarizer:
             assert e.value.code in (404, 500)
         finally:
             server.shutdown()
+
+
+class TestServeHardening:
+    """Round-2: production-shape warmup + media-root confinement."""
+
+    def test_warmup_production_shapes(self, small_cfg):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False)
+        )
+        s = Summarizer(cfg)
+        s.warmup(shapes=((12, 40, 56), (5, 40, 56)))
+        rng = np.random.default_rng(3)
+        resp = s.summarize_frames("v", rng.integers(0, 255, (12, 40, 56, 3), dtype=np.uint8))
+        assert resp.scores.shape == (12,)
+
+    def test_media_root_confinement(self, small_cfg, tmp_path):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False)
+        )
+        s = Summarizer(cfg)
+        root = tmp_path / "media"
+        root.mkdir()
+        rng = np.random.default_rng(4)
+        np.savez_compressed(
+            str(root / "ok.npz"),
+            frames=rng.integers(0, 255, (60, 32, 32, 3), dtype=np.uint8),
+        )
+        (tmp_path / "secret.npz").write_bytes(b"x")
+        server = start_http_background(s, port=0, media_root=str(root))
+        port = server.server_address[1]
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/summarize",
+                data=json.dumps({"video": "ok.npz"}).encode(), method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                assert json.load(r)["video_id"] == "ok"
+
+            for escape in ("../secret.npz", "/etc/passwd"):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/summarize",
+                    data=json.dumps({"video": escape}).encode(), method="POST",
+                )
+                try:
+                    urllib.request.urlopen(req)
+                    assert False, f"escape not rejected: {escape}"
+                except urllib.error.HTTPError as e:
+                    assert e.code in (403, 404)
+        finally:
+            server.shutdown()
+
+    def test_non_loopback_requires_media_root(self, small_cfg):
+        import dataclasses
+
+        from cvml_goalnet_tpu.serve import serve_http
+
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False)
+        )
+        with pytest.raises(ValueError, match="media_root"):
+            serve_http(Summarizer(cfg), host="0.0.0.0", port=0)

@@ -150,3 +150,48 @@ class TestSpottingCheckpoint:
         restored = load_spotting_checkpoint(fp, template)
         for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(restored)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestChunkedDefaultDispatch:
+    """Round-2: the public score path and the headline number are now the
+    same code path — long GRU timelines route to chunked+halo."""
+
+    def test_auto_routes_long_timelines_to_chunked(self, small_cfg):
+        import dataclasses
+
+        from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
+        from cvml_goalnet_tpu.spotting import score_timeline_auto, score_timeline_chunked
+
+        cfg = dataclasses.replace(
+            small_cfg,
+            model=dataclasses.replace(
+                small_cfg.model,
+                temporal_hidden=8,
+                temporal_chunk_threshold=256,
+                temporal_chunk=128,
+                temporal_halo=32,
+            ),
+        )
+        rng = np.random.default_rng(0)
+        feats = jnp.asarray(rng.standard_normal((700, 12)).astype(np.float32))
+        params = temporal_scorer_init(jax.random.PRNGKey(0), 12, hidden=8)
+        auto = np.asarray(score_timeline_auto(params, feats, cfg))
+        chunked = np.asarray(score_timeline_chunked(params, feats, 8, 128, 32))
+        np.testing.assert_array_equal(auto, chunked)
+
+    def test_auto_monolithic_below_threshold(self, small_cfg):
+        import dataclasses
+
+        from cvml_goalnet_tpu.models.temporal import temporal_scorer_apply, temporal_scorer_init
+        from cvml_goalnet_tpu.spotting import score_timeline_auto
+
+        cfg = dataclasses.replace(
+            small_cfg,
+            model=dataclasses.replace(small_cfg.model, temporal_hidden=8),
+        )
+        rng = np.random.default_rng(1)
+        feats = jnp.asarray(rng.standard_normal((100, 12)).astype(np.float32))
+        params = temporal_scorer_init(jax.random.PRNGKey(0), 12, hidden=8)
+        auto = np.asarray(score_timeline_auto(params, feats, cfg))
+        mono = np.asarray(temporal_scorer_apply(params, feats, 8))
+        np.testing.assert_array_equal(auto, mono)

