@@ -57,7 +57,7 @@ def temporal_transformer_init(
     return params
 
 
-def _attend(layer, x, num_heads: int, use_flash: bool):
+def _attend(layer, x, num_heads: int, use_flash: bool, flash_interpret: bool):
     t, d = x.shape
     hd = d // num_heads
 
@@ -67,18 +67,22 @@ def _attend(layer, x, num_heads: int, use_flash: bool):
     q = split(L.linear_apply(layer["wq"], x))
     k = split(L.linear_apply(layer["wk"], x))
     v = split(L.linear_apply(layer["wv"], x))
-    # trainable variant: Pallas forward + exact XLA backward (grad-safe)
-    attn = flash_attention_trainable(q, k, v) if use_flash else attention_reference(q, k, v)
+    # trainable variant: tiled Pallas forward AND backward, O(T·d) memory
+    attn = (
+        flash_attention_trainable(q, k, v, None, flash_interpret)
+        if use_flash else attention_reference(q, k, v)
+    )
     out = attn.transpose(1, 0, 2).reshape(t, d)
     return L.linear_apply(layer["wo"], out)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
+@partial(jax.jit, static_argnums=(2, 3, 4))
 def temporal_transformer_apply(
     params,
     features: jax.Array,          # (T, D) frame features
     num_heads: int = 1,
     use_flash: bool = False,
+    flash_interpret: bool = False,
 ) -> jax.Array:
     """(T, D) → (T,) temporal event scores."""
     t = features.shape[0]
@@ -90,7 +94,7 @@ def temporal_transformer_apply(
     x = x + params["pos"][idx]
     for layer in params["layers"]:
         h = L.layernorm_apply(layer["ln1"], x)
-        x = x + _attend(layer, h, num_heads, use_flash)
+        x = x + _attend(layer, h, num_heads, use_flash, flash_interpret)
         h = L.layernorm_apply(layer["ln2"], x)
         x = x + L.linear_apply(layer["mlp_out"], jax.nn.gelu(L.linear_apply(layer["mlp_in"], h)))
     return L.linear_apply(params["head"], x)[:, 0]

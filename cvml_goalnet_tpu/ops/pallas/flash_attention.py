@@ -1,26 +1,39 @@
-"""Flash attention (Pallas TPU): tiled online-softmax attention forward.
+"""Flash attention (Pallas TPU): tiled online-softmax forward AND backward.
 
 The reference has no attention at all (its model is strictly per-frame —
 SURVEY.md §2.3); the temporal transformer scorer (``models/temporal_attention``)
-adds it for long-timeline event spotting, and this kernel is its TPU compute
+adds it for long-timeline event spotting, and these kernels are its TPU compute
 core.  Naive attention materializes the (T, T) score matrix — 72 GB in f32
-for a 90-min match at 25 fps (T=135k) — while this kernel streams K/V tiles
-through VMEM with running (m, l, acc) statistics, so memory is O(T·d)
-regardless of T.
+for a 90-min match at 25 fps (T=135k) — while these kernels stream K/V tiles
+through VMEM with running statistics, so memory is O(T·d) in BOTH directions:
+full-rate transformer training fits on one chip.
 
-Structure (after ``jax.experimental.pallas.ops.tpu`` flash attention):
+Forward (grid = (heads, T_q/block_q, T_k/block_k), KV innermost):
 
-* grid = (heads, T_q/block_q, T_k/block_k) with the KV axis innermost and
-  ``dimension_semantics=("parallel", "parallel", "arbitrary")``;
 * VMEM scratch ``m/l/acc`` persists across KV tiles of one Q tile; online
   softmax correction ``alpha = exp(m_prev − m_next)`` keeps the result
   numerically equal to full softmax (f32 statistics);
-* the accumulator stays UNnormalized until the final KV tile, then one
-  divide by ``l`` produces the output;
-* sequence padding is masked by column validity (static ``t_valid``), so any
-  timeline length works after padding to a block multiple.
+* the accumulator stays UNnormalized until the final KV tile, then one divide
+  by ``l`` produces the output, and the row log-sum-exp ``L = m + log l`` is
+  written out (broadcast along a 128-lane trailing dim, the same layout
+  ``jax.experimental.pallas.ops.tpu.flash_attention`` uses for its ``l/m``
+  residuals) as the only extra residual the backward needs;
+* padded key columns are masked by static ``t_valid``.
 
-Tested in interpret mode against an XLA reference; benchmarked on v5e.
+Backward — the standard two-kernel split (residuals: q, k, v, o, lse; plus
+``di = rowsum(do·o)`` precomputed in XLA):
+
+* **dKV kernel** (grid = (heads, T_k/block_k, T_q/block_q), Q innermost):
+  each K/V tile streams all Q tiles, recomputing the probabilities
+  ``p = exp(s − lse)`` tile-by-tile (never materializing T×T) and
+  accumulating ``dv += pᵀ·do`` and ``dk += (p·(dp − di))ᵀ·q`` in VMEM.
+* **dQ kernel** (grid = (heads, T_q/block_q, T_k/block_k), KV innermost):
+  each Q tile streams all K/V tiles, accumulating ``dq += ds·k``.
+
+Gradient parity vs :func:`attention_reference` is tested in interpret mode
+(``tests/test_flash_attention.py``) and the O(T·d) memory claim is asserted
+via compiled-memory analysis at T=32k where the XLA backward's residuals are
+gigabytes.
 """
 
 from __future__ import annotations
@@ -34,10 +47,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -0.7 * float(np.finfo(np.float32).max)  # avoids exp(-inf - -inf) NaN
+LANES = 128  # trailing broadcast dim for per-row stats (TPU tiling)
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-            block_k: int, t_valid: int, scale: float, n_kv: int):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
+                block_k: int, t_valid: int, scale: float, n_kv: int):
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -74,9 +88,66 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     def _store():
         l = l_scr[:, :1]
         o_ref[0] = (acc_scr[...] / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+        # log-sum-exp residual for the backward; rows with no valid columns
+        # get 0 so the backward's exp(NEG_INF - 0) underflows to 0, not NaN.
+        lse = jnp.where(l_scr[...] == 0.0, 0.0, m_scr[...] + jnp.log(l_scr[...]))
+        lse_ref[0] = lse
+
+
+def _block_defaults(t, t_kv, block_q, block_k):
+    if block_q is None:
+        block_q = 512 if t >= 512 else 128
+    if block_k is None:
+        block_k = 512 if t_kv >= 512 else 128
+    return block_q, block_k
+
+
+def _pad_seq(x, t_pad):
+    t = x.shape[1]
+    return x if t_pad == t else jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
+    """→ (out (H, Tq, d), lse (H, Tq_pad, LANES) f32)."""
+    h, t, d = q.shape
+    t_kv = k.shape[1]
+    t_pad = -(-t // block_q) * block_q
+    tkv_pad = -(-t_kv // block_k) * block_k
+    q = _pad_seq(q, t_pad)
+    k = _pad_seq(k, tkv_pad)
+    v = _pad_seq(v, tkv_pad)
+    n_kv = tkv_pad // block_k
+
+    out, lse = pl.pallas_call(
+        partial(_fwd_kernel, block_k=block_k, t_valid=t_kv, scale=scale, n_kv=n_kv),
+        grid=(h, t_pad // block_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda hh, qi, ki: (hh, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda hh, qi, ki: (hh, ki, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda hh, qi, ki: (hh, ki, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda hh, qi, ki: (hh, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, LANES), lambda hh, qi, ki: (hh, qi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((h, t_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((h, t_pad, LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),   # running max
+            pltpu.VMEM((block_q, LANES), jnp.float32),   # running sum
+            pltpu.VMEM((block_q, d), jnp.float32),       # unnormalized output
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :t], lse
+
+
 def flash_attention(
     q: jax.Array,                 # (H, T, d)
     k: jax.Array,
@@ -93,43 +164,156 @@ def flash_attention(
     for short ones to bound padding waste.
     """
     h, t, d = q.shape
-    t_kv = k.shape[1]
-    if block_q is None:
-        block_q = 512 if t >= 512 else 128
-    if block_k is None:
-        block_k = 512 if t_kv >= 512 else 128
+    block_q, block_k = _block_defaults(t, k.shape[1], block_q, block_k)
     scale = (1.0 / np.sqrt(d)) if scale is None else scale
+    out, _ = _flash_fwd(q, k, v, scale, block_q, block_k, interpret)
+    return out
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
+                dk_scr, dv_scr, *, block_k: int, t_valid: int, scale: float, n_q: int):
+    qi = pl.program_id(2)
+    ki = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]                                   # (block_q, d)
+    k = k_ref[0]                                   # (block_k, d)
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)             # (block_q, d)
+    lse = lse_ref[0][:, :1]                        # (block_q, 1)
+    di = di_ref[0][:, :1]                          # (block_q, 1)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                      # (block_q, block_k)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+    s = jnp.where(col < t_valid, s, NEG_INF)
+    p = jnp.exp(s - lse)                           # normalized probabilities
+
+    # dv += pᵀ · do
+    dv_scr[...] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dp = do · vᵀ ; ds = p (dp − di)
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - di)
+    # dk += dsᵀ · q   (scale applied once at the end)
+    dk_scr[...] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == n_q - 1)
+    def _store():
+        dk_ref[0] = (dk_scr[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr, *,
+               block_k: int, t_valid: int, scale: float, n_kv: int):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1]
+    di = di_ref[0][:, :1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+    s = jnp.where(col < t_valid, s, NEG_INF)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - di)
+    dq_scr[...] += jax.lax.dot(
+        ds, k.astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ki == n_kv - 1)
+    def _store():
+        dq_ref[0] = (dq_scr[...] * scale).astype(dq_ref.dtype)
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def _flash_bwd(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
+    """Tiled backward → (dq, dk, dv), all O(T·d) memory."""
+    h, t, d = q.shape
+    t_kv = k.shape[1]
     t_pad = -(-t // block_q) * block_q
     tkv_pad = -(-t_kv // block_k) * block_k
-    if t_pad != t:
-        q = jnp.pad(q, ((0, 0), (0, t_pad - t), (0, 0)))
-    if tkv_pad != t_kv:
-        kv_pad = ((0, 0), (0, tkv_pad - t_kv), (0, 0))
-        k = jnp.pad(k, kv_pad)
-        v = jnp.pad(v, kv_pad)
-    n_kv = tkv_pad // block_k
+    q, g, o = _pad_seq(q, t_pad), _pad_seq(g, t_pad), _pad_seq(o, t_pad)
+    k, v = _pad_seq(k, tkv_pad), _pad_seq(v, tkv_pad)
+    n_q, n_kv = t_pad // block_q, tkv_pad // block_k
 
-    out = pl.pallas_call(
-        partial(_kernel, block_k=block_k, t_valid=t_kv, scale=scale, n_kv=n_kv),
-        grid=(h, t_pad // block_q, n_kv),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda hh, qi, ki: (hh, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda hh, qi, ki: (hh, ki, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda hh, qi, ki: (hh, ki, 0), memory_space=pltpu.VMEM),
+    # di = rowsum(do · o): cheap XLA precompute, stored in the same
+    # broadcast-along-lanes layout as lse.
+    di = jnp.broadcast_to(
+        jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), -1, keepdims=True),
+        (h, t_pad, LANES),
+    )
+
+    q_spec = pl.BlockSpec((1, block_q, d), lambda hh, a, b: (hh, a, 0), memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec((1, block_q, LANES), lambda hh, a, b: (hh, a, 0), memory_space=pltpu.VMEM)
+    # dKV: grid (h, kv tiles, q tiles) — q streams innermost
+    kv_spec_d = pl.BlockSpec((1, block_k, d), lambda hh, ki, qi: (hh, ki, 0), memory_space=pltpu.VMEM)
+    q_spec_d = pl.BlockSpec((1, block_q, d), lambda hh, ki, qi: (hh, qi, 0), memory_space=pltpu.VMEM)
+    stat_spec_d = pl.BlockSpec((1, block_q, LANES), lambda hh, ki, qi: (hh, qi, 0), memory_space=pltpu.VMEM)
+
+    dk, dv = pl.pallas_call(
+        partial(_dkv_kernel, block_k=block_k, t_valid=t_kv, scale=scale, n_q=n_q),
+        grid=(h, n_kv, n_q),
+        in_specs=[q_spec_d, kv_spec_d, kv_spec_d, q_spec_d, stat_spec_d, stat_spec_d],
+        out_specs=[kv_spec_d, kv_spec_d],
+        out_shape=[
+            jax.ShapeDtypeStruct((h, tkv_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((h, tkv_pad, d), v.dtype),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda hh, qi, ki: (hh, qi, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, t_pad, d), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),   # running max
-            pltpu.VMEM((block_q, 128), jnp.float32),   # running sum
-            pltpu.VMEM((block_q, d), jnp.float32),     # unnormalized output
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v)
-    return out[:, :t]
+    )(q, k, v, g, lse, di)
+
+    # dQ: grid (h, q tiles, kv tiles) — kv streams innermost
+    kv_spec_q = pl.BlockSpec((1, block_k, d), lambda hh, qi, ki: (hh, ki, 0), memory_space=pltpu.VMEM)
+    q_spec_q = pl.BlockSpec((1, block_q, d), lambda hh, qi, ki: (hh, qi, 0), memory_space=pltpu.VMEM)
+    stat_spec_q = pl.BlockSpec((1, block_q, LANES), lambda hh, qi, ki: (hh, qi, 0), memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        partial(_dq_kernel, block_k=block_k, t_valid=t_kv, scale=scale, n_kv=n_kv),
+        grid=(h, n_q, n_kv),
+        in_specs=[q_spec_q, kv_spec_q, kv_spec_q, q_spec_q, stat_spec_q, stat_spec_q],
+        out_specs=q_spec_q,
+        out_shape=jax.ShapeDtypeStruct((h, t_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, g, lse, di)
+
+    return dq[:, :t], dk[:, :t_kv], dv[:, :t_kv]
 
 
 def attention_reference(q, k, v, scale: float | None = None) -> jax.Array:
@@ -141,27 +325,35 @@ def attention_reference(q, k, v, scale: float | None = None) -> jax.Array:
     return jnp.einsum("hts,hsd->htd", p.astype(v.dtype), v)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def flash_attention_trainable(q, k, v, scale: float | None = None):
-    """Flash forward with gradients: Pallas kernel forward, XLA backward.
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_trainable(q, k, v, scale: float | None = None,
+                              interpret: bool = False):
+    """Flash attention with O(T·d) gradients: Pallas forward AND backward.
 
-    The backward pass recomputes attention probabilities with the XLA
-    formulation (O(T²) memory in the bwd only) — exact gradients with the
-    fast forward.  Right trade for spotting training at 1 fps condensed
-    timelines (T≈5.4k per match → 117 MB bwd scores); full-rate T=135k
-    training would need a tiled backward kernel (future round).
+    The backward recomputes probabilities tile-by-tile from the saved row
+    log-sum-exp (never materializing the (T, T) score matrix), so full-rate
+    T=135k transformer spotting TRAINS on one chip — the XLA backward at that
+    length would need a 72 GB score-matrix residual.  Grad parity vs
+    :func:`attention_reference` ≤1e-3 f32 (tests/test_flash_attention.py).
     """
-    return flash_attention(q, k, v, scale)
+    out, _ = _fat_fwd(q, k, v, scale, interpret)
+    return out
 
 
-def _fat_fwd(q, k, v, scale):
-    return flash_attention(q, k, v, scale), (q, k, v)
+def _fat_fwd(q, k, v, scale, interpret):
+    h, t, d = q.shape
+    block_q, block_k = _block_defaults(t, k.shape[1], None, None)
+    s = (1.0 / np.sqrt(d)) if scale is None else scale
+    out, lse = _flash_fwd(q, k, v, s, block_q, block_k, interpret)
+    return out, (q, k, v, out, lse)
 
 
-def _fat_bwd(scale, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: attention_reference(q_, k_, v_, scale), q, k, v)
-    return vjp(g)
+def _fat_bwd(scale, interpret, res, g):
+    q, k, v, o, lse = res
+    h, t, d = q.shape
+    block_q, block_k = _block_defaults(t, k.shape[1], None, None)
+    s = (1.0 / np.sqrt(d)) if scale is None else scale
+    return _flash_bwd(q, k, v, o, lse, g, s, block_q, block_k, interpret)
 
 
 flash_attention_trainable.defvjp(_fat_fwd, _fat_bwd)

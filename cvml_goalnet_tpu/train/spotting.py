@@ -24,16 +24,19 @@ def make_spotting_train_step(
     remat: bool = False,
     scorer: str = "gru",
     num_heads: int = 1,
+    use_flash: bool = False,
+    flash_interpret: bool = False,
 ):
     """→ jitted ``step(params, opt_state, features (T,D), labels (T,)) →
     (params, opt_state, loss)`` with weighted BCE on event frames.
 
     ``scorer``: "gru" (bidirectional scan) or "transformer"
-    (``models/temporal_attention``, XLA attention under autodiff).
-    ``remat=True`` rematerializes the scorer in the backward pass
-    (``jax.checkpoint``): activations are recomputed instead of stored, so
-    full-rate 90-min timelines (T=135k) train within a bounded activation
-    footprint — the standard TPU FLOPs-for-HBM trade.
+    (``models/temporal_attention``).  ``use_flash=True`` trains through the
+    tiled Pallas flash kernels (O(T·d) memory forward AND backward — the
+    full-rate T=135k path); ``flash_interpret`` runs them in interpret mode
+    (CPU tests).  ``remat=True`` rematerializes the scorer in the backward
+    pass (``jax.checkpoint``): activations are recomputed instead of stored,
+    the standard TPU FLOPs-for-HBM trade.
     """
     import jax as _jax
 
@@ -41,7 +44,9 @@ def make_spotting_train_step(
         from cvml_goalnet_tpu.models.temporal_attention import temporal_transformer_apply
 
         def scorer_fn(params, features, _hidden):
-            return temporal_transformer_apply(params, features, num_heads, False)
+            return temporal_transformer_apply(
+                params, features, num_heads, use_flash, flash_interpret
+            )
     else:
         from cvml_goalnet_tpu.models.temporal import temporal_scorer_apply as scorer_fn
 
