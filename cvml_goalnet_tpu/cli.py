@@ -30,6 +30,10 @@ def _load_cfg(args) -> PipelineConfig:
     cfg = PipelineConfig.load(args.config) if args.config else PipelineConfig()
     if getattr(args, "no_audio", False):
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, audio_included=False))
+    if getattr(args, "commentary", False):
+        # three-modality fusion: per-frame commentary from a
+        # `<video>.commentary.jsonl` sidecar (BASELINE.json config 4)
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, text_included=True))
     return cfg
 
 
@@ -168,13 +172,16 @@ def cmd_infer(args) -> int:
 
     scores = fuse(
         state.params, state.model_state,
-        {"visual": item.visual, "audio": item.audio}, cfg,
+        {"visual": item.visual, "audio": item.audio, "text": item.text}, cfg,
     )
     full_frames = decode_all_frames(args.video) if not args.video.endswith(".npz") else np.load(args.video)["frames"]
     res = summarize(
         scores, item.clip_intervals, cfg.preprocess.skip_frames,
         item.full_n_frames, cfg.knapsack, full_frames=full_frames,
     )
+    if res.summary_frames is None or not len(res.summary_frames):
+        print("W: knapsack selected no clips within the budget; nothing to export")
+        return 0
     out_fp = os.path.join(args.workdir, "tmp", f"{item.title}.mp4")
     os.makedirs(os.path.dirname(out_fp), exist_ok=True)
     export_video(res.summary_frames, out_fp, fps=30)
@@ -264,6 +271,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("train", help="train the importance model")
     _add_data_args(p)
     p.add_argument("--no-audio", action="store_true")
+    p.add_argument("--commentary", action="store_true",
+                   help="enable the text branch (reads <video>.commentary.jsonl sidecars)")
     p.add_argument("--checkpoint", action="store_true", help="resume from rolling ckp")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--dp", action="store_true", help="mesh data-parallel training")
@@ -274,6 +283,8 @@ def main(argv=None) -> int:
     _add_data_args(p)
     p.add_argument("video")
     p.add_argument("--no-audio", action="store_true")
+    p.add_argument("--commentary", action="store_true",
+                   help="enable the text branch (reads <video>.commentary.jsonl sidecars)")
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("spot", help="temporal event spotting over one video")

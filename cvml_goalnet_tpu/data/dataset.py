@@ -44,6 +44,7 @@ class VideoItem:
     gd_summary_masks: np.ndarray | None  # (A, full_n) knapsack GT masks
     full_n_frames: int
     clip_intervals: np.ndarray          # (K, 2)
+    text: np.ndarray | None = None      # (N, text_max_len) commentary token ids
 
 
 class VideoDataset:
@@ -105,10 +106,32 @@ def build_video_item(
             demux_audio(video_fp, audio_fp)
         waveform, _ = load_waveform(audio_fp, cfg.audio.sample_rate)
 
-    feats = extract_features(frames_raw, waveform, cfg)
+    # Commentary sidecar (text modality, BASELINE.json config 4): a
+    # `<video>.commentary.jsonl` next to the video, aligned per condensed
+    # frame (most recent line at or before each frame).
+    commentary = None
+    if cfg.model.text_included:
+        commentary_fp = video_fp.rsplit(".", 1)[0] + ".commentary.jsonl"
+        if os.path.exists(commentary_fp):
+            from cvml_goalnet_tpu.data.text import commentary_per_frame, load_commentary_jsonl
+
+            commentary = commentary_per_frame(
+                load_commentary_jsonl(commentary_fp), len(frames_raw), skip
+            )
+        else:
+            commentary = [""] * len(frames_raw)  # model expects the modality
+
+    feats = extract_features(frames_raw, waveform, cfg, commentary=commentary)
 
     labels = gd_masks = None
-    clip_intervals = np.array([[0, full_n]], dtype=np.int64)
+    if store is None:
+        # No change-point ground truth: uniform ~2-second segmentation, never
+        # wider than the knapsack budget (a single whole-video clip could
+        # never fit the 15% capacity and would make every summary empty).
+        budget = max(1, int(cfg.knapsack.summary_ratio * full_n))
+        step = max(1, min(2 * 30, budget))
+        starts = np.arange(0, full_n, step, dtype=np.int64)
+        clip_intervals = np.stack([starts, np.minimum(starts + step, full_n)], 1)
     if store is not None:
         clip_intervals = np.asarray(store.change_points(video_id))
         if annotation_fp is not None:
@@ -120,6 +143,8 @@ def build_video_item(
             feats["visual"] = feats["visual"][:n]
             if feats["audio"] is not None:
                 feats["audio"] = feats["audio"][:n]
+            if feats["text"] is not None:
+                feats["text"] = feats["text"][:n]
         # Ground-truth summaries: run each annotator's importances through the
         # same expand→clips→knapsack pipeline (reference utils.py:104-116).
         masks = []
@@ -143,6 +168,7 @@ def build_video_item(
         gd_summary_masks=gd_masks,
         full_n_frames=full_n,
         clip_intervals=clip_intervals,
+        text=feats["text"],
     )
 
 

@@ -30,3 +30,44 @@ def tokenize(texts: list[str], vocab_size: int, max_len: int) -> np.ndarray:
         for j, w in enumerate(words):
             out[i, j] = 1 + _fnv1a(w) % (vocab_size - 1)
     return out
+
+
+def load_commentary_jsonl(path: str) -> list[tuple[int, str]]:
+    """Parse a commentary sidecar (``<video>.commentary.jsonl``).
+
+    One JSON object per line: ``{"frame": <raw frame index>, "text": "..."}``.
+    Returns (frame, text) pairs sorted by frame.  This is the text-modality
+    ingestion the reference lacks entirely (BASELINE.json config 4 adds it).
+    """
+    import json
+
+    entries: list[tuple[int, str]] = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            obj = json.loads(line)
+            entries.append((int(obj["frame"]), str(obj["text"])))
+    entries.sort(key=lambda e: e[0])
+    return entries
+
+
+def commentary_per_frame(
+    entries: list[tuple[int, str]], n_condensed: int, skip_frames: int
+) -> list[str]:
+    """Align commentary lines to condensed frames.
+
+    Condensed frame ``i`` corresponds to raw frame ``i * skip_frames``; it
+    carries the most recent commentary line at or before that raw frame
+    (commentary persists until superseded — natural for live commentary).
+    Frames before the first line get the empty string.
+    """
+    out: list[str] = []
+    j = -1
+    for i in range(n_condensed):
+        raw = i * skip_frames
+        while j + 1 < len(entries) and entries[j + 1][0] <= raw:
+            j += 1
+        out.append(entries[j][1] if j >= 0 else "")
+    return out

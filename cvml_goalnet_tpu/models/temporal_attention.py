@@ -14,7 +14,7 @@ remains the default.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -98,3 +98,73 @@ def temporal_transformer_apply(
         h = L.layernorm_apply(layer["ln2"], x)
         x = x + L.linear_apply(layer["mlp_out"], jax.nn.gelu(L.linear_apply(layer["mlp_in"], h)))
     return L.linear_apply(params["head"], x)[:, 0]
+
+
+@lru_cache(maxsize=16)
+def _sharded_transformer_fn(mesh, num_heads: int, axis: str, t: int):
+    """Build + cache the jitted shard_map program for one (mesh, T) shape."""
+    import numpy as np
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from cvml_goalnet_tpu.parallel.ring_attention import ring_attention_local
+
+    def body(params, feats_l):
+        me = jax.lax.axis_index(axis)
+        tl = feats_l.shape[0]
+        max_len = params["pos"].shape[0]
+        x = L.linear_apply(params["proj_in"], feats_l)
+        gidx = (me * tl + jnp.arange(tl)) % max_len
+        x = x + params["pos"][gidx]
+        d = x.shape[-1]
+        hd = d // num_heads
+
+        def split(h):  # (Tl, D) → (H, Tl, hd)
+            return h.reshape(tl, num_heads, hd).transpose(1, 0, 2)
+
+        for layer in params["layers"]:
+            h = L.layernorm_apply(layer["ln1"], x)
+            q = split(L.linear_apply(layer["wq"], h))
+            k = split(L.linear_apply(layer["wk"], h))
+            v = split(L.linear_apply(layer["wv"], h))
+            attn = ring_attention_local(
+                q, k, v, axis, 1.0 / np.sqrt(hd), t_valid=t
+            )
+            x = x + L.linear_apply(layer["wo"], attn.transpose(1, 0, 2).reshape(tl, d))
+            h = L.layernorm_apply(layer["ln2"], x)
+            x = x + L.linear_apply(
+                layer["mlp_out"], jax.nn.gelu(L.linear_apply(layer["mlp_in"], h))
+            )
+        return L.linear_apply(params["head"], x)[:, 0]
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(axis, None)), out_specs=P(axis),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def temporal_transformer_sharded_apply(
+    params,
+    features: jax.Array,          # (T, D), T sharded over the mesh axis
+    mesh,
+    num_heads: int = 1,
+    axis: str = "data",
+) -> jax.Array:
+    """Context-parallel scoring: the timeline shards over ``axis`` and every
+    transformer block runs inside ONE ``shard_map`` — pointwise ops stay
+    local, attention runs as a ``ppermute`` ring
+    (``parallel/ring_attention.ring_attention_local``), numerically equal to
+    the monolithic :func:`temporal_transformer_apply` (padded key columns are
+    masked by the global true length).  Differentiable end-to-end: ``ppermute``
+    transposes to the reverse ring, so context-parallel TRAINING works —
+    this is how a full-rate 90-min timeline trains across a pod slice when
+    one chip's HBM is not enough.
+    """
+    t = features.shape[0]
+    n = mesh.shape[axis]
+    t_pad = -(-t // n) * n
+    feats = jnp.pad(features, ((0, t_pad - t), (0, 0))) if t_pad != t else features
+    fn = _sharded_transformer_fn(mesh, num_heads, axis, t)
+    return fn(params, feats)[:t]

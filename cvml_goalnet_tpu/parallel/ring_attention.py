@@ -4,7 +4,7 @@ SURVEY.md §2.3 noted ring attention was inapplicable upstream because "no
 attention exists to ring" — the temporal transformer
 (``models/temporal_attention``) changes that.  For timelines too long for one
 chip's HBM, the sequence axis shards across the mesh and attention runs as a
-ring (guide: boom_attention_tricks §15–16):
+ring:
 
 * each device keeps its local Q shard resident;
 * K/V shards rotate around the ring via ``ppermute`` — after ``n`` steps
@@ -13,15 +13,25 @@ ring (guide: boom_attention_tricks §15–16):
   attention uses (running max ``m``, normalizer ``l``, unnormalized ``acc``),
   so the result is numerically equal to monolithic attention.
 
-Inside each ring step the local block runs through XLA attention pieces; on
-real multi-chip hardware the ``ppermute`` rides ICI and overlaps with the
-block compute (XLA schedules the collective async).  Tested for exactness on
-the 8-device CPU mesh.
+Two entry points:
+
+* :func:`ring_attention_local` — the per-shard body, for composing INSIDE an
+  enclosing ``shard_map`` (how ``models/temporal_attention.
+  temporal_transformer_sharded_apply`` runs whole transformer blocks
+  context-parallel).  The rotation loop is a ``lax.scan`` and ``ppermute``
+  has a transpose rule, so ``jax.grad`` flows through it — context-parallel
+  TRAINING works (tested on the 8-device CPU mesh).
+* :func:`ring_attention` — standalone wrapper: sequence-sharded q/k/v in,
+  attention out.
+
+On real multi-chip hardware the ``ppermute`` rides ICI and overlaps with the
+block compute (XLA schedules the collective async).  Padding: when the global
+timeline is padded to a multiple of the ring size, pass ``t_valid`` — padded
+key columns (which live only on the LAST shard) are masked before the softmax
+statistics, so sharded == monolithic exactly.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import numpy as np
 import jax
@@ -32,14 +42,53 @@ from jax.sharding import Mesh, PartitionSpec as P
 NEG_INF = -0.7 * float(np.finfo(np.float32).max)
 
 
-def _local_block(q, k, v, scale):
-    """One Q-shard × K/V-shard block → (partial acc, m, l)."""
-    s = jnp.einsum("htd,hsd->hts", q, k).astype(jnp.float32) * scale
-    m = jnp.max(s, axis=-1, keepdims=True)                     # (H, Tl, 1)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    acc = jnp.einsum("hts,hsd->htd", p.astype(v.dtype), v).astype(jnp.float32)
-    return acc, m, l
+def ring_attention_local(
+    q_l: jax.Array,               # (H, T_local, d) — this device's Q shard
+    k_l: jax.Array,
+    v_l: jax.Array,
+    axis: str = "data",
+    scale: float | None = None,
+    t_valid: int | None = None,   # global true length (masks pad columns)
+) -> jax.Array:
+    """Per-shard ring attention body; call inside an enclosing ``shard_map``."""
+    h, tl, d = q_l.shape
+    scale = (1.0 / np.sqrt(d)) if scale is None else scale
+    n = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    perm = [(j, (j + 1) % n) for j in range(n)]
+
+    def step(carry, i):
+        k_cur, v_cur, m, l, acc = carry
+        s = jnp.einsum("htd,hsd->hts", q_l, k_cur).astype(jnp.float32) * scale
+        if t_valid is not None:
+            # at ring step i this device holds the K/V shard of device
+            # (me - i) mod n; mask its columns past the global true length
+            src = (me - i) % n
+            col = src * tl + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+            s = jnp.where(col < t_valid, s, NEG_INF)
+        m_i = jnp.max(s, axis=-1, keepdims=True)              # (H, Tl, 1)
+        p = jnp.exp(s - m_i)
+        l_i = jnp.sum(p, axis=-1, keepdims=True)
+        acc_i = jnp.einsum("hts,hsd->htd", p.astype(v_cur.dtype), v_cur).astype(jnp.float32)
+        # online-softmax merge of the new block into the running stats
+        m_new = jnp.maximum(m, m_i)
+        alpha = jnp.exp(m - m_new)
+        beta = jnp.exp(m_i - m_new)
+        l = alpha * l + beta * l_i
+        acc = acc * alpha + acc_i * beta
+        # rotate K/V shards one hop around the ring
+        k_next = jax.lax.ppermute(k_cur, axis_name=axis, perm=perm)
+        v_next = jax.lax.ppermute(v_cur, axis_name=axis, perm=perm)
+        return (k_next, v_next, m_new, l, acc), None
+
+    init = (
+        k_l, v_l,
+        jnp.full((h, tl, 1), NEG_INF, jnp.float32),
+        jnp.zeros((h, tl, 1), jnp.float32),
+        jnp.zeros((h, tl, d), jnp.float32),
+    )
+    (_, _, _, l, acc), _ = jax.lax.scan(step, init, jnp.arange(n))
+    return (acc / jnp.where(l == 0.0, 1.0, l)).astype(q_l.dtype)
 
 
 def ring_attention(
@@ -49,39 +98,12 @@ def ring_attention(
     mesh: Mesh,
     axis: str = "data",
     scale: float | None = None,
+    t_valid: int | None = None,
 ) -> jax.Array:
     """Sequence-sharded attention over the mesh → (H, T, d), exact."""
-    h, t, d = q.shape
-    scale = (1.0 / np.sqrt(d)) if scale is None else scale
-
-    def body(q_l, k_l, v_l):
-        n = jax.lax.axis_size(axis)
-
-        def step(i, carry):
-            k_cur, v_cur, m, l, acc = carry
-            acc_i, m_i, l_i = _local_block(q_l, k_cur, v_cur, scale)
-            # online-softmax merge of the new block into the running stats
-            m_new = jnp.maximum(m, m_i)
-            alpha = jnp.exp(m - m_new)
-            beta = jnp.exp(m_i - m_new)
-            l = alpha * l + beta * l_i
-            acc = acc * alpha + acc_i * beta
-            # rotate K/V shards one hop around the ring
-            perm = [(j, (j + 1) % n) for j in range(n)]
-            k_next = jax.lax.ppermute(k_cur, axis_name=axis, perm=perm)
-            v_next = jax.lax.ppermute(v_cur, axis_name=axis, perm=perm)
-            return k_next, v_next, m_new, l, acc
-
-        tl = q_l.shape[1]
-        init = (
-            k_l, v_l,
-            jnp.full((h, tl, 1), NEG_INF, jnp.float32),
-            jnp.zeros((h, tl, 1), jnp.float32),
-            jnp.zeros((h, tl, d), jnp.float32),
-        )
-        _, _, _, l, acc = jax.lax.fori_loop(0, n, step, init)
-        return (acc / jnp.where(l == 0.0, 1.0, l)).astype(q_l.dtype)
-
     seq = P(None, axis, None)
-    fn = shard_map(body, mesh=mesh, in_specs=(seq, seq, seq), out_specs=seq, check_rep=False)
+    fn = shard_map(
+        lambda ql, kl, vl: ring_attention_local(ql, kl, vl, axis, scale, t_valid),
+        mesh=mesh, in_specs=(seq, seq, seq), out_specs=seq, check_rep=False,
+    )
     return jax.jit(fn)(q, k, v)

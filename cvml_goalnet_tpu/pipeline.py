@@ -113,7 +113,10 @@ def fuse_many(params, state, features_list: list[dict], cfg: PipelineConfig) -> 
     audio = None
     if cfg.model.audio_included:
         audio = np.concatenate([f["audio"] for f in features_list])
-    scores = fuse(params, state, {"visual": visual, "audio": audio}, cfg)
+    text = None
+    if cfg.model.text_included:
+        text = np.concatenate([f["text"] for f in features_list])
+    scores = fuse(params, state, {"visual": visual, "audio": audio, "text": text}, cfg)
     sizes = [len(f["visual"]) for f in features_list]
     out, off = [], 0
     for n in sizes:

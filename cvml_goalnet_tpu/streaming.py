@@ -74,6 +74,7 @@ def score_video_stream(
     audio_chunks=None,
     prefetch_depth: int = 2,
     host_preprocess: bool = False,
+    transfer_dtype=None,
 ) -> tuple[np.ndarray, StreamStats]:
     """Score a stream of raw frame chunks → (N,) importance scores.
 
@@ -86,6 +87,12 @@ def score_video_stream(
     host→device traffic at 180×320→40×40, the right trade on
     bandwidth-constrained links (tunnels, remote devices); device-side
     preprocessing is the default for direct-attached TPUs.
+
+    ``transfer_dtype`` (e.g. ``np.float16``) casts host-preprocessed frames
+    before the host→device copy — normalized values live in [0, 1], where
+    f16 keeps ~3.3 decimal digits, so the score drift is ≤1e-3 on the [1, 5]
+    scale while H2D traffic halves again.  Only meaningful with
+    ``host_preprocess=True``; the device program upcasts to its compute dtype.
     """
     fn = _jitted_chunk_scorer(cfg, host_preprocess)
     timer = StageTimer()
@@ -108,6 +115,8 @@ def score_video_stream(
                 chunk = preprocess_frames_host(
                     chunk, cfg.preprocess.frame_size, cfg.preprocess.eps
                 )
+                if transfer_dtype is not None:
+                    chunk = chunk.astype(transfer_dtype)
             if k < chunk_size:
                 pad = np.zeros((chunk_size - k,) + chunk.shape[1:], chunk.dtype)
                 chunk = np.concatenate([chunk, pad])
@@ -149,11 +158,12 @@ def summarize_video_stream(
     chunk_size: int = 256,
     audio_chunks=None,
     host_preprocess: bool = False,
+    transfer_dtype=None,
 ) -> tuple[SummaryResult, StreamStats]:
     """Full streaming pipeline: decode chunks → device scoring → knapsack."""
     scores, stats = score_video_stream(
         params, state, frame_chunks, cfg, chunk_size, audio_chunks,
-        host_preprocess=host_preprocess,
+        host_preprocess=host_preprocess, transfer_dtype=transfer_dtype,
     )
     res = summarize(
         scores, clip_intervals, cfg.preprocess.skip_frames, full_n_frames, cfg.knapsack

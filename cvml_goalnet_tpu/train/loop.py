@@ -68,26 +68,27 @@ def make_train_video_fn(cfg: PipelineConfig, classifier: bool = False):
             lambda x: x.astype(d) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
         )
 
-    def fn(params, model_state, opt_state, visual, audio, labels, valid, rng):
+    def fn(params, model_state, opt_state, visual, audio, labels, valid, rng, text=None):
         n = visual.shape[0]
         n_sub = n // S
 
         def reshape(x):
             return None if x is None else x.reshape((n_sub, S) + x.shape[1:])
 
-        batches = (reshape(visual), reshape(audio), reshape(labels), reshape(valid))
+        batches = (reshape(visual), reshape(audio), reshape(text),
+                   reshape(labels), reshape(valid))
         rngs = jax.random.split(rng, n_sub)
 
         def step(carry, xs):
             params, model_state, opt_state = carry
-            vis, aud, lab, msk, step_rng = xs
+            vis, aud, txt, lab, msk, step_rng = xs
 
             def loss_of(p):
                 # mixed precision: bf16 forward/backward, f32 master params +
                 # loss; grads land back in f32 through the cast's vjp
                 preds, new_ms = avm_apply(
                     cast(p, dtype), cast(model_state, dtype),
-                    cast(vis, dtype), cast(aud, dtype), None,
+                    cast(vis, dtype), cast(aud, dtype), txt,
                     cfg=mc, train=True, rng=step_rng, classifier=classifier,
                 )
                 loss = _loss_fn(
@@ -117,9 +118,9 @@ def make_train_video_fn(cfg: PipelineConfig, classifier: bool = False):
 def _make_eval_fn(cfg: PipelineConfig, classifier: bool = False):
     tc, mc = cfg.train, cfg.model
 
-    def fn(params, model_state, visual, audio, labels, valid):
+    def fn(params, model_state, visual, audio, labels, valid, text=None):
         preds, _ = avm_apply(
-            params, model_state, visual, audio, None,
+            params, model_state, visual, audio, text,
             cfg=mc, train=False, classifier=classifier,
         )
         loss = _loss_fn(
@@ -145,17 +146,20 @@ def _pad_video(item, S: int):
         return np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x
 
     labels = item.labels if item.labels is not None else np.zeros((n,), np.float32)
-    return pad_arr(item.visual), pad_arr(item.audio), pad_arr(labels.astype(np.float32)), valid, n
+    text = getattr(item, "text", None)
+    return (pad_arr(item.visual), pad_arr(item.audio), pad_arr(labels.astype(np.float32)),
+            valid, n, pad_arr(text))
 
 
 def eval_video(state: TrainState, item, cfg: PipelineConfig, classifier: bool = False):
     """Eval-mode forward + loss for one whole video (reference ``main.py:93-118``)."""
     fn = _make_eval_fn(cfg, classifier)
-    visual, audio, labels, valid, n = _pad_video(item, cfg.train.subbatch_size)
+    visual, audio, labels, valid, n, text = _pad_video(item, cfg.train.subbatch_size)
     audio_in = jnp.asarray(audio) if (cfg.model.audio_included and audio is not None) else None
+    text_in = jnp.asarray(text) if (cfg.model.text_included and text is not None) else None
     preds, loss = fn(
         state.params, state.model_state, jnp.asarray(visual), audio_in,
-        jnp.asarray(labels), jnp.asarray(valid),
+        jnp.asarray(labels), jnp.asarray(valid), text_in,
     )
     return np.asarray(preds)[:n], float(loss)
 
@@ -246,12 +250,13 @@ def train_importance_model(
         ep_losses, ep_favg, ep_fmax = [], [], []
         params, model_state, opt_state = state.params, state.model_state, state.opt_state
         for item in train_ds:
-            visual, audio, labels, valid, n = _pad_video(item, cfg.train.subbatch_size)
+            visual, audio, labels, valid, n, text = _pad_video(item, cfg.train.subbatch_size)
             rng, vrng = jax.random.split(rng)
             audio_in = jnp.asarray(audio) if (cfg.model.audio_included and audio is not None) else None
+            text_in = jnp.asarray(text) if (cfg.model.text_included and text is not None) else None
             params, model_state, opt_state, preds, loss = train_fn(
                 params, model_state, opt_state, jnp.asarray(visual), audio_in,
-                jnp.asarray(labels), jnp.asarray(valid), vrng,
+                jnp.asarray(labels), jnp.asarray(valid), vrng, text_in,
             )
             fa, fm = _video_fscores(item, np.asarray(preds)[:n], cfg)
             ep_losses.append(float(loss))

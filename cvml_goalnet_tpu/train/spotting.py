@@ -71,6 +71,42 @@ def init_spotting_opt(params):
     return adam_init(params)
 
 
+@lru_cache(maxsize=8)
+def make_sharded_spotting_train_step(
+    mesh,
+    num_heads: int = 1,
+    lr: float = 1e-3,
+    pos_weight: float = 10.0,
+    axis: str = "data",
+):
+    """Context-parallel transformer spotting train step.
+
+    The timeline shards over the mesh ``axis`` and gradients flow through the
+    ``ppermute`` ring (its transpose is the reverse ring), so each device only
+    ever holds T/n of the sequence — the multi-chip path for timelines beyond
+    one chip's HBM.  Gradients equal the single-device step's ≤1e-4
+    (tests/test_flash_attention.py::TestContextParallelTraining).
+    """
+    from cvml_goalnet_tpu.models.temporal_attention import (
+        temporal_transformer_sharded_apply,
+    )
+
+    def loss_fn(params, features, labels):
+        logits = temporal_transformer_sharded_apply(
+            params, features, mesh, num_heads, axis
+        )
+        w = jnp.where(labels > 0.5, pos_weight, 1.0)
+        per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        return jnp.sum(w * per) / jnp.sum(w)
+
+    def step(params, opt_state, features, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, features, labels)
+        params, opt_state = adam_update(grads, opt_state, params, lr)
+        return params, opt_state, loss
+
+    return jax.jit(step)
+
+
 def save_spotting_checkpoint(path: str, params) -> None:
     """Atomic npz checkpoint of the temporal scorer params."""
     import os

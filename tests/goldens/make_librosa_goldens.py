@@ -1,0 +1,83 @@
+"""Generate librosa-parity golden MFCCs (run once; output is committed).
+
+Round-1 VERDICT item 3: every MFCC test compared the XLA path against our own
+NumPy mirror of the same re-derivation — self-referential.  This script
+freezes an INDEPENDENT oracle: HuggingFace ``transformers.audio_utils`` is a
+numerically-verified port of librosa's mel/spectrogram code (same Slaney
+filterbank, same power_to_db), and ``scipy.fftpack.dct`` is the exact routine
+librosa itself calls for the DCT stage.  The chain below is therefore
+librosa.feature.mfcc(y, sr=22050, n_mfcc=30) at the reference's settings
+(``/root/reference/utils.py:320,333``) without importing librosa:
+
+    S    = |stft(y, n_fft=2048, hop=512, hann, center, reflect-pad)|²
+    mel  = mel_filter_bank(slaney norm, slaney scale) @ S
+    db   = power_to_db(mel, ref=1.0, amin=1e-10, top_db=80)
+    mfcc = scipy DCT-II (ortho) [:30]
+
+Waveforms are generated deterministically here AND in the consuming test
+(tests/test_audio.py) so only the oracle outputs need committing.
+
+librosa pad-mode note: librosa < 0.10 used reflect STFT padding (frozen
+here, matching ``ops/audio.py``); librosa ≥ 0.10 switched its default to
+constant.  Slots shorter than n_fft//2 use constant padding in both.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from scipy.fftpack import dct
+
+import transformers.audio_utils as au
+
+SR, N_FFT, HOP, N_MELS, N_MFCC = 22050, 2048, 512, 128, 30
+
+
+def golden_waveforms() -> dict[str, np.ndarray]:
+    t = np.arange(SR) / SR
+    rng = np.random.default_rng(42)
+    two_tone = (0.5 * np.sin(2 * np.pi * 440 * t)
+                + 0.3 * np.sin(2 * np.pi * 1337 * t)
+                + 0.05 * rng.standard_normal(SR)).astype(np.float32)
+    chirp = np.sin(2 * np.pi * (200 * t + 1900 * t ** 2)).astype(np.float32)
+    click = np.zeros(SR // 2, np.float32)
+    click[1000:1032] = 1.0
+    short_slot = two_tone[:735]  # one full-rate 25fps video-frame slot
+    return {
+        "two_tone": two_tone,
+        "chirp": chirp,
+        "click": click,
+        "short_slot": short_slot,
+    }
+
+
+def oracle_mfcc(y: np.ndarray) -> np.ndarray:
+    """→ (n_mfcc, T) float64, librosa-equivalent."""
+    fb = au.mel_filter_bank(
+        1 + N_FFT // 2, N_MELS, 0.0, SR / 2, SR, norm="slaney", mel_scale="slaney"
+    ).T.astype(np.float64)                                   # (M, F)
+    win = au.window_function(N_FFT, "hann", periodic=True)
+    pad_mode = "reflect" if len(y) > N_FFT // 2 else "constant"
+    S = au.spectrogram(
+        y.astype(np.float64), win, frame_length=N_FFT, hop_length=HOP,
+        power=2.0, center=True, pad_mode=pad_mode, dtype=np.float64,
+    )                                                        # (F, T)
+    db = au.power_to_db(fb @ S, reference=1.0, min_value=1e-10, db_range=80.0)
+    return dct(db, axis=0, type=2, norm="ortho")[:N_MFCC]
+
+
+def main() -> None:
+    out = {}
+    for name, y in golden_waveforms().items():
+        out[f"mfcc_{name}"] = oracle_mfcc(y)
+    out["mel_filterbank"] = au.mel_filter_bank(
+        1 + N_FFT // 2, N_MELS, 0.0, SR / 2, SR, norm="slaney", mel_scale="slaney"
+    ).T  # (n_mels, 1 + n_fft//2), librosa layout
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "librosa_mfcc_goldens.npz")
+    np.savez_compressed(path, **out)
+    print(f"wrote {path}: " + ", ".join(f"{k}{v.shape}" for k, v in out.items()))
+
+
+if __name__ == "__main__":
+    main()

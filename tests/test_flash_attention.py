@@ -277,3 +277,122 @@ class TestFlashBackwardTiled:
         )
         p1, o1, loss = step(params, opt, jnp.asarray(feats), jnp.asarray(labels))
         assert np.isfinite(float(loss))
+
+
+class TestShardedTransformer:
+    """Round-2 (VERDICT item 4): ring attention is a reachable capability —
+    sharded timeline scoring + context-parallel training."""
+
+    def _params(self, dim=16, model_dim=32, layers=2, heads=2, max_len=128):
+        return temporal_transformer_init(
+            jax.random.PRNGKey(0), dim, model_dim=model_dim,
+            num_layers=layers, num_heads=heads, max_len=max_len,
+        )
+
+    def test_sharded_equals_monolithic(self):
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_sharded_apply)
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+
+        mesh = cpu_mesh(8)
+        params = self._params()
+        feats = jnp.asarray(
+            np.random.default_rng(0).standard_normal((96, 16)).astype(np.float32))
+        mono = np.asarray(temporal_transformer_apply(params, feats, 2))
+        shard = np.asarray(temporal_transformer_sharded_apply(params, feats, mesh, 2))
+        np.testing.assert_allclose(shard, mono, atol=1e-4)
+
+    def test_sharded_with_padding_masked(self):
+        # T=90 not divisible by 8 devices — pad columns must be masked
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_sharded_apply)
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+
+        mesh = cpu_mesh(8)
+        params = self._params()
+        feats = jnp.asarray(
+            np.random.default_rng(1).standard_normal((90, 16)).astype(np.float32))
+        mono = np.asarray(temporal_transformer_apply(params, feats, 2))
+        shard = np.asarray(temporal_transformer_sharded_apply(params, feats, mesh, 2))
+        assert shard.shape == (90,)
+        np.testing.assert_allclose(shard, mono, atol=1e-4)
+
+    def test_score_timeline_sharded_entry(self, small_cfg):
+        import dataclasses
+
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+        from cvml_goalnet_tpu.spotting import score_timeline_auto, score_timeline_sharded
+
+        mesh = cpu_mesh(8)
+        cfg = dataclasses.replace(
+            small_cfg,
+            model=dataclasses.replace(
+                small_cfg.model, temporal_model="transformer", temporal_num_heads=2),
+        )
+        params = self._params()
+        feats = jnp.asarray(
+            np.random.default_rng(2).standard_normal((64, 16)).astype(np.float32))
+        mono = np.asarray(score_timeline_auto(params, feats, cfg))
+        shard = np.asarray(score_timeline_sharded(params, feats, mesh, cfg))
+        np.testing.assert_allclose(shard, mono, atol=1e-4)
+
+        # GRU dispatch also reachable on the mesh
+        from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
+
+        gcfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, temporal_hidden=8))
+        gparams = temporal_scorer_init(jax.random.PRNGKey(1), 16, 8)
+        out = score_timeline_sharded(gparams, feats, mesh, gcfg)
+        assert np.asarray(out).shape == (64,)
+
+
+class TestContextParallelTraining:
+    def test_cp_grads_match_single_device(self):
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_sharded_apply)
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+
+        mesh = cpu_mesh(8)
+        params = temporal_transformer_init(
+            jax.random.PRNGKey(0), 12, model_dim=32, num_layers=1, num_heads=1, max_len=128)
+        rng = np.random.default_rng(3)
+        feats = jnp.asarray(rng.standard_normal((96, 12)).astype(np.float32))
+        labels = jnp.asarray((rng.random(96) < 0.1).astype(np.float32))
+
+        def bce(logits, labels):
+            per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+            return jnp.mean(per)
+
+        def loss_mono(p):
+            return bce(temporal_transformer_apply(p, feats, 1), labels)
+
+        def loss_cp(p):
+            return bce(temporal_transformer_sharded_apply(p, feats, mesh, 1), labels)
+
+        g1 = jax.grad(loss_mono)(params)
+        g2 = jax.grad(loss_cp)(params)
+        flat1 = jax.tree_util.tree_leaves(g1)
+        flat2 = jax.tree_util.tree_leaves(g2)
+        for a, b in zip(flat1, flat2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
+
+    def test_cp_train_step_learns(self):
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+        from cvml_goalnet_tpu.train.spotting import (
+            init_spotting_opt, make_sharded_spotting_train_step)
+
+        mesh = cpu_mesh(8)
+        rng = np.random.default_rng(4)
+        t, dim = 128, 8
+        labels = (rng.random(t) < 0.1).astype(np.float32)
+        feats = rng.standard_normal((t, dim)).astype(np.float32) * 0.1
+        feats[labels > 0.5, 0] += 3.0
+        params = temporal_transformer_init(
+            jax.random.PRNGKey(0), dim, model_dim=16, num_layers=1, num_heads=1, max_len=128)
+        opt = init_spotting_opt(params)
+        step = make_sharded_spotting_train_step(mesh, num_heads=1, lr=3e-3)
+        losses = []
+        for _ in range(30):
+            params, opt, loss = step(params, opt, jnp.asarray(feats), jnp.asarray(labels))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.8
