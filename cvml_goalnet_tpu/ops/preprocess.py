@@ -100,11 +100,22 @@ def preprocess_frames_host(frames: np.ndarray, out_hw: tuple[int, int] = (40, 40
     try:
         import cv2
 
-        for i in range(n):
+        def one(i):
             small[i] = cv2.resize(
                 frames[i].astype(np.float32), (out_hw[1], out_hw[0]),
                 interpolation=cv2.INTER_LINEAR,
             )
+
+        if n >= 64:
+            # cv2.resize releases the GIL; chunked frames parallelize cleanly
+            import os
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as pool:
+                list(pool.map(one, range(n)))
+        else:
+            for i in range(n):
+                one(i)
     except ImportError:
         rh, rw = resize_matrices(h, w, *out_hw)
         f = frames.astype(np.float32)

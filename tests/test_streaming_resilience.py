@@ -136,6 +136,29 @@ class TestHostPreprocessStream:
         )
         np.testing.assert_allclose(host, dev, atol=1e-4)
 
+    def test_f16_transfer_dtype_drift_bounded(self, small_cfg):
+        # round-2: f16 host→device transfer halves bandwidth; scores must stay
+        # within 1e-3 of the f32 path on the [1, 5] scale (normalized inputs
+        # live in [0, 1] where f16 keeps ~3.3 decimal digits)
+        import dataclasses
+
+        import jax as _jax
+
+        rng = np.random.default_rng(6)
+        frames = rng.integers(0, 255, (64, 48, 64, 3)).astype(np.uint8)
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False)
+        )
+        params, state = avm_init(_jax.random.PRNGKey(0), cfg.model, cfg.preprocess, cfg.audio)
+        f32, _ = score_video_stream(
+            params, state, _chunks(frames, 32), cfg, chunk_size=32, host_preprocess=True
+        )
+        f16, _ = score_video_stream(
+            params, state, _chunks(frames, 32), cfg, chunk_size=32,
+            host_preprocess=True, transfer_dtype=np.float16,
+        )
+        np.testing.assert_allclose(f16, f32, atol=1e-3)
+
 
 class TestParallelDecodeStream:
     def test_ordered_chunks_match_sequential(self, tmp_path):
