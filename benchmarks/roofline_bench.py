@@ -136,6 +136,21 @@ def main() -> None:
          tflops=round(total_flop / full_t / 1e12, 1),
          pct_bf16_peak=round(100 * total_flop / full_t / 1e12 / BF16_PEAK_TFLOPS, 1))
 
+    # the PRODUCTION eval path (batchnorms folded into the consuming conv /
+    # linear weights — models/visual.py) for comparison with the per-stage sum
+    from cvml_goalnet_tpu.models.visual import visual_encoder_apply
+
+    def folded(x):
+        out, _ = visual_encoder_apply(
+            p, s, x, train=False, rng=jax.random.PRNGKey(0), dropout_rate=0.0
+        )
+        return out
+
+    t_folded = timed_chained(folded, x0)
+    emit(metric="visual_stack_folded_bn", batch=batch, ms=round(t_folded * 1e3, 3),
+         tflops=round(total_flop / t_folded / 1e12, 1),
+         pct_bf16_peak=round(100 * total_flop / t_folded / 1e12 / BF16_PEAK_TFLOPS, 1))
+
     for k, (name, _) in enumerate(stages, start=1):
         dt = times[k] - times[k - 1]
         row = {"metric": "visual_stage", "stage": name, "ms": round(dt * 1e3, 3)}
@@ -151,11 +166,13 @@ def main() -> None:
         a = jnp.asarray(rng.random((m, k)).astype(np.float32)).astype(jnp.bfloat16)
         b = jnp.asarray(rng.random((k, n)).astype(np.float32)).astype(jnp.bfloat16)
 
-        # scalar-carry chaining serializes the 20 GEMMs inside one dispatch
+        # scalar-carry chaining serializes the 20 GEMMs inside one dispatch;
+        # perturb the SMALL operand (k, n) so chaining doesn't add an (m, k)
+        # HBM rewrite per iteration
         @jax.jit
         def run(a):
             def body(c, _):
-                out = jax.lax.dot(a + c, b, preferred_element_type=jnp.bfloat16)
+                out = jax.lax.dot(a, b + c, preferred_element_type=jnp.bfloat16)
                 return jnp.mean(out).astype(jnp.bfloat16) * jnp.bfloat16(1e-8), None
 
             c, _ = jax.lax.scan(body, jnp.bfloat16(0.0), None, length=20)

@@ -67,6 +67,11 @@ def _load_frames(path: str, skip_frames: int) -> tuple[np.ndarray, int]:
     if path.endswith(".npz"):
         frames = np.load(path)["frames"]
         return frames[::skip_frames], len(frames)
+    workers = int(os.environ.get("GOALNET_DECODE_WORKERS", "1"))
+    if workers > 1:
+        from cvml_goalnet_tpu.data.video import decode_condensed_frames_parallel
+
+        return decode_condensed_frames_parallel(path, skip_frames, workers)
     return decode_condensed_frames(path, skip_frames)
 
 

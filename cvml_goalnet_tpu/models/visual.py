@@ -55,7 +55,18 @@ def visual_encoder_init(key, cfg: ModelConfig, pre: PreprocessConfig):
 
 
 def visual_encoder_apply(params, state, x, *, train: bool, rng, dropout_rate: float):
-    """x: (N, H, W, C) normalized frames → (N, vis_feature_dim)."""
+    """x: (N, H, W, C) normalized frames → (N, vis_feature_dim).
+
+    Eval mode folds each batchnorm (affine per channel, ``y = s·x + t``) into
+    the CONSUMING conv/linear weights — valid for any gamma sign because the
+    consumer is linear in its input — eliminating three full-size elementwise
+    passes (and their HBM round-trips) from the inference hot path.  The fold
+    arithmetic runs in f32 on the (tiny) weights; results are numerically the
+    same regrouped sums (tested vs the unfolded path).
+    """
+    if not train:
+        return _visual_encoder_apply_folded(params, state, x), state
+
     new_state = {}
     for i in range(len(_STAGE_GEOM)):
         name = f"conv{i}"
@@ -70,3 +81,57 @@ def visual_encoder_apply(params, state, x, *, train: bool, rng, dropout_rate: fl
     x = jax.nn.relu(L.linear_apply(params["head"], x))
     x = L.dropout(x, dropout_rate, train, rng)
     return x, new_state
+
+
+def _bn_affine(bn_params, bn_state, eps: float = 1e-5):
+    """Eval batchnorm as per-channel (s, t): y = s·x + t (f32)."""
+    import jax.numpy as jnp
+
+    scale = bn_params["scale"].astype(jnp.float32)
+    inv = jax.lax.rsqrt(bn_state["var"].astype(jnp.float32) + eps)
+    s = scale * inv
+    t = bn_params["bias"].astype(jnp.float32) - bn_state["mean"].astype(jnp.float32) * s
+    return s, t
+
+
+def _visual_encoder_apply_folded(params, state, x):
+    import jax.numpy as jnp
+
+    n_stages = sum(1 for i in range(len(_STAGE_GEOM)) if f"conv{i}" in params)
+    s_prev = t_prev = None
+    for i in range(n_stages):
+        _, st, pad = _STAGE_GEOM[i]
+        w = params[f"conv{i}"]["w"].astype(jnp.float32)
+        b = params[f"conv{i}"]["b"].astype(jnp.float32)
+        if s_prev is not None:  # absorb bn_{i-1}: conv(s·z + t) = conv(s·z) + corr
+            # The additive part must respect zero padding (border outputs see
+            # fewer t-taps), so compute it exactly as a batch-1 conv over a
+            # t-filled map — broadcast-added like a spatial bias (negligible
+            # cost: 1/N of the stage's conv work).
+            t_map = jnp.broadcast_to(
+                t_prev.astype(x.dtype), (1, x.shape[1], x.shape[2], w.shape[2])
+            )
+            corr = L.conv2d_apply(
+                {"w": w.astype(x.dtype), "b": b.astype(x.dtype)}, t_map,
+                stride=st, padding=pad,
+            )
+            w = w * s_prev[None, None, :, None]
+            folded = {"w": w.astype(x.dtype), "b": jnp.zeros_like(b, x.dtype)}
+            x = L.conv2d_apply(folded, x, stride=st, padding=pad) + corr
+        else:
+            folded = {"w": w.astype(x.dtype), "b": b.astype(x.dtype)}
+            x = L.conv2d_apply(folded, x, stride=st, padding=pad)
+        x = jax.nn.relu(x)
+        x = L.maxpool2d(x, *_POOL)
+        s_prev, t_prev = _bn_affine(params[f"bn{i}"], state[f"bn{i}"])
+    # absorb the last bn into the head linear (flatten is channel-last)
+    hw = x.shape[1] * x.shape[2]
+    s_flat = jnp.tile(s_prev, hw)
+    t_flat = jnp.tile(t_prev, hw)
+    w = params["head"]["w"].astype(jnp.float32)
+    head = {
+        "w": (w * s_flat[:, None]).astype(x.dtype),
+        "b": (params["head"]["b"].astype(jnp.float32) + t_flat @ w).astype(x.dtype),
+    }
+    x = x.reshape(x.shape[0], -1)
+    return jax.nn.relu(L.linear_apply(head, x))

@@ -169,3 +169,47 @@ class TestResNetBackbone:
         g = jax.grad(loss)(p)
         total = sum(float(jnp.sum(jnp.abs(t))) for t in jax.tree_util.tree_leaves(g))
         assert np.isfinite(total) and total > 0
+
+
+class TestFoldedBatchnormEval:
+    """Round-2 roofline work: eval-mode batchnorm folding into the consuming
+    conv/linear must be exact — incl. negative gammas and padded borders
+    (the additive term is computed with a batch-1 conv so zero-padding edge
+    outputs, which see fewer t-taps, stay correct)."""
+
+    def test_folded_equals_unfolded(self, small_cfg):
+        from cvml_goalnet_tpu.config import ModelConfig, PreprocessConfig
+        from cvml_goalnet_tpu.models import layers as L
+        from cvml_goalnet_tpu.models.visual import (
+            _STAGE_GEOM, visual_encoder_apply, visual_encoder_init)
+
+        cfg = ModelConfig()
+        pre = PreprocessConfig()
+        params, state = visual_encoder_init(jax.random.PRNGKey(0), cfg, pre)
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            c = params[f"conv{i}"]["b"].shape[0]
+            params[f"bn{i}"]["scale"] = jnp.asarray(rng.normal(1.0, 0.3, c).astype(np.float32))
+            params[f"bn{i}"]["bias"] = jnp.asarray(rng.normal(0, 0.2, c).astype(np.float32))
+            state[f"bn{i}"]["mean"] = jnp.asarray(rng.normal(0, 0.5, c).astype(np.float32))
+            state[f"bn{i}"]["var"] = jnp.asarray((rng.random(c) * 2 + 0.1).astype(np.float32))
+        # a negative gamma: max-pool does NOT commute with it, but the fold
+        # targets the NEXT conv (linear in its input), so it must stay exact
+        params["bn1"]["scale"] = params["bn1"]["scale"].at[0].set(-0.7)
+
+        x = jnp.asarray(rng.random((4, 40, 40, 3)).astype(np.float32))
+
+        def unfolded(params, state, x):
+            for i in range(3):
+                _, s, p = _STAGE_GEOM[i]
+                x = L.conv2d_apply(params[f"conv{i}"], x, stride=s, padding=p)
+                x = jax.nn.relu(x)
+                x = L.maxpool2d(x, 3, 1)
+                x, _ = L.batchnorm_apply(params[f"bn{i}"], state[f"bn{i}"], x, train=False)
+            x = x.reshape(x.shape[0], -1)
+            return jax.nn.relu(L.linear_apply(params["head"], x))
+
+        ref = np.asarray(unfolded(params, state, x))
+        got, _ = visual_encoder_apply(
+            params, state, x, train=False, rng=jax.random.PRNGKey(0), dropout_rate=0.2)
+        np.testing.assert_allclose(np.asarray(got), ref, atol=5e-5)
