@@ -79,3 +79,61 @@ def load_checkpoint(directory: str, template: TrainState, tag: str = "ckp") -> T
         opt_state=AdamState(**payload["opt_state"]),
         epoch=int(manifest["epoch"]),
     )
+
+
+class AsyncCheckpointer:
+    """Background-thread checkpointing: training never blocks on disk.
+
+    TPU trainers hide checkpoint I/O behind the next step (the orbax pattern):
+    device arrays are snapshotted to host SYNCHRONOUSLY (cheap; the arrays
+    are immutable so no copy-race with the optimizer) and the npz/manifest
+    write happens on a worker thread.  One write runs at a time per tag —
+    a newer snapshot for the same tag supersedes a queued older one, so a
+    slow disk never builds a backlog.  Atomic rename semantics are inherited
+    from :func:`save_checkpoint`.
+    """
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._pending: dict[str, tuple] = {}
+        self._thread: "threading.Thread | None" = None
+        self._errors: list[BaseException] = []
+
+    def save(self, directory: str, state: TrainState, cfg: PipelineConfig, tag: str = "ckp") -> None:
+        import threading
+
+        # snapshot to host now — jax arrays are immutable, np.asarray is the
+        # only device→host sync we pay on the training thread
+        host_state = TrainState(
+            params=jax.tree.map(np.asarray, state.params),
+            model_state=jax.tree.map(np.asarray, state.model_state),
+            opt_state=jax.tree.map(np.asarray, state.opt_state),
+            epoch=state.epoch,
+        )
+        with self._lock:
+            self._pending[tag] = (directory, host_state, cfg)
+            if self._thread is None or not self._thread.is_alive():
+                self._thread = threading.Thread(target=self._drain, daemon=True)
+                self._thread.start()
+
+    def _drain(self) -> None:
+        while True:
+            with self._lock:
+                if not self._pending:
+                    return
+                tag, (directory, state, cfg) = next(iter(self._pending.items()))
+                del self._pending[tag]
+            try:
+                save_checkpoint(directory, state, cfg, tag)
+            except BaseException as e:  # surfaced by wait()
+                self._errors.append(e)
+
+    def wait(self) -> None:
+        """Block until all queued writes land; re-raise the first failure."""
+        t = self._thread
+        if t is not None:
+            t.join()
+        if self._errors:
+            raise self._errors[0]

@@ -192,3 +192,56 @@ class TestServeHardening:
         )
         with pytest.raises(ValueError, match="media_root"):
             serve_http(Summarizer(cfg), host="0.0.0.0", port=0)
+
+
+class TestDynamicBatching:
+    """Round-2: cross-request micro-batching — exact (per-frame model) and
+    actually batching concurrent riders into fewer device dispatches."""
+
+    def test_batched_equals_unbatched(self, small_cfg):
+        import dataclasses
+
+        from cvml_goalnet_tpu.serve import DynamicBatcher
+
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False)
+        )
+        s = Summarizer(cfg)
+        batcher = DynamicBatcher(s, max_batch_frames=256, max_wait_ms=40.0,
+                                 buckets=(64, 128, 256))
+        batcher.warmup()
+
+        rng = np.random.default_rng(0)
+        reqs = [rng.integers(0, 255, (n, 32, 40, 3), dtype=np.uint8) for n in (10, 7, 16, 5)]
+        futs = [batcher.submit(f"v{i}", fr) for i, fr in enumerate(reqs)]
+        got = [f.result(timeout=120) for f in futs]
+
+        for i, (fr, resp) in enumerate(zip(reqs, got)):
+            want = s.summarize_frames(f"v{i}", fr)
+            np.testing.assert_allclose(resp.scores, want.scores, atol=1e-4)
+            np.testing.assert_array_equal(resp.frame_mask, want.frame_mask)
+
+        # the 4 requests (submitted together, within the wait window) must
+        # have shared device dispatches
+        assert batcher.stats["requests"] == 4
+        assert batcher.stats["batches"] < 4
+        assert batcher.stats["batched_frames"] == sum(len(r) for r in reqs)
+
+    def test_error_propagates_to_all_riders(self, small_cfg):
+        import dataclasses
+
+        from cvml_goalnet_tpu.serve import DynamicBatcher
+
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False)
+        )
+        s = Summarizer(cfg)
+        batcher = DynamicBatcher(s, max_wait_ms=30.0, buckets=(64,))
+        # poison the model params so fuse raises for the whole batch
+        s.state = None
+        rng = np.random.default_rng(1)
+        futs = [batcher.submit(f"x{i}", rng.integers(0, 255, (4, 24, 24, 3), dtype=np.uint8))
+                for i in range(3)]
+        for f in futs:
+            with pytest.raises(Exception):
+                f.result(timeout=60)

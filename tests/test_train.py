@@ -304,3 +304,34 @@ class TestTextModalityTraining:
             one = fuse(state.params, state.model_state,
                        {"visual": it.visual, "audio": None, "text": it.text}, cfg)
             np.testing.assert_allclose(got, one, atol=1e-5)
+
+
+class TestAsyncCheckpointer:
+    def test_async_save_roundtrip_and_supersede(self, small_cfg, tmp_path):
+        from cvml_goalnet_tpu.train.checkpoint import AsyncCheckpointer, load_checkpoint
+
+        cfg = small_cfg
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        ck = AsyncCheckpointer()
+        # queue two saves for the same tag — the newer must win
+        ck.save(str(tmp_path), state, cfg, tag="ckp")
+        state2 = TrainState(state.params, state.model_state, state.opt_state, epoch=7)
+        ck.save(str(tmp_path), state2, cfg, tag="ckp")
+        ck.wait()
+        restored = load_checkpoint(str(tmp_path), state, tag="ckp")
+        assert restored.epoch == 7
+        a = jax.tree_util.tree_leaves(restored.params)
+        b = jax.tree_util.tree_leaves(state.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_wait_surfaces_write_errors(self, small_cfg, tmp_path):
+        from cvml_goalnet_tpu.train.checkpoint import AsyncCheckpointer
+
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        ck = AsyncCheckpointer()
+        bad = tmp_path / "not_a_dir"
+        bad.write_text("file blocks mkdir")
+        ck.save(str(bad), state, small_cfg, tag="ckp")
+        with pytest.raises(Exception):
+            ck.wait()
