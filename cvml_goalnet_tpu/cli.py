@@ -219,8 +219,20 @@ def cmd_spot(args) -> int:
     except FileNotFoundError:
         print("W: no trained importance checkpoint; using random-init trunk")
 
+    if getattr(args, "temporal_model", None):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, temporal_model=args.temporal_model)
+        )
     d = cfg.model.vis_feature_dim + (cfg.model.aud_feature_dim if cfg.model.audio_included else 0)
-    tparams = temporal_scorer_init(jax.random.PRNGKey(1), d, cfg.model.temporal_hidden)
+    if cfg.model.temporal_model == "transformer":
+        from cvml_goalnet_tpu.models.temporal_attention import temporal_transformer_init
+
+        tparams = temporal_transformer_init(
+            jax.random.PRNGKey(1), d,
+            num_heads=cfg.model.temporal_num_heads, max_len=cfg.model.temporal_max_len,
+        )
+    else:
+        tparams = temporal_scorer_init(jax.random.PRNGKey(1), d, cfg.model.temporal_hidden)
     if args.temporal_checkpoint:
         tparams = load_spotting_checkpoint(args.temporal_checkpoint, tparams)
     else:
@@ -292,6 +304,7 @@ def main(argv=None) -> int:
     p.add_argument("video")
     p.add_argument("--no-audio", action="store_true")
     p.add_argument("--temporal-checkpoint", default=None)
+    p.add_argument("--temporal-model", choices=["gru", "transformer"], default=None)
     p.add_argument("--peak-window", type=int, default=5)
     p.add_argument("--peak-threshold", type=float, default=0.0)
     p.set_defaults(fn=cmd_spot)

@@ -184,6 +184,7 @@ def train_importance_model(
     on_epoch_end=None,
     verbose: bool = True,
     metrics_logger=None,
+    async_checkpoint: bool = False,
 ):
     """Full training driver (reference ``train_importance_model``, ``main.py:26-298``).
 
@@ -192,6 +193,12 @@ def train_importance_model(
     and checkpoint every epoch.  Returns (best_state, history dict).
     """
     from cvml_goalnet_tpu.train.checkpoint import save_checkpoint
+
+    if async_checkpoint:
+        from cvml_goalnet_tpu.train.checkpoint import AsyncCheckpointer
+
+        _ck = AsyncCheckpointer()
+        save_checkpoint = _ck.save  # noqa: F811 — same signature, off-thread
 
     train_fn = make_train_video_fn(cfg, classifier)
     num_epochs = cfg.train.num_epochs if num_epochs is None else num_epochs
@@ -286,6 +293,9 @@ def train_importance_model(
             save_checkpoint(checkpoint_dir, state, cfg, tag="ckp")
         if on_epoch_end is not None:
             on_epoch_end(epoch, history, best)
+
+    if async_checkpoint and checkpoint_dir:
+        _ck.wait()  # all queued writes durable before returning
 
     history["best_epoch"] = best["epoch"]
     return best["state"], history

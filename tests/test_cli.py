@@ -136,3 +136,15 @@ class TestCLICommentary:
                   "--workdir", root, "--no-audio", "--commentary"], root)
         assert r.returncode == 0, r.stderr[-2000:]
         assert "Exported video details" in r.stdout
+
+
+class TestCLISpotTransformer:
+    def test_spot_with_transformer_scorer(self, cli_env):
+        root = cli_env["root"]
+        r = _run(["spot", cli_env["video_fps"][0], "--mat-fp", cli_env["mat_file_path"],
+                  "--h5-fp", cli_env["h5_file_path"], "--config", cli_env["cfg"],
+                  "--workdir", root, "--peak-threshold=-1e9",
+                  "--temporal-model", "transformer"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = json.loads(r.stdout[r.stdout.index("{"):])
+        assert payload["summary_frames"] > 0

@@ -335,3 +335,16 @@ class TestAsyncCheckpointer:
         ck.save(str(bad), state, small_cfg, tag="ckp")
         with pytest.raises(Exception):
             ck.wait()
+
+
+class TestAsyncCheckpointInLoop:
+    def test_training_with_async_checkpoint(self, small_cfg, tmp_path):
+        ds = VideoDataset([_make_item(small_cfg, n=10, seed=0)])
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        best, history = train_importance_model(
+            small_cfg, ds, ds, state, num_epochs=2,
+            checkpoint_dir=str(tmp_path), verbose=False, async_checkpoint=True,
+        )
+        template = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        restored = load_checkpoint(str(tmp_path), template, tag="ckp")
+        assert restored.epoch == 2
