@@ -1,6 +1,7 @@
 """Pallas kernels vs their XLA reference paths (interpret mode on CPU)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -49,3 +50,23 @@ class TestFusedMLP:
         got = fused_fusion_mlp(x, fusion, block_rows=16, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
         assert got.shape == (37, 1)  # padding stripped
+
+
+class TestFusedConvPoolStage:
+    """Fused conv+relu+maxpool Pallas stage (interpret-mode parity; on TPU it
+    measured slower than XLA's fusion and is NOT the production path —
+    see the module docstring + docs/BENCHMARKS.md)."""
+
+    @pytest.mark.parametrize("shape", [(20, 13, 13, 8, 16), (9, 11, 11, 16, 32)])
+    def test_matches_xla_chain(self, shape):
+        from cvml_goalnet_tpu.ops.pallas.fused_stage import (
+            fused_conv_pool_stage, reference_stage)
+
+        n, h, w, c, co = shape
+        rng = np.random.default_rng(n)
+        x = jnp.asarray(rng.standard_normal((n, h, w, c)).astype(np.float32))
+        wt = jnp.asarray(rng.standard_normal((3, 3, c, co)).astype(np.float32) * 0.05)
+        b = jnp.asarray(rng.standard_normal((h, w, co)).astype(np.float32) * 0.1)
+        want = np.asarray(reference_stage(x, wt, b))
+        got = np.asarray(fused_conv_pool_stage(x, wt, b, 8, True))
+        np.testing.assert_allclose(got, want, atol=1e-5)
