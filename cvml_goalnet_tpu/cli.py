@@ -255,7 +255,121 @@ def cmd_spot(args) -> int:
         "summary_clips": np.asarray(result.summary.clip_intervals).tolist(),
         "summary_frames": int(result.summary.frame_mask.sum()),
     }
+
+    # optional evaluation vs an events sidecar (tolerance P/R + average-mAP)
+    events_fp = args.video.rsplit(".", 1)[0] + ".events.json"
+    if getattr(args, "eval_events", False) and os.path.exists(events_fp):
+        from cvml_goalnet_tpu.ops.spotting_metrics import average_map, spotting_pr
+        from cvml_goalnet_tpu.spotting import load_event_labels
+
+        gt = np.nonzero(load_event_labels(
+            events_fp, len(item.visual), cfg.preprocess.skip_frames))[0]
+        pred = result.events
+        scores = np.asarray(result.scores)[pred] if len(pred) else np.zeros((0,))
+        p, r, f1 = spotting_pr(pred, scores, gt, tolerance=args.eval_tolerance)
+        payload["eval"] = {
+            "gt_events": gt.tolist(),
+            "tolerance": args.eval_tolerance,
+            "precision": round(p, 4), "recall": round(r, 4), "f1": round(f1, 4),
+            **average_map(pred, scores, gt),
+        }
+
     print(json.dumps(payload, indent=2))
+    return 0
+
+
+def cmd_spot_train(args) -> int:
+    """Train the temporal spotting head on event-labelled videos.
+
+    Supervision: a ``<video>.events.json`` sidecar per video (raw frame
+    indices of events).  The AVM trunk encodes each timeline once; the
+    GRU/transformer scorer trains with weighted BCE
+    (``train/spotting.make_spotting_train_step``); the head is saved with
+    ``save_spotting_checkpoint`` for ``goalnet spot --temporal-checkpoint``.
+    This closes the spotting user journey the reference never had
+    (SURVEY.md §2.3: no temporal model upstream).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from cvml_goalnet_tpu.data.annotations import AnnotationStore
+    from cvml_goalnet_tpu.data.dataset import build_video_item
+    from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
+    from cvml_goalnet_tpu.spotting import encode_timeline, load_event_labels
+    from cvml_goalnet_tpu.train.checkpoint import load_checkpoint
+    from cvml_goalnet_tpu.train.spotting import (
+        init_spotting_opt,
+        make_spotting_train_step,
+        save_spotting_checkpoint,
+    )
+    from cvml_goalnet_tpu.train.state import create_train_state
+
+    cfg = _load_cfg(args)
+    if args.temporal_model:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, temporal_model=args.temporal_model)
+        )
+    data = _resolve_data(args)
+    paths = _artifact_paths(args.workdir, cfg.model.audio_included)
+    store = (
+        AnnotationStore(data["mat_fp"], data["h5_fp"])
+        if os.path.exists(data["mat_fp"]) and os.path.exists(data["h5_fp"])
+        else None
+    )
+    state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
+    try:
+        state = load_checkpoint(paths["ckp_dir"], state, tag="opt")
+    except FileNotFoundError:
+        print("W: no trained importance checkpoint; encoding with a random-init trunk")
+
+    # encode every labelled video once
+    pairs = []
+    for fp in data["videos"]:
+        events_fp = fp.rsplit(".", 1)[0] + ".events.json"
+        if not os.path.exists(events_fp):
+            print(f"W: {fp}: no events sidecar, skipping")
+            continue
+        item = build_video_item(fp, cfg, None, store, cfg.model.audio_included)
+        feats = encode_timeline(
+            state.params, state.model_state, jnp.asarray(item.visual),
+            jnp.asarray(item.audio) if item.audio is not None else None, cfg,
+        )
+        labels = load_event_labels(events_fp, len(item.visual), cfg.preprocess.skip_frames)
+        pairs.append((item.video_id, feats, jnp.asarray(labels)))
+    if not pairs:
+        print("E: no videos with .events.json sidecars", file=sys.stderr)
+        return 2
+
+    d = int(pairs[0][1].shape[-1])
+    if cfg.model.temporal_model == "transformer":
+        from cvml_goalnet_tpu.models.temporal_attention import temporal_transformer_init
+
+        tparams = temporal_transformer_init(
+            jax.random.PRNGKey(1), d,
+            num_heads=cfg.model.temporal_num_heads, max_len=cfg.model.temporal_max_len,
+        )
+        step = make_spotting_train_step(
+            0, lr=args.lr, pos_weight=args.pos_weight,
+            scorer="transformer", num_heads=cfg.model.temporal_num_heads,
+        )
+    else:
+        tparams = temporal_scorer_init(jax.random.PRNGKey(1), d, cfg.model.temporal_hidden)
+        step = make_spotting_train_step(
+            cfg.model.temporal_hidden, lr=args.lr, pos_weight=args.pos_weight
+        )
+
+    opt = init_spotting_opt(tparams)
+    for epoch in range(args.epochs):
+        losses = []
+        for _, feats, labels in pairs:
+            tparams, opt, loss = step(tparams, opt, feats, labels)
+            losses.append(float(loss))
+        print(f"epoch {epoch}: loss {np.mean(losses):.4f}")
+
+    out_fp = args.out or os.path.join(args.workdir, "models", "spotting_head.npz")
+    save_spotting_checkpoint(out_fp, tparams)
+    print(f"Saved temporal head: {out_fp}")
+    print("Operation completed")
     return 0
 
 
@@ -307,7 +421,21 @@ def main(argv=None) -> int:
     p.add_argument("--temporal-model", choices=["gru", "transformer"], default=None)
     p.add_argument("--peak-window", type=int, default=5)
     p.add_argument("--peak-threshold", type=float, default=0.0)
+    p.add_argument("--eval-events", action="store_true",
+                   help="evaluate vs <video>.events.json (tolerance P/R + average-mAP)")
+    p.add_argument("--eval-tolerance", type=int, default=5,
+                   help="matching tolerance in condensed frames")
     p.set_defaults(fn=cmd_spot)
+
+    p = sub.add_parser("spot-train", help="train the temporal spotting head on event labels")
+    _add_data_args(p)
+    p.add_argument("--no-audio", action="store_true")
+    p.add_argument("--temporal-model", choices=["gru", "transformer"], default=None)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--pos-weight", type=float, default=10.0)
+    p.add_argument("--out", default=None, help="output npz for the temporal head")
+    p.set_defaults(fn=cmd_spot_train)
 
     p = sub.add_parser("baseline", help="random-init chance baseline")
     _add_data_args(p)

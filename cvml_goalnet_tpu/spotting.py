@@ -162,6 +162,27 @@ def score_timeline_sharded(
     return scores
 
 
+def load_event_labels(path: str, n_condensed: int, skip_frames: int) -> np.ndarray:
+    """Parse an event sidecar (``<video>.events.json``) → (T,) binary labels.
+
+    Format: a JSON list of raw frame indices (or of ``{"frame": i}`` objects,
+    SoccerNet-style).  Each event marks the condensed frame containing it
+    (``raw // skip_frames``); events beyond the condensed timeline are
+    ignored.  This is the supervision for ``goalnet spot-train``.
+    """
+    import json
+
+    with open(path) as f:
+        raw = json.load(f)
+    labels = np.zeros((n_condensed,), np.float32)
+    for e in raw:
+        frame = int(e["frame"]) if isinstance(e, dict) else int(e)
+        idx = frame // skip_frames
+        if 0 <= idx < n_condensed:
+            labels[idx] = 1.0
+    return labels
+
+
 def spot_events(scores, window: int = 5, threshold: float = 0.0) -> np.ndarray:
     """Event timestamps (frame indices) from temporal scores."""
     mask = detect_peaks(jnp.asarray(scores), window, threshold)

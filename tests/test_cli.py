@@ -148,3 +148,46 @@ class TestCLISpotTransformer:
         assert r.returncode == 0, r.stderr[-2000:]
         payload = json.loads(r.stdout[r.stdout.index("{"):])
         assert payload["summary_frames"] > 0
+
+
+class TestCLISpotTrain:
+    def test_spot_train_then_spot_with_head(self, cli_env):
+        root = cli_env["root"]
+        # events sidecar for each synthetic video
+        for fp in cli_env["video_fps"]:
+            side = fp.rsplit(".", 1)[0] + ".events.json"
+            with open(side, "w") as f:
+                json.dump([0, 90, 180], f)
+
+        head_fp = os.path.join(root, "models", "spot_head.npz")
+        r = _run(["spot-train", *_data_args(cli_env), "--workdir", root,
+                  "--no-audio", "--epochs", "3", "--out", head_fp], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert os.path.exists(head_fp)
+        assert "Saved temporal head" in r.stdout
+
+        r = _run(["spot", cli_env["video_fps"][0], "--mat-fp", cli_env["mat_file_path"],
+                  "--h5-fp", cli_env["h5_file_path"], "--config", cli_env["cfg"],
+                  "--workdir", root, "--no-audio", "--peak-threshold=-1e9",
+                  "--temporal-checkpoint", head_fp], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = json.loads(r.stdout[r.stdout.index("{"):])
+        assert payload["summary_frames"] > 0
+
+
+class TestCLISpotEval:
+    def test_spot_eval_events(self, cli_env):
+        root = cli_env["root"]
+        fp = cli_env["video_fps"][0]
+        with open(fp.rsplit(".", 1)[0] + ".events.json", "w") as f:
+            json.dump([{"frame": 0}, {"frame": 120}], f)
+        r = _run(["spot", fp, "--mat-fp", cli_env["mat_file_path"],
+                  "--h5-fp", cli_env["h5_file_path"], "--config", cli_env["cfg"],
+                  "--workdir", root, "--no-audio", "--peak-threshold=-1e9",
+                  "--eval-events"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = json.loads(r.stdout[r.stdout.index("{"):])
+        assert "eval" in payload
+        ev = payload["eval"]
+        assert set(ev) >= {"precision", "recall", "f1", "average_map", "per_tolerance"}
+        assert 0.0 <= ev["precision"] <= 1.0 and 0.0 <= ev["recall"] <= 1.0
