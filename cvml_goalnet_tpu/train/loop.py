@@ -185,6 +185,7 @@ def train_importance_model(
     verbose: bool = True,
     metrics_logger=None,
     async_checkpoint: bool = False,
+    preemption_guard=None,
 ):
     """Full training driver (reference ``train_importance_model``, ``main.py:26-298``).
 
@@ -293,6 +294,15 @@ def train_importance_model(
             save_checkpoint(checkpoint_dir, state, cfg, tag="ckp")
         if on_epoch_end is not None:
             on_epoch_end(epoch, history, best)
+        if preemption_guard is not None and preemption_guard.requested:
+            # graceful preemption: persist the rolling state and exit early;
+            # --checkpoint resume continues from this epoch with Adam intact
+            if checkpoint_dir:
+                save_checkpoint(checkpoint_dir, state, cfg, tag="ckp")
+            history["preempted"] = True
+            if verbose:
+                print(f"Preemption requested; checkpointed at epoch {epoch} and stopping.")
+            break
 
     if async_checkpoint and checkpoint_dir:
         _ck.wait()  # all queued writes durable before returning

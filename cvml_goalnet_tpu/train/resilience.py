@@ -68,3 +68,37 @@ def train_with_recovery(
                 state = load_checkpoint(checkpoint_dir, state, tag="ckp")
             except FileNotFoundError:
                 pass  # failed before the first checkpoint: retry from scratch
+
+
+class PreemptionGuard:
+    """Graceful-preemption hook: catch SIGTERM (the TPU-VM maintenance /
+    spot-preemption signal) and let the train loop checkpoint + exit cleanly
+    instead of dying mid-epoch.
+
+    Use as a context manager; pass to ``train_importance_model`` via
+    ``preemption_guard=`` — the loop checks :attr:`requested` after every
+    epoch, writes a final rolling checkpoint and returns early with
+    ``history["preempted"] = True``, so a restart with ``--checkpoint``
+    resumes at the right epoch with the optimizer state intact.
+    """
+
+    def __init__(self, signals=None):
+        import signal as _signal
+
+        self._signal = _signal
+        self.signals = tuple(signals) if signals else (_signal.SIGTERM,)
+        self.requested = False
+        self._prev = {}
+
+    def _handler(self, signum, frame):
+        self.requested = True
+
+    def __enter__(self):
+        for s in self.signals:
+            self._prev[s] = self._signal.signal(s, self._handler)
+        return self
+
+    def __exit__(self, *exc):
+        for s, prev in self._prev.items():
+            self._signal.signal(s, prev)
+        return False

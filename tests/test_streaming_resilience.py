@@ -238,3 +238,47 @@ class TestDecodeMetadataMismatch:
         monkeypatch.setattr(cv2.VideoCapture, "get", lying_get)
         par = np.concatenate(list(V.stream_condensed_frames_parallel(fp, 2, chunk=16, workers=4)))
         np.testing.assert_array_equal(par, seq)
+
+
+class TestPreemptionGuard:
+    """Round-2: graceful SIGTERM-style preemption — checkpoint + early exit,
+    then resume with epoch and optimizer state intact."""
+
+    def test_preempt_checkpoints_and_resumes(self, small_cfg, tmp_path):
+        import os
+        import signal
+
+        from cvml_goalnet_tpu.data.dataset import VideoDataset
+        from cvml_goalnet_tpu.train.checkpoint import load_checkpoint
+        from cvml_goalnet_tpu.train.loop import train_importance_model
+        from cvml_goalnet_tpu.train.resilience import PreemptionGuard
+        from cvml_goalnet_tpu.train.state import create_train_state
+        from tests.test_train import _make_item
+
+        ds = VideoDataset([_make_item(small_cfg, n=10, seed=0)])
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        ckdir = str(tmp_path / "ck")
+
+        with PreemptionGuard(signals=(signal.SIGUSR1,)) as guard:
+            def on_epoch_end(epoch, history, best):
+                if epoch == 1:  # the "maintenance event" arrives mid-run
+                    os.kill(os.getpid(), signal.SIGUSR1)
+
+            _, history = train_importance_model(
+                small_cfg, ds, ds, state, num_epochs=10,
+                checkpoint_dir=ckdir, verbose=False,
+                on_epoch_end=on_epoch_end, preemption_guard=guard,
+            )
+        assert history.get("preempted") is True
+        assert len(history["train_loss"]) == 3  # initial + 2 epochs, not 11
+
+        template = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        restored = load_checkpoint(ckdir, template, tag="ckp")
+        assert restored.epoch == 2                  # resumes at epoch 2
+        assert int(restored.opt_state.step) > 0     # Adam moments intact
+
+        # resume finishes the run
+        _, history2 = train_importance_model(
+            small_cfg, ds, ds, restored, num_epochs=4, verbose=False,
+        )
+        assert "preempted" not in history2
