@@ -101,7 +101,8 @@ def temporal_transformer_apply(
 
 
 @lru_cache(maxsize=16)
-def _sharded_transformer_fn(mesh, num_heads: int, axis: str, t: int):
+def _sharded_transformer_fn(mesh, num_heads: int, axis: str, t: int,
+                            use_flash: bool = False, flash_interpret: bool = False):
     """Build + cache the jitted shard_map program for one (mesh, T) shape."""
     import numpy as np
     from jax.experimental.shard_map import shard_map
@@ -128,7 +129,8 @@ def _sharded_transformer_fn(mesh, num_heads: int, axis: str, t: int):
             k = split(L.linear_apply(layer["wk"], h))
             v = split(L.linear_apply(layer["wv"], h))
             attn = ring_attention_local(
-                q, k, v, axis, 1.0 / np.sqrt(hd), t_valid=t
+                q, k, v, axis, 1.0 / np.sqrt(hd), t_valid=t,
+                use_flash=use_flash, flash_interpret=flash_interpret,
             )
             x = x + L.linear_apply(layer["wo"], attn.transpose(1, 0, 2).reshape(tl, d))
             h = L.layernorm_apply(layer["ln2"], x)
@@ -151,6 +153,8 @@ def temporal_transformer_sharded_apply(
     mesh,
     num_heads: int = 1,
     axis: str = "data",
+    use_flash: bool = False,      # flash ring hops: O(T_local·d)/device, fwd-only
+    flash_interpret: bool = False,
 ) -> jax.Array:
     """Context-parallel scoring: the timeline shards over ``axis`` and every
     transformer block runs inside ONE ``shard_map`` — pointwise ops stay
@@ -166,5 +170,5 @@ def temporal_transformer_sharded_apply(
     n = mesh.shape[axis]
     t_pad = -(-t // n) * n
     feats = jnp.pad(features, ((0, t_pad - t), (0, 0))) if t_pad != t else features
-    fn = _sharded_transformer_fn(mesh, num_heads, axis, t)
+    fn = _sharded_transformer_fn(mesh, num_heads, axis, t, use_flash, flash_interpret)
     return fn(params, feats)[:t]

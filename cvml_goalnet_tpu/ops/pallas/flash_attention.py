@@ -50,8 +50,8 @@ NEG_INF = -0.7 * float(np.finfo(np.float32).max)  # avoids exp(-inf - -inf) NaN
 LANES = 128  # trailing broadcast dim for per-row stats (TPU tiling)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
-                block_k: int, t_valid: int, scale: float, n_kv: int):
+def _fwd_kernel(tv_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
+                block_k: int, scale: float, n_kv: int):
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -66,9 +66,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale                                      # (block_q, block_k)
 
-    # mask padded key columns (static true length)
+    # mask padded key columns; the true length is a DYNAMIC scalar so ring
+    # attention can reuse this kernel with a per-hop valid length
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-    s = jnp.where(col < t_valid, s, NEG_INF)
+    s = jnp.where(col < tv_ref[0], s, NEG_INF)
 
     m_prev = m_scr[:, :1]                          # (block_q, 1)
     l_prev = l_scr[:, :1]
@@ -108,8 +109,12 @@ def _pad_seq(x, t_pad):
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
-    """→ (out (H, Tq, d), lse (H, Tq_pad, LANES) f32)."""
+def _flash_fwd(q, k, v, scale, block_q, block_k, interpret, t_valid=None):
+    """→ (out (H, Tq, d), lse (H, Tq_pad, LANES) f32).
+
+    ``t_valid`` (dynamic scalar, default = k's length) masks key columns at
+    and beyond the true length — ring attention passes a per-hop value.
+    """
     h, t, d = q.shape
     t_kv = k.shape[1]
     t_pad = -(-t // block_q) * block_q
@@ -118,11 +123,13 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
     k = _pad_seq(k, tkv_pad)
     v = _pad_seq(v, tkv_pad)
     n_kv = tkv_pad // block_k
+    tv = jnp.full((1,), t_kv if t_valid is None else t_valid, jnp.int32)
 
     out, lse = pl.pallas_call(
-        partial(_fwd_kernel, block_k=block_k, t_valid=t_kv, scale=scale, n_kv=n_kv),
+        partial(_fwd_kernel, block_k=block_k, scale=scale, n_kv=n_kv),
         grid=(h, t_pad // block_q, n_kv),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, d), lambda hh, qi, ki: (hh, qi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda hh, qi, ki: (hh, ki, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda hh, qi, ki: (hh, ki, 0), memory_space=pltpu.VMEM),
@@ -144,7 +151,7 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, interpret):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(tv, q, k, v)
     return out[:, :t], lse
 
 

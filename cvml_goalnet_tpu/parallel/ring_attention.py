@@ -49,13 +49,62 @@ def ring_attention_local(
     axis: str = "data",
     scale: float | None = None,
     t_valid: int | None = None,   # global true length (masks pad columns)
+    use_flash: bool = False,
+    flash_interpret: bool = False,
 ) -> jax.Array:
-    """Per-shard ring attention body; call inside an enclosing ``shard_map``."""
+    """Per-shard ring attention body; call inside an enclosing ``shard_map``.
+
+    ``use_flash=True`` runs each ring hop through the tiled Pallas flash
+    FORWARD (``ops/pallas/flash_attention``) instead of an XLA block, so the
+    per-device memory is O(T_local·d) rather than the XLA block's O(T_local²)
+    score matrix — at production shard sizes (T_local = 135k/8 ≈ 17k, a
+    1.1 GB f32 matrix per hop) this is what makes multi-chip full-rate
+    scoring viable.  Hops merge via the numerically-stable log-sum-exp rule
+    (exact).  Forward-only: context-parallel TRAINING keeps the XLA block
+    (the flash custom-VJP assumes a static valid length).
+    """
     h, tl, d = q_l.shape
     scale = (1.0 / np.sqrt(d)) if scale is None else scale
     n = jax.lax.axis_size(axis)
     me = jax.lax.axis_index(axis)
     perm = [(j, (j + 1) % n) for j in range(n)]
+
+    if use_flash:
+        from cvml_goalnet_tpu.ops.pallas.flash_attention import _block_defaults, _flash_fwd
+
+        bq, bk = _block_defaults(tl, tl, None, None)
+
+        def fstep(carry, i):
+            k_cur, v_cur, out, lse = carry
+            src = (me - i) % n
+            # valid columns in THIS hop's shard: all, except the global tail
+            # shard which carries the pad
+            if t_valid is not None:
+                valid = jnp.minimum(jnp.maximum(t_valid - src * tl, 0), tl)
+            else:
+                valid = jnp.int32(tl)
+            out_i, lse_i = _flash_fwd(q_l, k_cur, v_cur, scale, bq, bk,
+                                      flash_interpret, valid)
+            lse_i = lse_i[:, :tl, :1]                      # (H, Tl, 1)
+            # a fully-masked hop reports lse=0 (its l is 0); exclude it
+            lse_i = jnp.where(valid > 0, lse_i, NEG_INF)
+            # stable merge of two normalized partials via their log-sum-exps
+            m = jnp.maximum(lse, lse_i)
+            w, w_i = jnp.exp(lse - m), jnp.exp(lse_i - m)
+            tot = w + w_i
+            out = (out * w + out_i.astype(jnp.float32) * w_i) / tot
+            lse = m + jnp.log(tot)
+            k_next = jax.lax.ppermute(k_cur, axis_name=axis, perm=perm)
+            v_next = jax.lax.ppermute(v_cur, axis_name=axis, perm=perm)
+            return (k_next, v_next, out, lse), None
+
+        init = (
+            k_l, v_l,
+            jnp.zeros((h, tl, d), jnp.float32),
+            jnp.full((h, tl, 1), NEG_INF, jnp.float32),
+        )
+        (_, _, out, _), _ = jax.lax.scan(fstep, init, jnp.arange(n))
+        return out.astype(q_l.dtype)
 
     def step(carry, i):
         k_cur, v_cur, m, l, acc = carry
@@ -99,11 +148,14 @@ def ring_attention(
     axis: str = "data",
     scale: float | None = None,
     t_valid: int | None = None,
+    use_flash: bool = False,
+    flash_interpret: bool = False,
 ) -> jax.Array:
     """Sequence-sharded attention over the mesh → (H, T, d), exact."""
     seq = P(None, axis, None)
     fn = shard_map(
-        lambda ql, kl, vl: ring_attention_local(ql, kl, vl, axis, scale, t_valid),
+        lambda ql, kl, vl: ring_attention_local(
+            ql, kl, vl, axis, scale, t_valid, use_flash, flash_interpret),
         mesh=mesh, in_specs=(seq, seq, seq), out_specs=seq, check_rep=False,
     )
     return jax.jit(fn)(q, k, v)

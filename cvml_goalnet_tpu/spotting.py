@@ -147,8 +147,12 @@ def score_timeline_sharded(
             temporal_transformer_sharded_apply,
         )
 
+        # flash ring hops on real accelerators: O(T_local·d) per device
+        # instead of the XLA block's O(T_local²) score matrix
+        use_flash = jax.default_backend() not in ("cpu",)
         return temporal_transformer_sharded_apply(
-            temporal_params, features, mesh, mc.temporal_num_heads, axis
+            temporal_params, features, mesh, mc.temporal_num_heads, axis,
+            use_flash=use_flash,
         )
     # GRU: chunk+halo windows sharded over the mesh axis via jit-with-sharding
     # (each chunk is independent, so GSPMD partitions the vmapped chunk axis).

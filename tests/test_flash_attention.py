@@ -396,3 +396,38 @@ class TestContextParallelTraining:
             params, opt, loss = step(params, opt, jnp.asarray(feats), jnp.asarray(labels))
             losses.append(float(loss))
         assert losses[-1] < losses[0] * 0.8
+
+
+class TestFlashRingAttention:
+    """Round-2: ring hops through the tiled flash forward — O(T_local·d) per
+    device — merged via stable log-sum-exp; exact vs monolithic attention."""
+
+    def test_flash_ring_equals_monolithic(self):
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+        from cvml_goalnet_tpu.parallel.ring_attention import ring_attention
+
+        mesh = cpu_mesh(8)
+        q, k, v = _qkv(1, 1024, 128, seed=21)  # 128 frames/device shard
+        want = np.asarray(attention_reference(q, k, v))
+        got = np.asarray(ring_attention(q, k, v, mesh, use_flash=True,
+                                        flash_interpret=True))
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+    def test_flash_ring_with_global_padding(self):
+        # T=1000 over 8 devices → internal pad on the tail shard must be
+        # masked by the dynamic per-hop valid length
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_sharded_apply)
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+
+        mesh = cpu_mesh(8)
+        params = temporal_transformer_init(
+            jax.random.PRNGKey(0), 16, model_dim=128, num_layers=1,
+            num_heads=1, max_len=1024)
+        feats = jnp.asarray(
+            np.random.default_rng(22).standard_normal((1000, 16)).astype(np.float32))
+        mono = np.asarray(temporal_transformer_apply(params, feats, 1))
+        shard = np.asarray(temporal_transformer_sharded_apply(
+            params, feats, mesh, 1, use_flash=True, flash_interpret=True))
+        assert shard.shape == (1000,)
+        np.testing.assert_allclose(shard, mono, atol=1e-4)
