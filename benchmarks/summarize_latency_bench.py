@@ -40,7 +40,7 @@ def main() -> None:
     scores = rng.uniform(1, 5, FULL_N // SKIP).astype(np.float32)
     intervals = synthetic_change_points(FULL_N, N_CLIPS, seed=1)
 
-    engines = ["host"] + (["native"] if native_knapsack_available() else [])
+    engines = ["host"] + (["native", "native-full"] if native_knapsack_available() else [])
     results = {}
     for engine in engines:
         # warmup (jit compile of expand/clip ops)

@@ -161,6 +161,31 @@ def summarize(
     if imp.ndim == 2:
         assert imp.shape[1] == 1, "importances must be (N,) or (N, 1)"
         imp = imp[:, 0]
+
+    if knapsack_engine == "native-full":
+        # the ENTIRE postprocess in one C++ call (runtime/postprocess.cc) —
+        # semantics identical to the staged path below (parity-tested)
+        from cvml_goalnet_tpu.runtime import summarize_native
+
+        res = summarize_native(
+            imp, clip_intervals, skip_frames, full_n_frames,
+            kcfg.summary_ratio, kcfg.inclusive_mask,
+        )
+        if res is not None:
+            selected, mask = res
+            iv = np.asarray(clip_intervals)
+            chosen = iv[selected] if selected else np.zeros((0, 2), iv.dtype)
+            summary_frames = None
+            if full_frames is not None and len(chosen):
+                summary_frames = np.concatenate(
+                    [full_frames[int(a): int(b)] for a, b in chosen], axis=0
+                )
+            return SummaryResult(
+                frame_mask=mask, selected_clips=selected,
+                clip_intervals=chosen, summary_frames=summary_frames,
+            )
+        knapsack_engine = "auto"  # library unavailable → staged path
+
     imp = np.round(imp).astype(np.int8)  # round-half-even, like torch.round → int8
 
     expanded = expand_scores(jnp.asarray(imp, jnp.int32), skip_frames, full_n_frames)

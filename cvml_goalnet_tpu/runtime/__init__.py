@@ -53,6 +53,19 @@ def _load_library():
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.goalnet_summarize.restype = ctypes.c_int32
+    lib.goalnet_summarize.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int64,
+        ctypes.c_double,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.goalnet_wav_info.restype = ctypes.c_int
     lib.goalnet_wav_info.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
     lib.goalnet_wav_read.restype = ctypes.c_int64
@@ -96,3 +109,38 @@ def wav_read_native(path: str) -> tuple[np.ndarray, int] | None:
     if n < 0:
         return None
     return out, int(info[0])
+
+
+def summarize_native(
+    importances: np.ndarray,
+    intervals: np.ndarray,
+    skip_frames: int,
+    full_n_frames: int,
+    summary_ratio: float,
+    inclusive_mask: bool,
+) -> tuple[list[int], np.ndarray] | None:
+    """Whole postprocess (round->expand->clip stats->knapsack->mask) in ONE
+    native call (``runtime/postprocess.cc``); None when the library is
+    unavailable.  Semantics identical to ``pipeline.summarize`` (tested)."""
+    lib = _load_library()
+    if lib is None or not hasattr(lib, "goalnet_summarize"):
+        return None
+    imp = np.ascontiguousarray(np.asarray(importances).reshape(-1), dtype=np.float32)
+    iv = np.ascontiguousarray(np.asarray(intervals, dtype=np.int64).reshape(-1, 2))
+    mask = np.zeros((full_n_frames,), dtype=np.uint8)
+    selected = np.empty((max(len(iv), 1),), dtype=np.int32)
+    count = lib.goalnet_summarize(
+        imp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        np.int32(len(imp)),
+        iv.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        np.int32(len(iv)),
+        np.int32(skip_frames),
+        np.int64(full_n_frames),
+        float(summary_ratio),
+        np.int32(1 if inclusive_mask else 0),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        selected.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if count < 0:
+        return None
+    return selected[:count].tolist(), mask

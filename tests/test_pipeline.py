@@ -164,3 +164,46 @@ class TestFuseMany:
         for f, o in zip(feats, outs):
             np.testing.assert_allclose(fuse(params, state, f, small_cfg), o, atol=1e-5)
         assert fuse_many(params, state, [], small_cfg) == []
+
+
+class TestNativeFullSummarize:
+    """Round-2: the all-C++ postprocess (round→expand→clip stats→knapsack→
+    mask in one call) must be identical to the staged Python/XLA path."""
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_matches_staged_path(self, seed):
+        from cvml_goalnet_tpu.runtime import native_knapsack_available
+
+        if not native_knapsack_available():
+            pytest.skip("native runtime unavailable")
+        rng = np.random.default_rng(seed)
+        n_cond = int(rng.integers(5, 60))
+        skip = int(rng.integers(2, 40))
+        full_n = n_cond * skip - int(rng.integers(0, skip))
+        imp = rng.uniform(1.0, 5.0, n_cond).astype(np.float32)
+        from cvml_goalnet_tpu.data.synthetic import synthetic_change_points
+
+        intervals = synthetic_change_points(full_n, int(rng.integers(2, 9)), seed=seed)
+        for inclusive in (True, False):
+            kcfg = KnapsackConfig(inclusive_mask=inclusive)
+            staged = summarize(imp, intervals, skip, full_n, kcfg)
+            native = summarize(imp, intervals, skip, full_n, kcfg,
+                               knapsack_engine="native-full")
+            assert staged.selected_clips == native.selected_clips, (seed, inclusive)
+            np.testing.assert_array_equal(staged.frame_mask, native.frame_mask)
+            np.testing.assert_array_equal(
+                np.asarray(staged.clip_intervals), np.asarray(native.clip_intervals))
+
+    def test_clamped_and_empty_edges(self):
+        from cvml_goalnet_tpu.runtime import native_knapsack_available
+
+        if not native_knapsack_available():
+            pytest.skip("native runtime unavailable")
+        imp = np.array([5.0, 1.0, 3.0], np.float32)
+        # intervals past the end + a reversed pair (Python-slice clamping)
+        intervals = np.array([[0, 10], [10, 500], [30, 20]], np.int64)
+        kcfg = KnapsackConfig()
+        staged = summarize(imp, intervals, 10, 30, kcfg)
+        native = summarize(imp, intervals, 10, 30, kcfg, knapsack_engine="native-full")
+        np.testing.assert_array_equal(staged.frame_mask, native.frame_mask)
+        assert staged.selected_clips == native.selected_clips
