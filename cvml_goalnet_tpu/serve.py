@@ -101,7 +101,8 @@ class Summarizer:
         with self._lock:
             scores = fuse(self.state.params, self.state.model_state, feats, cfg)
         res = summarize(
-            scores, clip_intervals, cfg.preprocess.skip_frames, full_n, cfg.knapsack
+            scores, clip_intervals, cfg.preprocess.skip_frames, full_n, cfg.knapsack,
+            knapsack_engine="native-full",  # one C++ call; graceful fallback
         )
         return SummarizeResponse(
             video_id=video_id,
@@ -271,7 +272,8 @@ class DynamicBatcher:
                     step = max(1, min(2 * 30, budget))
                     starts = np.arange(0, full, step)
                     clip_intervals = np.stack([starts, np.minimum(starts + step, full)], 1)
-                res = summarize(s, clip_intervals, cfg.preprocess.skip_frames, full, cfg.knapsack)
+                res = summarize(s, clip_intervals, cfg.preprocess.skip_frames, full,
+                                cfg.knapsack, knapsack_engine="native-full")
                 fut.set_result(SummarizeResponse(
                     video_id=video_id, scores=s,
                     frame_mask=res.frame_mask, clips=np.asarray(res.clip_intervals),
@@ -287,6 +289,7 @@ def serve_http(
     host: str = "127.0.0.1",
     port: int = 8765,
     media_root: str | None = None,
+    batcher: "DynamicBatcher | None" = None,
 ):
     """Blocking JSON-over-HTTP server; returns the server object when
     started with ``threading=True`` via :func:`start_http_background`.
@@ -339,7 +342,17 @@ def serve_http(
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                resp = summarizer.summarize_path(resolve(req["video"]))
+                path = resolve(req["video"])
+                if batcher is not None:
+                    # concurrent requests share device dispatches
+                    from cvml_goalnet_tpu.data.dataset import _load_frames
+
+                    video_id = os.path.basename(path).rsplit(".", 1)[0]
+                    frames, full_n = _load_frames(
+                        path, summarizer.cfg.preprocess.skip_frames)
+                    resp = batcher.submit(video_id, frames, None, full_n).result()
+                else:
+                    resp = summarizer.summarize_path(path)
                 self._reply(200, {
                     "video_id": resp.video_id,
                     "mask_frames": int(resp.frame_mask.sum()),
@@ -356,8 +369,8 @@ def serve_http(
     return ThreadingHTTPServer((host, port), Handler)
 
 
-def start_http_background(summarizer: Summarizer, host="127.0.0.1", port=8765, media_root=None):
-    server = serve_http(summarizer, host, port, media_root)
+def start_http_background(summarizer: Summarizer, host="127.0.0.1", port=8765, media_root=None, batcher=None):
+    server = serve_http(summarizer, host, port, media_root, batcher)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server

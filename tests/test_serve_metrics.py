@@ -207,17 +207,19 @@ class TestDynamicBatching:
             small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False)
         )
         s = Summarizer(cfg)
-        batcher = DynamicBatcher(s, max_batch_frames=256, max_wait_ms=40.0,
+        batcher = DynamicBatcher(s, max_batch_frames=256, max_wait_ms=500.0,
                                  buckets=(64, 128, 256))
         batcher.warmup()
 
         rng = np.random.default_rng(0)
         reqs = [rng.integers(0, 255, (n, 32, 40, 3), dtype=np.uint8) for n in (10, 7, 16, 5)]
+        # unbatched references FIRST — also warms the per-shape preprocess
+        # compiles so the submits below land inside one wait window
+        wants = [s.summarize_frames(f"v{i}", fr) for i, fr in enumerate(reqs)]
         futs = [batcher.submit(f"v{i}", fr) for i, fr in enumerate(reqs)]
         got = [f.result(timeout=120) for f in futs]
 
-        for i, (fr, resp) in enumerate(zip(reqs, got)):
-            want = s.summarize_frames(f"v{i}", fr)
+        for want, resp in zip(wants, got):
             np.testing.assert_allclose(resp.scores, want.scores, atol=1e-4)
             np.testing.assert_array_equal(resp.frame_mask, want.frame_mask)
 
@@ -245,3 +247,46 @@ class TestDynamicBatching:
         for f in futs:
             with pytest.raises(Exception):
                 f.result(timeout=60)
+
+
+class TestHTTPWithBatcher:
+    def test_concurrent_http_requests_share_batches(self, small_cfg, tmp_path):
+        import dataclasses
+        import threading
+
+        from cvml_goalnet_tpu.serve import DynamicBatcher
+
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False)
+        )
+        s = Summarizer(cfg)
+        batcher = DynamicBatcher(s, max_wait_ms=400.0, buckets=(64, 128))
+        batcher.warmup()
+        server = start_http_background(s, port=0, batcher=batcher)
+        port = server.server_address[1]
+        rng = np.random.default_rng(5)
+        fps = []
+        for i in range(3):
+            fp = str(tmp_path / f"c{i}.npz")
+            np.savez_compressed(fp, frames=rng.integers(0, 255, (90, 32, 32, 3), dtype=np.uint8))
+            fps.append(fp)
+        results = [None] * 3
+
+        def call(i):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/summarize",
+                data=json.dumps({"video": fps[i]}).encode(), method="POST")
+            with urllib.request.urlopen(req) as r:
+                results[i] = json.load(r)
+
+        try:
+            threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        finally:
+            server.shutdown()
+        assert all(r is not None and r["mask_frames"] > 0 for r in results)
+        assert batcher.stats["requests"] == 3
+        assert batcher.stats["batches"] < 3  # concurrent riders shared dispatches
