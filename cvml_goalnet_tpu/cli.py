@@ -163,12 +163,19 @@ def cmd_infer(args) -> int:
     print("Input video:\n", args.video)
     item = build_video_item(args.video, cfg, None, store, cfg.model.audio_included)
 
+    from cvml_goalnet_tpu.train.checkpoint import CheckpointMismatchError
+
     state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
     try:
-        state = load_checkpoint(paths["ckp_dir"], state, tag="opt")
-    except FileNotFoundError:
-        print("W: no opt checkpoint found, falling back to rolling ckp")
-        state = load_checkpoint(paths["ckp_dir"], state, tag="ckp")
+        try:
+            state = load_checkpoint(paths["ckp_dir"], state, tag="opt")
+        except FileNotFoundError:
+            print("W: no opt checkpoint found, falling back to rolling ckp")
+            state = load_checkpoint(paths["ckp_dir"], state, tag="ckp")
+    except CheckpointMismatchError as e:
+        print(f"E: {e}\nE: re-train with the current flags or pass the matching "
+              "--config/--no-audio/--commentary combination", file=sys.stderr)
+        return 2
 
     scores = fuse(
         state.params, state.model_state,
@@ -218,6 +225,8 @@ def cmd_spot(args) -> int:
         state = load_checkpoint(paths["ckp_dir"], state, tag="opt")
     except FileNotFoundError:
         print("W: no trained importance checkpoint; using random-init trunk")
+    except Exception as e:  # CheckpointMismatchError: saved with other settings
+        print(f"W: checkpoint unusable ({e}); using random-init trunk")
 
     if getattr(args, "temporal_model", None):
         cfg = dataclasses.replace(
@@ -321,6 +330,8 @@ def cmd_spot_train(args) -> int:
         state = load_checkpoint(paths["ckp_dir"], state, tag="opt")
     except FileNotFoundError:
         print("W: no trained importance checkpoint; encoding with a random-init trunk")
+    except Exception as e:  # CheckpointMismatchError: saved with other settings
+        print(f"W: checkpoint unusable ({e}); encoding with a random-init trunk")
 
     # encode every labelled video once
     pairs = []

@@ -54,6 +54,10 @@ def save_checkpoint(directory: str, state: TrainState, cfg: PipelineConfig, tag:
     return path
 
 
+class CheckpointMismatchError(ValueError):
+    """A checkpoint's shapes do not match the current config's model."""
+
+
 def load_checkpoint(directory: str, template: TrainState, tag: str = "ckp") -> TrainState:
     """Restore into the structure of ``template`` (built from the same config)."""
     data = np.load(os.path.join(directory, f"{tag}_state.npz"))
@@ -69,9 +73,14 @@ def load_checkpoint(directory: str, template: TrainState, tag: str = "ckp") -> T
     leaves = []
     for path, leaf in flat:
         key = "/".join(str(p) for p in path)
-        stored = data[key]
-        assert stored.shape == np.shape(leaf), f"shape mismatch for {key}"
-        leaves.append(stored)
+        if key not in data or data[key].shape != np.shape(leaf):
+            got = data[key].shape if key in data else "absent"
+            raise CheckpointMismatchError(
+                f"checkpoint at {directory!r} does not match the current config: "
+                f"{key} is {got}, expected {np.shape(leaf)} — it was saved with "
+                "different model settings (e.g. audio/text branches)"
+            )
+        leaves.append(data[key])
     payload = jax.tree_util.tree_unflatten(treedef, leaves)
     return TrainState(
         params=payload["params"],

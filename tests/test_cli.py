@@ -127,13 +127,14 @@ class TestCLICommentary:
                 f.write(json.dumps({"frame": 0, "text": "kick off and passing"}) + "\n")
                 f.write(json.dumps({"frame": 120, "text": "goal scored"}) + "\n")
 
-        r = _run(["train", *_data_args(cli_env), "--workdir", root,
+        wd = os.path.join(root, "commentary_run")
+        r = _run(["train", *_data_args(cli_env), "--workdir", wd,
                   "--epochs", "1", "--no-audio", "--commentary"], root)
         assert r.returncode == 0, r.stderr[-2000:]
         assert "Operation completed" in r.stdout
 
         r = _run(["infer", cli_env["video_fps"][0], "--config", cli_env["cfg"],
-                  "--workdir", root, "--no-audio", "--commentary"], root)
+                  "--workdir", wd, "--no-audio", "--commentary"], root)
         assert r.returncode == 0, r.stderr[-2000:]
         assert "Exported video details" in r.stdout
 
