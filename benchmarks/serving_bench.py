@@ -44,20 +44,25 @@ def main() -> None:
             for _ in range(n_requests)]
 
     # warm both paths (per-shape preprocess + per-bucket fuse compiles)
-    batcher = DynamicBatcher(s, max_batch_frames=2048, max_wait_ms=8.0,
+    batcher = DynamicBatcher(s, max_batch_frames=2048, max_wait_ms=25.0,
                              buckets=(64, 256, 1024, 2048))
     batcher.warmup()
     s.summarize_frames("warm", reqs[0])
 
-    # serial: one dispatch per request
+    # serial: one dispatch per request (a single client, back to back)
     t0 = time.perf_counter()
     for i, fr in enumerate(reqs):
         s.summarize_frames(f"s{i}", fr)
     serial_s = time.perf_counter() - t0
 
-    # batched: submit all concurrently, drain futures
+    # batched: CONCURRENT clients (thread pool) — co-arriving requests ride
+    # shared device dispatches
+    from concurrent.futures import ThreadPoolExecutor
+
     t0 = time.perf_counter()
-    futs = [batcher.submit(f"b{i}", fr) for i, fr in enumerate(reqs)]
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        futs = list(pool.map(
+            lambda iv: batcher.submit(f"b{iv[0]}", iv[1]), enumerate(reqs)))
     for f in futs:
         f.result(timeout=600)
     batched_s = time.perf_counter() - t0

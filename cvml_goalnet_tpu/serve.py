@@ -203,10 +203,21 @@ class DynamicBatcher:
         """→ concurrent.futures.Future[SummarizeResponse]."""
         from concurrent.futures import Future
 
-        from cvml_goalnet_tpu.pipeline import extract_features
-
         cfg = self.summarizer.cfg
-        feats = extract_features(frames, waveform, cfg)
+        # host-side preprocess: no per-request device round-trip — the only
+        # device dispatch is the BATCHED fuse (matters on high-latency links)
+        from cvml_goalnet_tpu.ops.preprocess import preprocess_frames_host
+
+        feats = {
+            "visual": preprocess_frames_host(
+                frames, cfg.preprocess.frame_size, cfg.preprocess.eps),
+            "audio": None,
+            "text": None,
+        }
+        if waveform is not None:
+            from cvml_goalnet_tpu.ops.audio import extract_audio_features
+
+            feats["audio"] = extract_audio_features(waveform, len(frames), cfg.audio)
         if cfg.model.audio_included and feats["audio"] is None:
             from cvml_goalnet_tpu.models.audio import audio_feature_channels
 
