@@ -2,7 +2,7 @@
 PY ?= python
 
 test:            ## full suite on CPU (8 virtual devices)
-	$(PY) -m pytest tests/ -q
+	$(PY) -m pytest tests/ -q -rs
 
 bench:           ## one-chip throughput benchmark (JSON line)
 	$(PY) bench.py
