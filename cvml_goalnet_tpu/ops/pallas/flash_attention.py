@@ -177,8 +177,8 @@ def flash_attention(
     return out
 
 
-def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
-                dk_scr, dv_scr, *, block_k: int, t_valid: int, scale: float, n_q: int):
+def _dkv_kernel(tv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
+                dk_scr, dv_scr, *, block_k: int, scale: float, n_q: int):
     qi = pl.program_id(2)
     ki = pl.program_id(1)
 
@@ -198,7 +198,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale                                      # (block_q, block_k)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-    s = jnp.where(col < t_valid, s, NEG_INF)
+    s = jnp.where(col < tv_ref[0], s, NEG_INF)
     p = jnp.exp(s - lse)                           # normalized probabilities
 
     # dv += pᵀ · do
@@ -223,8 +223,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr, *,
-               block_k: int, t_valid: int, scale: float, n_kv: int):
+def _dq_kernel(tv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr, *,
+               block_k: int, scale: float, n_kv: int):
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -242,7 +242,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr, *,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
-    s = jnp.where(col < t_valid, s, NEG_INF)
+    s = jnp.where(col < tv_ref[0], s, NEG_INF)
     p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(
         do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
@@ -259,8 +259,16 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr, *,
 
 
 @partial(jax.jit, static_argnums=(6, 7, 8, 9))
-def _flash_bwd(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
-    """Tiled backward → (dq, dk, dv), all O(T·d) memory."""
+def _flash_bwd(q, k, v, o, lse, g, scale, block_q, block_k, interpret,
+               t_valid=None, g_lse=None):
+    """Tiled backward → (dq, dk, dv), all O(T·d) memory.
+
+    ``g_lse`` (H, Tq, 1) is the cotangent of the log-sum-exp output (the
+    flash-ring merge consumes lse): since ∂lse/∂s = p, it folds into the
+    standard recipe as ``ds = p · (dp − (di − g_lse))`` — no kernel change,
+    only the XLA ``di`` precompute.  ``t_valid`` is the dynamic key-validity
+    length (ring hops pass per-hop values).
+    """
     h, t, d = q.shape
     t_kv = k.shape[1]
     t_pad = -(-t // block_q) * block_q
@@ -268,13 +276,14 @@ def _flash_bwd(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
     q, g, o = _pad_seq(q, t_pad), _pad_seq(g, t_pad), _pad_seq(o, t_pad)
     k, v = _pad_seq(k, tkv_pad), _pad_seq(v, tkv_pad)
     n_q, n_kv = t_pad // block_q, tkv_pad // block_k
+    tv = jnp.full((1,), t_kv if t_valid is None else t_valid, jnp.int32)
 
-    # di = rowsum(do · o): cheap XLA precompute, stored in the same
+    # di = rowsum(do · o) − g_lse: cheap XLA precompute, stored in the same
     # broadcast-along-lanes layout as lse.
-    di = jnp.broadcast_to(
-        jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), -1, keepdims=True),
-        (h, t_pad, LANES),
-    )
+    di_col = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), -1, keepdims=True)
+    if g_lse is not None:
+        di_col = di_col - _pad_seq(g_lse.astype(jnp.float32), t_pad)
+    di = jnp.broadcast_to(di_col, (h, t_pad, LANES))
 
     q_spec = pl.BlockSpec((1, block_q, d), lambda hh, a, b: (hh, a, 0), memory_space=pltpu.VMEM)
     stat_spec = pl.BlockSpec((1, block_q, LANES), lambda hh, a, b: (hh, a, 0), memory_space=pltpu.VMEM)
@@ -284,9 +293,10 @@ def _flash_bwd(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
     stat_spec_d = pl.BlockSpec((1, block_q, LANES), lambda hh, ki, qi: (hh, qi, 0), memory_space=pltpu.VMEM)
 
     dk, dv = pl.pallas_call(
-        partial(_dkv_kernel, block_k=block_k, t_valid=t_kv, scale=scale, n_q=n_q),
+        partial(_dkv_kernel, block_k=block_k, scale=scale, n_q=n_q),
         grid=(h, n_kv, n_q),
-        in_specs=[q_spec_d, kv_spec_d, kv_spec_d, q_spec_d, stat_spec_d, stat_spec_d],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  q_spec_d, kv_spec_d, kv_spec_d, q_spec_d, stat_spec_d, stat_spec_d],
         out_specs=[kv_spec_d, kv_spec_d],
         out_shape=[
             jax.ShapeDtypeStruct((h, tkv_pad, d), k.dtype),
@@ -300,7 +310,7 @@ def _flash_bwd(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, g, lse, di)
+    )(tv, q, k, v, g, lse, di)
 
     # dQ: grid (h, q tiles, kv tiles) — kv streams innermost
     kv_spec_q = pl.BlockSpec((1, block_k, d), lambda hh, qi, ki: (hh, ki, 0), memory_space=pltpu.VMEM)
@@ -308,9 +318,10 @@ def _flash_bwd(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
     stat_spec_q = pl.BlockSpec((1, block_q, LANES), lambda hh, qi, ki: (hh, qi, 0), memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
-        partial(_dq_kernel, block_k=block_k, t_valid=t_kv, scale=scale, n_kv=n_kv),
+        partial(_dq_kernel, block_k=block_k, scale=scale, n_kv=n_kv),
         grid=(h, n_q, n_kv),
-        in_specs=[q_spec_q, kv_spec_q, kv_spec_q, q_spec_q, stat_spec_q, stat_spec_q],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  q_spec_q, kv_spec_q, kv_spec_q, q_spec_q, stat_spec_q, stat_spec_q],
         out_specs=q_spec_q,
         out_shape=jax.ShapeDtypeStruct((h, t_pad, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
@@ -318,7 +329,7 @@ def _flash_bwd(q, k, v, o, lse, g, scale, block_q, block_k, interpret):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, g, lse, di)
+    )(tv, q, k, v, g, lse, di)
 
     return dq[:, :t], dk[:, :t_kv], dv[:, :t_kv]
 
@@ -364,3 +375,47 @@ def _fat_bwd(scale, interpret, res, g):
 
 
 flash_attention_trainable.defvjp(_fat_fwd, _fat_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_attention_with_lse(q, k, v, t_valid_f, interpret: bool = False):
+    """Flash attention that ALSO returns the per-row log-sum-exp — both
+    differentiable — with a DYNAMIC key-validity length.
+
+    This is the ring-attention building block: hops merge (out, lse) pairs,
+    so training through the ring needs gradients w.r.t. lse too.  Since
+    ∂lse/∂s = softmax(s), the lse cotangent folds into the tiled backward's
+    existing ``ds = p·(dp − di)`` as ``di − g_lse`` — same kernels, O(T·d)
+    memory.  ``t_valid_f`` is a float32 scalar (cast to int inside) so the
+    custom VJP can hand back a zero cotangent for it.
+
+    → (out (H, Tq, d), lse (H, Tq, 1) f32)
+    """
+    (out, lse), _ = _fwl_fwd(q, k, v, t_valid_f, interpret)
+    return out, lse
+
+
+def _fwl_fwd(q, k, v, t_valid_f, interpret):
+    h, t, d = q.shape
+    block_q, block_k = _block_defaults(t, k.shape[1], None, None)
+    scale = 1.0 / np.sqrt(d)
+    tv = t_valid_f.astype(jnp.int32)
+    out, lse3 = _flash_fwd(q, k, v, scale, block_q, block_k, interpret, tv)
+    lse = lse3[:, :t, :1]
+    return (out, lse), (q, k, v, out, lse3, t_valid_f)
+
+
+def _fwl_bwd(interpret, res, g):
+    q, k, v, o, lse3, t_valid_f = res
+    g_out, g_lse = g
+    h, t, d = q.shape
+    block_q, block_k = _block_defaults(t, k.shape[1], None, None)
+    scale = 1.0 / np.sqrt(d)
+    dq, dk, dv = _flash_bwd(
+        q, k, v, o, lse3, g_out.astype(q.dtype), scale, block_q, block_k,
+        interpret, t_valid_f.astype(jnp.int32), g_lse,
+    )
+    return dq, dk, dv, jnp.zeros_like(t_valid_f)
+
+
+flash_attention_with_lse.defvjp(_fwl_fwd, _fwl_bwd)

@@ -55,13 +55,14 @@ def ring_attention_local(
     """Per-shard ring attention body; call inside an enclosing ``shard_map``.
 
     ``use_flash=True`` runs each ring hop through the tiled Pallas flash
-    FORWARD (``ops/pallas/flash_attention``) instead of an XLA block, so the
+    kernels (``ops/pallas/flash_attention``) instead of an XLA block, so the
     per-device memory is O(T_local·d) rather than the XLA block's O(T_local²)
     score matrix — at production shard sizes (T_local = 135k/8 ≈ 17k, a
     1.1 GB f32 matrix per hop) this is what makes multi-chip full-rate
-    scoring viable.  Hops merge via the numerically-stable log-sum-exp rule
-    (exact).  Forward-only: context-parallel TRAINING keeps the XLA block
-    (the flash custom-VJP assumes a static valid length).
+    timelines viable.  Hops merge via the numerically-stable log-sum-exp rule
+    (exact), and the hop kernel is DIFFERENTIABLE (custom VJP carrying the
+    lse cotangent, ``flash_attention_with_lse``), so context-parallel
+    TRAINING streams too.
     """
     h, tl, d = q_l.shape
     scale = (1.0 / np.sqrt(d)) if scale is None else scale
@@ -70,9 +71,12 @@ def ring_attention_local(
     perm = [(j, (j + 1) % n) for j in range(n)]
 
     if use_flash:
-        from cvml_goalnet_tpu.ops.pallas.flash_attention import _block_defaults, _flash_fwd
+        from cvml_goalnet_tpu.ops.pallas.flash_attention import flash_attention_with_lse
 
-        bq, bk = _block_defaults(tl, tl, None, None)
+        assert abs(scale - 1.0 / np.sqrt(d)) < 1e-12, (
+            "flash ring hops use the default 1/sqrt(d) scale; pass "
+            "use_flash=False for custom scales"
+        )
 
         def fstep(carry, i):
             k_cur, v_cur, out, lse = carry
@@ -83,9 +87,9 @@ def ring_attention_local(
                 valid = jnp.minimum(jnp.maximum(t_valid - src * tl, 0), tl)
             else:
                 valid = jnp.int32(tl)
-            out_i, lse_i = _flash_fwd(q_l, k_cur, v_cur, scale, bq, bk,
-                                      flash_interpret, valid)
-            lse_i = lse_i[:, :tl, :1]                      # (H, Tl, 1)
+            out_i, lse_i = flash_attention_with_lse(
+                q_l, k_cur, v_cur, valid.astype(jnp.float32), flash_interpret
+            )
             # a fully-masked hop reports lse=0 (its l is 0); exclude it
             lse_i = jnp.where(valid > 0, lse_i, NEG_INF)
             # stable merge of two normalized partials via their log-sum-exps

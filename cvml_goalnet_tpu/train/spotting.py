@@ -78,13 +78,18 @@ def make_sharded_spotting_train_step(
     lr: float = 1e-3,
     pos_weight: float = 10.0,
     axis: str = "data",
+    use_flash: bool = False,
+    flash_interpret: bool = False,
 ):
     """Context-parallel transformer spotting train step.
 
     The timeline shards over the mesh ``axis`` and gradients flow through the
     ``ppermute`` ring (its transpose is the reverse ring), so each device only
     ever holds T/n of the sequence — the multi-chip path for timelines beyond
-    one chip's HBM.  Gradients equal the single-device step's ≤1e-4
+    one chip's HBM.  ``use_flash=True`` streams each ring hop through the
+    tiled Pallas kernels in BOTH directions (the hop's custom VJP carries the
+    lse cotangent), keeping per-device memory O(T_local·d) during training
+    too.  Gradients equal the single-device step's ≤1e-4
     (tests/test_flash_attention.py::TestContextParallelTraining).
     """
     from cvml_goalnet_tpu.models.temporal_attention import (
@@ -93,7 +98,8 @@ def make_sharded_spotting_train_step(
 
     def loss_fn(params, features, labels):
         logits = temporal_transformer_sharded_apply(
-            params, features, mesh, num_heads, axis
+            params, features, mesh, num_heads, axis,
+            use_flash=use_flash, flash_interpret=flash_interpret,
         )
         w = jnp.where(labels > 0.5, pos_weight, 1.0)
         per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))

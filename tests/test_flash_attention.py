@@ -431,3 +431,71 @@ class TestFlashRingAttention:
             params, feats, mesh, 1, use_flash=True, flash_interpret=True))
         assert shard.shape == (1000,)
         np.testing.assert_allclose(shard, mono, atol=1e-4)
+
+
+class TestFlashRingTraining:
+    """Round-2: context-parallel training streams through the flash kernels
+    in both directions (lse-cotangent custom VJP)."""
+
+    def test_with_lse_grads_match_reference(self):
+        from cvml_goalnet_tpu.ops.pallas.flash_attention import flash_attention_with_lse
+
+        q, k, v = _qkv(1, 300, 128, seed=31)
+
+        def loss_flash(q, k, v):
+            out, lse = flash_attention_with_lse(q, k, v, jnp.float32(300), True)
+            return jnp.sum(out ** 2) + jnp.sum(jnp.sin(lse))
+
+        def loss_ref(q, k, v):
+            d = q.shape[-1]
+            s = jnp.einsum("htd,hsd->hts", q, k) / jnp.sqrt(1.0 * d)
+            out = jnp.einsum("hts,hsd->htd", jax.nn.softmax(s, -1), v)
+            lse = jax.scipy.special.logsumexp(s, axis=-1)[..., None]
+            return jnp.sum(out ** 2) + jnp.sum(jnp.sin(lse))
+
+        g1 = jax.grad(loss_flash, (0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_flash_ring_grads_match_monolithic(self):
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+        from cvml_goalnet_tpu.parallel.ring_attention import ring_attention
+
+        mesh = cpu_mesh(8)
+        q, k, v = _qkv(1, 256, 128, seed=32)
+
+        def loss_ring(q, k, v):
+            return jnp.sum(ring_attention(
+                q, k, v, mesh, use_flash=True, flash_interpret=True) ** 2)
+
+        def loss_mono(q, k, v):
+            return jnp.sum(attention_reference(q, k, v) ** 2)
+
+        g1 = jax.grad(loss_ring, (0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_mono, (0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_cp_flash_train_step_learns(self):
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+        from cvml_goalnet_tpu.train.spotting import (
+            init_spotting_opt, make_sharded_spotting_train_step)
+
+        mesh = cpu_mesh(8)
+        rng = np.random.default_rng(33)
+        t, dim = 256, 8
+        labels = (rng.random(t) < 0.1).astype(np.float32)
+        feats = rng.standard_normal((t, dim)).astype(np.float32) * 0.1
+        feats[labels > 0.5, 0] += 3.0
+        params = temporal_transformer_init(
+            jax.random.PRNGKey(0), dim, model_dim=128, num_layers=1,
+            num_heads=1, max_len=256)
+        opt = init_spotting_opt(params)
+        step = make_sharded_spotting_train_step(
+            mesh, num_heads=1, lr=3e-3, use_flash=True, flash_interpret=True)
+        losses = []
+        for _ in range(12):
+            params, opt, loss = step(params, opt, jnp.asarray(feats), jnp.asarray(labels))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.9, losses
