@@ -153,7 +153,7 @@ def temporal_transformer_sharded_apply(
     mesh,
     num_heads: int = 1,
     axis: str = "data",
-    use_flash: bool = False,      # flash ring hops: O(T_local·d)/device, fwd-only
+    use_flash: bool = False,      # flash ring hops: O(T_local·d)/device, differentiable
     flash_interpret: bool = False,
 ) -> jax.Array:
     """Context-parallel scoring: the timeline shards over ``axis`` and every
