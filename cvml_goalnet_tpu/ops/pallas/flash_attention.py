@@ -377,6 +377,348 @@ def _fat_bwd(scale, interpret, res, g):
 flash_attention_trainable.defvjp(_fat_fwd, _fat_bwd)
 
 
+# --------------------------------------------------------------------------
+# Sliding-window (banded) flash attention: attend only |i − j| ≤ window.
+#
+# Event spotting is local by nature (a goal's evidence lives in the
+# surrounding seconds, not 80 minutes away), so the full T² score band is
+# mostly wasted FLOPs at match scale.  These kernels visit only the
+# 2·w_tiles+1 KV tiles that intersect each query tile's band — compute AND
+# memory are O(T·W·d) in both directions.  The grid's KV axis indexes the
+# band offset; the BlockSpec index map clamps out-of-range tiles into the
+# array (their contributions are masked to −∞ in-kernel, so clamping only
+# affects which bytes are prefetched, never the math).
+# --------------------------------------------------------------------------
+
+
+def _band_mask(s_shape, desired_tile, anchor_tile, block, window, n_tiles, tv,
+               desired_axis: int):
+    """Validity mask for one (block, block) tile of the banded score matrix.
+
+    ``desired_tile`` indexes the streamed side (may be out of range — masked
+    here), ``anchor_tile`` the grid-parallel side.  ``desired_axis`` says
+    which axis of ``s`` the streamed side lies on (1 = cols for fwd/dQ,
+    0 = rows for dKV).
+    """
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, s_shape, desired_axis)
+    a_iota = jax.lax.broadcasted_iota(jnp.int32, s_shape, 1 - desired_axis)
+    d_pos = d_iota + desired_tile * block
+    a_pos = a_iota + anchor_tile * block
+    col = d_pos if desired_axis == 1 else a_pos   # key position → tv mask
+    return (
+        (jnp.abs(d_pos - a_pos) <= window)
+        & (col < tv)
+        & (desired_tile >= 0)
+        & (desired_tile < n_tiles)
+    )
+
+
+def _local_fwd_kernel(tv_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                      m_scr, l_scr, acc_scr, *,
+                      block: int, scale: float, n_loc: int, w_tiles: int,
+                      window: int, n_kv: int):
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    kv_tile = qi - w_tiles + kj
+    valid = _band_mask(s.shape, kv_tile, qi, block, window, n_kv, tv_ref[0], 1)
+    s = jnp.where(valid, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    l_prev = l_scr[:, :1]
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+    m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kj == n_loc - 1)
+    def _store():
+        l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[...] / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+        lse = jnp.where(l_scr[...] == 0.0, 0.0, m_scr[...] + jnp.log(l_scr[...]))
+        lse_ref[0] = lse
+
+
+def _local_dkv_kernel(tv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+                      dk_ref, dv_ref, dk_scr, dv_scr, *,
+                      block: int, scale: float, n_loc: int, w_tiles: int,
+                      window: int, n_q: int):
+    ki = pl.program_id(1)
+    qj = pl.program_id(2)
+
+    @pl.when(qj == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1]
+    di = di_ref[0][:, :1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    q_tile = ki - w_tiles + qj
+    valid = _band_mask(s.shape, q_tile, ki, block, window, n_q, tv_ref[0], 0)
+    s = jnp.where(valid, s, NEG_INF)
+    p = jnp.exp(s - lse)
+
+    dv_scr[...] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - di)
+    dk_scr[...] += jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qj == n_loc - 1)
+    def _store():
+        dk_ref[0] = (dk_scr[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _local_dq_kernel(tv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+                     dq_ref, dq_scr, *,
+                     block: int, scale: float, n_loc: int, w_tiles: int,
+                     window: int, n_kv: int):
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1]
+    di = di_ref[0][:, :1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    kv_tile = qi - w_tiles + kj
+    valid = _band_mask(s.shape, kv_tile, qi, block, window, n_kv, tv_ref[0], 1)
+    s = jnp.where(valid, s, NEG_INF)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - di)
+    dq_scr[...] += jax.lax.dot(
+        ds, k.astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kj == n_loc - 1)
+    def _store():
+        dq_ref[0] = (dq_scr[...] * scale).astype(dq_ref.dtype)
+
+
+def _local_block_default(t: int, window: int) -> int:
+    # keep the band cover tight: the smallest of (512, padded T, tiles that
+    # would over-cover a tiny window by more than 2×)
+    block = 512 if t >= 512 else 128
+    while block > 128 and block > 2 * max(window, 1):
+        block //= 2
+    return block
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _flash_local_fwd(q, k, v, scale, window, block, interpret):
+    h, t, d = q.shape
+    t_pad = -(-t // block) * block
+    q, k, v = _pad_seq(q, t_pad), _pad_seq(k, t_pad), _pad_seq(v, t_pad)
+    n = t_pad // block
+    w_tiles = -(-window // block)
+    n_loc = 2 * w_tiles + 1
+    tv = jnp.full((1,), t, jnp.int32)
+
+    def clamp(i):
+        return jnp.clip(i, 0, n - 1)
+
+    q_spec = pl.BlockSpec((1, block, d), lambda hh, qi, kj: (hh, qi, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec(
+        (1, block, d), lambda hh, qi, kj: (hh, clamp(qi - w_tiles + kj), 0),
+        memory_space=pltpu.VMEM)
+    out, lse = pl.pallas_call(
+        partial(_local_fwd_kernel, block=block, scale=scale, n_loc=n_loc,
+                w_tiles=w_tiles, window=window, n_kv=n),
+        grid=(h, n, n_loc),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), q_spec, kv_spec, kv_spec],
+        out_specs=[
+            q_spec,
+            pl.BlockSpec((1, block, LANES), lambda hh, qi, kj: (hh, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((h, t_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((h, t_pad, LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block, LANES), jnp.float32),
+            pltpu.VMEM((block, LANES), jnp.float32),
+            pltpu.VMEM((block, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(tv, q, k, v)
+    return out[:, :t], lse
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def _flash_local_bwd(q, k, v, o, lse, g, scale, window, block, interpret=False):
+    h, t, d = q.shape
+    t_pad = -(-t // block) * block
+    q, k, v = _pad_seq(q, t_pad), _pad_seq(k, t_pad), _pad_seq(v, t_pad)
+    g, o = _pad_seq(g, t_pad), _pad_seq(o, t_pad)
+    n = t_pad // block
+    w_tiles = -(-window // block)
+    n_loc = 2 * w_tiles + 1
+    tv = jnp.full((1,), t, jnp.int32)
+
+    di_col = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), -1, keepdims=True)
+    di = jnp.broadcast_to(di_col, (h, t_pad, LANES))
+
+    def clamp(i):
+        return jnp.clip(i, 0, n - 1)
+
+    # dKV: grid (h, kv tiles, band offset) — the banded Q tiles stream
+    anchor = pl.BlockSpec((1, block, d), lambda hh, ki, qj: (hh, ki, 0),
+                          memory_space=pltpu.VMEM)
+    banded_q = pl.BlockSpec(
+        (1, block, d), lambda hh, ki, qj: (hh, clamp(ki - w_tiles + qj), 0),
+        memory_space=pltpu.VMEM)
+    banded_stat = pl.BlockSpec(
+        (1, block, LANES), lambda hh, ki, qj: (hh, clamp(ki - w_tiles + qj), 0),
+        memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        partial(_local_dkv_kernel, block=block, scale=scale, n_loc=n_loc,
+                w_tiles=w_tiles, window=window, n_q=n),
+        grid=(h, n, n_loc),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  banded_q, anchor, anchor, banded_q, banded_stat, banded_stat],
+        out_specs=[anchor, anchor],
+        out_shape=[
+            jax.ShapeDtypeStruct((h, t_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((h, t_pad, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block, d), jnp.float32),
+            pltpu.VMEM((block, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(tv, q, k, v, g, lse, di)
+
+    # dQ: grid (h, q tiles, band offset) — the banded KV tiles stream
+    banded_kv = pl.BlockSpec(
+        (1, block, d), lambda hh, qi, kj: (hh, clamp(qi - w_tiles + kj), 0),
+        memory_space=pltpu.VMEM)
+    stat = pl.BlockSpec((1, block, LANES), lambda hh, qi, kj: (hh, qi, 0),
+                        memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        partial(_local_dq_kernel, block=block, scale=scale, n_loc=n_loc,
+                w_tiles=w_tiles, window=window, n_kv=n),
+        grid=(h, n, n_loc),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  anchor, banded_kv, banded_kv, anchor, stat, stat],
+        out_specs=anchor,
+        out_shape=jax.ShapeDtypeStruct((h, t_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(tv, q, k, v, g, lse, di)
+
+    return dq[:, :t], dk[:, :t], dv[:, :t]
+
+
+def attention_local_reference(q, k, v, window: int, scale: float | None = None):
+    """XLA banded attention (materializes the masked score matrix) — the
+    numerical contract for the local kernels, used for parity tests and as
+    the CPU fallback in the temporal transformer."""
+    h, t, d = q.shape
+    scale = (1.0 / np.sqrt(d)) if scale is None else scale
+    s = jnp.einsum("htd,hsd->hts", q, k).astype(jnp.float32) * scale
+    idx = jnp.arange(t)
+    band = jnp.abs(idx[:, None] - idx[None, :]) <= window
+    s = jnp.where(band[None], s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("hts,hsd->htd", p.astype(v.dtype), v)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention_local(q, k, v, window: int, scale: float | None = None,
+                          interpret: bool = False):
+    """Sliding-window flash self-attention: attend only where |i−j| ≤ window.
+
+    O(T·W·d) compute and O(T·d) memory in BOTH directions (tiled Pallas
+    forward and backward) — at match scale (T=135k, W≈1k) that is ~60× fewer
+    attention FLOPs than the full kernel while keeping the local context that
+    event spotting actually uses.  Numerically equal to
+    :func:`attention_local_reference` (tests).  ``window`` is a static radius
+    in frames; q/k/v are (H, T, d) with equal T (self-attention band).
+    """
+    out, _ = _fal_fwd(q, k, v, window, scale, interpret)
+    return out
+
+
+def _fal_fwd(q, k, v, window, scale, interpret):
+    h, t, d = q.shape
+    if k.shape[1] != t:
+        raise ValueError(
+            f"flash_attention_local is a self-attention band: Tq={t} != Tk={k.shape[1]}")
+    block = _local_block_default(t, window)
+    s = (1.0 / np.sqrt(d)) if scale is None else scale
+    out, lse = _flash_local_fwd(q, k, v, s, window, block, interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _fal_bwd(window, scale, interpret, res, g):
+    q, k, v, o, lse = res
+    h, t, d = q.shape
+    block = _local_block_default(t, window)
+    s = (1.0 / np.sqrt(d)) if scale is None else scale
+    return _flash_local_bwd(q, k, v, o, lse, g, s, window, block, interpret)
+
+
+flash_attention_local.defvjp(_fal_fwd, _fal_bwd)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
 def flash_attention_with_lse(q, k, v, t_valid_f, interpret: bool = False):
     """Flash attention that ALSO returns the per-row log-sum-exp — both

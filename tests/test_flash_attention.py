@@ -499,3 +499,74 @@ class TestFlashRingTraining:
             params, opt, loss = step(params, opt, jnp.asarray(feats), jnp.asarray(labels))
             losses.append(float(loss))
         assert losses[-1] < losses[0] * 0.9, losses
+
+
+class TestFlashAttentionLocal:
+    """Sliding-window (banded) flash attention: O(T·W·d) compute, tiled
+    Pallas forward AND backward.  Parity oracle: attention_local_reference
+    (XLA banded softmax)."""
+
+    @pytest.mark.parametrize("t,window", [(256, 37), (300, 64), (513, 130)])
+    def test_forward_matches_banded_reference(self, t, window):
+        from cvml_goalnet_tpu.ops.pallas.flash_attention import (
+            attention_local_reference, flash_attention_local)
+
+        q, k, v = _qkv(2, t, 64, seed=t + window)
+        want = np.asarray(attention_local_reference(q, k, v, window))
+        got = np.asarray(flash_attention_local(q, k, v, window, None, True))
+        np.testing.assert_allclose(got, want, atol=3e-5)
+
+    def test_window_covering_everything_equals_full(self):
+        from cvml_goalnet_tpu.ops.pallas.flash_attention import flash_attention_local
+
+        q, k, v = _qkv(1, 200, 64, seed=5)
+        want = np.asarray(attention_reference(q, k, v))
+        got = np.asarray(flash_attention_local(q, k, v, 200, None, True))
+        np.testing.assert_allclose(got, want, atol=3e-5)
+
+    def test_tiny_window_is_near_diagonal(self):
+        # window=0 → each frame attends only to itself → out == v
+        from cvml_goalnet_tpu.ops.pallas.flash_attention import flash_attention_local
+
+        q, k, v = _qkv(1, 160, 64, seed=6)
+        got = np.asarray(flash_attention_local(q, k, v, 0, None, True))
+        np.testing.assert_allclose(got, np.asarray(v), atol=3e-6)
+
+    @pytest.mark.parametrize("t,window", [(256, 40), (300, 100)])
+    def test_grads_match_banded_reference(self, t, window):
+        from cvml_goalnet_tpu.ops.pallas.flash_attention import (
+            attention_local_reference, flash_attention_local)
+
+        q, k, v = _qkv(1, t, 64, seed=100 + t)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention_local(q, k, v, window, None, True) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(attention_local_reference(q, k, v, window) ** 2)
+
+        g1 = jax.grad(loss_flash, (0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
+    def test_extreme_magnitudes_no_nan(self):
+        from cvml_goalnet_tpu.ops.pallas.flash_attention import flash_attention_local
+
+        rng = np.random.default_rng(41)
+        q = jnp.asarray(rng.standard_normal((1, 256, 64)).astype(np.float32) * 10)
+        k = jnp.asarray(rng.standard_normal((1, 256, 64)).astype(np.float32) * 10)
+        v = jnp.asarray(rng.standard_normal((1, 256, 64)).astype(np.float32))
+        g = jax.grad(lambda q, k, v: jnp.sum(
+            flash_attention_local(q, k, v, 48, None, True) ** 2), (0, 1, 2))(q, k, v)
+        for a in g:
+            assert np.isfinite(np.asarray(a)).all()
+
+    def test_rejects_cross_attention_shapes(self):
+        from cvml_goalnet_tpu.ops.pallas.flash_attention import flash_attention_local
+
+        q, _, _ = _qkv(1, 128, 64)
+        _, k, v = _qkv(1, 256, 64)
+        with pytest.raises(ValueError):
+            flash_attention_local(q, k, v, 16, None, True)
