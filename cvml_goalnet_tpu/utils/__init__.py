@@ -23,9 +23,14 @@ def apply_platform_override() -> None:
     platform = os.environ.get("GOALNET_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
-    # Cache only accelerator programs: XLA:CPU AOT entries are pinned to exact
-    # host CPU features and reload with noisy feature-mismatch warnings.
-    if platform != "cpu" and not os.environ.get("GOALNET_NO_COMPILE_CACHE"):
+    # Cache only accelerator programs: XLA:CPU AOT executables are pinned to
+    # the exact compile-host CPU features — reloading one on a host with a
+    # different feature set can SIGILL/abort the process (observed with
+    # fleet-heterogeneous hosts), so a CPU session must never touch the
+    # persistent cache.  "Effective platform" = the env override or whatever
+    # jax_platforms is already pinned to (sitecustomize / caller).
+    effective = platform or (jax.config.jax_platforms or "")
+    if not effective.startswith("cpu") and not os.environ.get("GOALNET_NO_COMPILE_CACHE"):
         cache_dir = os.environ.get(
             "GOALNET_COMPILE_CACHE_DIR",
             os.path.expanduser("~/.cache/goalnet_jax"),
