@@ -126,6 +126,10 @@ class ModelConfig:
     temporal_num_layers: int = 2
     temporal_num_heads: int = 1
     temporal_max_len: int = 8192
+    # Transformer attention band radius in condensed frames: frame i attends
+    # only |i−j| ≤ window (sliding-window flash kernel, O(T·W·d) compute —
+    # event evidence is local at match scale).  0 = full attention.
+    temporal_window: int = 0
     # GRU timelines longer than this are scored chunked+halo (14× faster,
     # 23.9 ms vs 340 ms per 135k-frame match — docs/BENCHMARKS.md) with
     # documented tolerance ≤2e-2 at chunk borders vs the monolithic scan.

@@ -21,7 +21,9 @@ import jax.numpy as jnp
 
 from cvml_goalnet_tpu.models import layers as L
 from cvml_goalnet_tpu.ops.pallas.flash_attention import (
+    attention_local_reference,
     attention_reference,
+    flash_attention_local,
     flash_attention_trainable,
 )
 
@@ -57,7 +59,8 @@ def temporal_transformer_init(
     return params
 
 
-def _attend(layer, x, num_heads: int, use_flash: bool, flash_interpret: bool):
+def _attend(layer, x, num_heads: int, use_flash: bool, flash_interpret: bool,
+            window: int = 0):
     t, d = x.shape
     hd = d // num_heads
 
@@ -67,22 +70,30 @@ def _attend(layer, x, num_heads: int, use_flash: bool, flash_interpret: bool):
     q = split(L.linear_apply(layer["wq"], x))
     k = split(L.linear_apply(layer["wk"], x))
     v = split(L.linear_apply(layer["wv"], x))
-    # trainable variant: tiled Pallas forward AND backward, O(T·d) memory
-    attn = (
-        flash_attention_trainable(q, k, v, None, flash_interpret)
-        if use_flash else attention_reference(q, k, v)
-    )
+    # trainable variants: tiled Pallas forward AND backward, O(T·d) memory;
+    # window > 0 restricts to the |i−j| ≤ window band (O(T·W·d) compute)
+    if window > 0:
+        attn = (
+            flash_attention_local(q, k, v, window, None, flash_interpret)
+            if use_flash else attention_local_reference(q, k, v, window)
+        )
+    else:
+        attn = (
+            flash_attention_trainable(q, k, v, None, flash_interpret)
+            if use_flash else attention_reference(q, k, v)
+        )
     out = attn.transpose(1, 0, 2).reshape(t, d)
     return L.linear_apply(layer["wo"], out)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def temporal_transformer_apply(
     params,
     features: jax.Array,          # (T, D) frame features
     num_heads: int = 1,
     use_flash: bool = False,
     flash_interpret: bool = False,
+    window: int = 0,              # attention band radius; 0 = full attention
 ) -> jax.Array:
     """(T, D) → (T,) temporal event scores."""
     t = features.shape[0]
@@ -94,7 +105,7 @@ def temporal_transformer_apply(
     x = x + params["pos"][idx]
     for layer in params["layers"]:
         h = L.layernorm_apply(layer["ln1"], x)
-        x = x + _attend(layer, h, num_heads, use_flash, flash_interpret)
+        x = x + _attend(layer, h, num_heads, use_flash, flash_interpret, window)
         h = L.layernorm_apply(layer["ln2"], x)
         x = x + L.linear_apply(layer["mlp_out"], jax.nn.gelu(L.linear_apply(layer["mlp_in"], h)))
     return L.linear_apply(params["head"], x)[:, 0]
@@ -102,12 +113,14 @@ def temporal_transformer_apply(
 
 @lru_cache(maxsize=16)
 def _sharded_transformer_fn(mesh, num_heads: int, axis: str, t: int,
-                            use_flash: bool = False, flash_interpret: bool = False):
+                            use_flash: bool = False, flash_interpret: bool = False,
+                            window: int = 0):
     """Build + cache the jitted shard_map program for one (mesh, T) shape."""
     import numpy as np
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
+    from cvml_goalnet_tpu.parallel.halo_attention import halo_attention_local
     from cvml_goalnet_tpu.parallel.ring_attention import ring_attention_local
 
     def body(params, feats_l):
@@ -128,10 +141,17 @@ def _sharded_transformer_fn(mesh, num_heads: int, axis: str, t: int,
             q = split(L.linear_apply(layer["wq"], h))
             k = split(L.linear_apply(layer["wk"], h))
             v = split(L.linear_apply(layer["wv"], h))
-            attn = ring_attention_local(
-                q, k, v, axis, 1.0 / np.sqrt(hd), t_valid=t,
-                use_flash=use_flash, flash_interpret=flash_interpret,
-            )
+            if window > 0:
+                # banded CP: one halo hop to each neighbor, no ring
+                attn = halo_attention_local(
+                    q, k, v, axis, window, t_valid=t,
+                    use_flash=use_flash, flash_interpret=flash_interpret,
+                )
+            else:
+                attn = ring_attention_local(
+                    q, k, v, axis, 1.0 / np.sqrt(hd), t_valid=t,
+                    use_flash=use_flash, flash_interpret=flash_interpret,
+                )
             x = x + L.linear_apply(layer["wo"], attn.transpose(1, 0, 2).reshape(tl, d))
             h = L.layernorm_apply(layer["ln2"], x)
             x = x + L.linear_apply(
@@ -155,20 +175,25 @@ def temporal_transformer_sharded_apply(
     axis: str = "data",
     use_flash: bool = False,      # flash ring hops: O(T_local·d)/device, differentiable
     flash_interpret: bool = False,
+    window: int = 0,              # attention band radius; 0 = full attention
 ) -> jax.Array:
     """Context-parallel scoring: the timeline shards over ``axis`` and every
     transformer block runs inside ONE ``shard_map`` — pointwise ops stay
     local, attention runs as a ``ppermute`` ring
     (``parallel/ring_attention.ring_attention_local``), numerically equal to
     the monolithic :func:`temporal_transformer_apply` (padded key columns are
-    masked by the global true length).  Differentiable end-to-end: ``ppermute``
-    transposes to the reverse ring, so context-parallel TRAINING works —
-    this is how a full-rate 90-min timeline trains across a pod slice when
-    one chip's HBM is not enough.
+    masked by the global true length).  ``window > 0`` switches to the banded
+    formulation (``parallel/halo_attention``): one halo exchange per neighbor
+    instead of a full ring — exact vs the monolithic banded scorer.
+    Differentiable end-to-end: ``ppermute`` transposes to the reverse
+    ring/halo, so context-parallel TRAINING works — this is how a full-rate
+    90-min timeline trains across a pod slice when one chip's HBM is not
+    enough.
     """
     t = features.shape[0]
     n = mesh.shape[axis]
     t_pad = -(-t // n) * n
     feats = jnp.pad(features, ((0, t_pad - t), (0, 0))) if t_pad != t else features
-    fn = _sharded_transformer_fn(mesh, num_heads, axis, t, use_flash, flash_interpret)
+    fn = _sharded_transformer_fn(mesh, num_heads, axis, t, use_flash,
+                                 flash_interpret, window)
     return fn(params, feats)[:t]

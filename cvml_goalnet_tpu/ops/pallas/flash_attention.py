@@ -391,14 +391,16 @@ flash_attention_trainable.defvjp(_fat_fwd, _fat_bwd)
 # --------------------------------------------------------------------------
 
 
-def _band_mask(s_shape, desired_tile, anchor_tile, block, window, n_tiles, tv,
-               desired_axis: int):
+def _band_mask(s_shape, desired_tile, anchor_tile, block, window, n_tiles,
+               tv_lo, tv_hi, desired_axis: int):
     """Validity mask for one (block, block) tile of the banded score matrix.
 
     ``desired_tile`` indexes the streamed side (may be out of range — masked
     here), ``anchor_tile`` the grid-parallel side.  ``desired_axis`` says
     which axis of ``s`` the streamed side lies on (1 = cols for fwd/dQ,
-    0 = rows for dKV).
+    0 = rows for dKV).  Keys are valid in the dynamic half-open range
+    ``[tv_lo, tv_hi)`` — context-parallel halo shards pass nonzero ``tv_lo``
+    to mask nonexistent halos at the global sequence edges.
     """
     d_iota = jax.lax.broadcasted_iota(jnp.int32, s_shape, desired_axis)
     a_iota = jax.lax.broadcasted_iota(jnp.int32, s_shape, 1 - desired_axis)
@@ -407,7 +409,8 @@ def _band_mask(s_shape, desired_tile, anchor_tile, block, window, n_tiles, tv,
     col = d_pos if desired_axis == 1 else a_pos   # key position → tv mask
     return (
         (jnp.abs(d_pos - a_pos) <= window)
-        & (col < tv)
+        & (col >= tv_lo)
+        & (col < tv_hi)
         & (desired_tile >= 0)
         & (desired_tile < n_tiles)
     )
@@ -432,7 +435,8 @@ def _local_fwd_kernel(tv_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     kv_tile = qi - w_tiles + kj
-    valid = _band_mask(s.shape, kv_tile, qi, block, window, n_kv, tv_ref[0], 1)
+    valid = _band_mask(s.shape, kv_tile, qi, block, window, n_kv,
+                       tv_ref[0], tv_ref[1], 1)
     s = jnp.where(valid, s, NEG_INF)
 
     m_prev = m_scr[:, :1]
@@ -480,7 +484,8 @@ def _local_dkv_kernel(tv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     q_tile = ki - w_tiles + qj
-    valid = _band_mask(s.shape, q_tile, ki, block, window, n_q, tv_ref[0], 0)
+    valid = _band_mask(s.shape, q_tile, ki, block, window, n_q,
+                       tv_ref[0], tv_ref[1], 0)
     s = jnp.where(valid, s, NEG_INF)
     p = jnp.exp(s - lse)
 
@@ -525,7 +530,8 @@ def _local_dq_kernel(tv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     kv_tile = qi - w_tiles + kj
-    valid = _band_mask(s.shape, kv_tile, qi, block, window, n_kv, tv_ref[0], 1)
+    valid = _band_mask(s.shape, kv_tile, qi, block, window, n_kv,
+                       tv_ref[0], tv_ref[1], 1)
     s = jnp.where(valid, s, NEG_INF)
     p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(
@@ -552,14 +558,18 @@ def _local_block_default(t: int, window: int) -> int:
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _flash_local_fwd(q, k, v, scale, window, block, interpret):
+def _flash_local_fwd(q, k, v, scale, window, block, interpret,
+                     tv_lo=None, tv_hi=None):
     h, t, d = q.shape
     t_pad = -(-t // block) * block
     q, k, v = _pad_seq(q, t_pad), _pad_seq(k, t_pad), _pad_seq(v, t_pad)
     n = t_pad // block
     w_tiles = -(-window // block)
     n_loc = 2 * w_tiles + 1
-    tv = jnp.full((1,), t, jnp.int32)
+    tv = jnp.stack([
+        jnp.int32(0) if tv_lo is None else tv_lo.astype(jnp.int32),
+        jnp.int32(t) if tv_hi is None else tv_hi.astype(jnp.int32),
+    ])
 
     def clamp(i):
         return jnp.clip(i, 0, n - 1)
@@ -597,7 +607,8 @@ def _flash_local_fwd(q, k, v, scale, window, block, interpret):
 
 
 @partial(jax.jit, static_argnums=(6, 7, 8, 9))
-def _flash_local_bwd(q, k, v, o, lse, g, scale, window, block, interpret=False):
+def _flash_local_bwd(q, k, v, o, lse, g, scale, window, block, interpret=False,
+                     tv_lo=None, tv_hi=None):
     h, t, d = q.shape
     t_pad = -(-t // block) * block
     q, k, v = _pad_seq(q, t_pad), _pad_seq(k, t_pad), _pad_seq(v, t_pad)
@@ -605,7 +616,10 @@ def _flash_local_bwd(q, k, v, o, lse, g, scale, window, block, interpret=False):
     n = t_pad // block
     w_tiles = -(-window // block)
     n_loc = 2 * w_tiles + 1
-    tv = jnp.full((1,), t, jnp.int32)
+    tv = jnp.stack([
+        jnp.int32(0) if tv_lo is None else tv_lo.astype(jnp.int32),
+        jnp.int32(t) if tv_hi is None else tv_hi.astype(jnp.int32),
+    ])
 
     di_col = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), -1, keepdims=True)
     di = jnp.broadcast_to(di_col, (h, t_pad, LANES))
@@ -717,6 +731,61 @@ def _fal_bwd(window, scale, interpret, res, g):
 
 
 flash_attention_local.defvjp(_fal_fwd, _fal_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def flash_attention_local_bounded(q, k, v, lo_f, hi_f, window: int,
+                                  interpret: bool = False):
+    """Banded flash attention with DYNAMIC key-validity bounds [lo, hi).
+
+    The context-parallel halo formulation runs each shard's band over an
+    extended local sequence (left halo ‖ local ‖ right halo); shards at the
+    global sequence edges have nonexistent halos, masked by these bounds.
+    ``lo_f``/``hi_f`` are float32 scalars (cast inside) so the custom VJP can
+    return zero cotangents for them.
+    """
+    out, _ = _falb_fwd(q, k, v, lo_f, hi_f, window, interpret)
+    return out
+
+
+def _falb_fwd(q, k, v, lo_f, hi_f, window, interpret):
+    h, t, d = q.shape
+    block = _local_block_default(t, window)
+    scale = 1.0 / np.sqrt(d)
+    out, lse = _flash_local_fwd(q, k, v, scale, window, block, interpret,
+                                lo_f.astype(jnp.int32), hi_f.astype(jnp.int32))
+    return out, (q, k, v, out, lse, lo_f, hi_f)
+
+
+def _falb_bwd(window, interpret, res, g):
+    q, k, v, o, lse, lo_f, hi_f = res
+    h, t, d = q.shape
+    block = _local_block_default(t, window)
+    scale = 1.0 / np.sqrt(d)
+    dq, dk, dv = _flash_local_bwd(
+        q, k, v, o, lse, g, scale, window, block, interpret,
+        lo_f.astype(jnp.int32), hi_f.astype(jnp.int32))
+    return dq, dk, dv, jnp.zeros_like(lo_f), jnp.zeros_like(hi_f)
+
+
+flash_attention_local_bounded.defvjp(_falb_fwd, _falb_bwd)
+
+
+def attention_local_bounded_reference(q, k, v, lo, hi, window: int,
+                                      scale: float | None = None):
+    """XLA banded attention with [lo, hi) key-validity bounds (parity oracle
+    and CPU fallback for the halo context-parallel path).  Rows with no valid
+    keys return 0 (matching the kernel's l == 0 convention)."""
+    h, t, d = q.shape
+    scale = (1.0 / np.sqrt(d)) if scale is None else scale
+    s = jnp.einsum("htd,hsd->hts", q, k).astype(jnp.float32) * scale
+    idx = jnp.arange(t)
+    valid = (jnp.abs(idx[:, None] - idx[None, :]) <= window) \
+        & (idx[None, :] >= lo) & (idx[None, :] < hi)
+    s = jnp.where(valid[None], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    row_has = jnp.any(valid, axis=1)[None, :, None]
+    return jnp.where(row_has, jnp.einsum("hts,hsd->htd", p.astype(v.dtype), v), 0.0)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4,))

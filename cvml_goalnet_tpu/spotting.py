@@ -78,7 +78,8 @@ def score_timeline_auto(temporal_params, features, cfg: PipelineConfig) -> jax.A
 
         use_flash = jax.default_backend() not in ("cpu",)
         return temporal_transformer_apply(
-            temporal_params, features, mc.temporal_num_heads, use_flash
+            temporal_params, features, mc.temporal_num_heads, use_flash,
+            window=mc.temporal_window,
         )
     t = features.shape[0]
     if mc.temporal_chunk_threshold and t > mc.temporal_chunk_threshold:
@@ -148,11 +149,13 @@ def score_timeline_sharded(
         )
 
         # flash ring hops on real accelerators: O(T_local·d) per device
-        # instead of the XLA block's O(T_local²) score matrix
+        # instead of the XLA block's O(T_local²) score matrix; with a band
+        # (temporal_window > 0) the ring collapses to one halo hop per
+        # neighbor (parallel/halo_attention)
         use_flash = jax.default_backend() not in ("cpu",)
         return temporal_transformer_sharded_apply(
             temporal_params, features, mesh, mc.temporal_num_heads, axis,
-            use_flash=use_flash,
+            use_flash=use_flash, window=mc.temporal_window,
         )
     # GRU: chunk+halo windows sharded over the mesh axis via jit-with-sharding
     # (each chunk is independent, so GSPMD partitions the vmapped chunk axis).

@@ -26,6 +26,7 @@ def make_spotting_train_step(
     num_heads: int = 1,
     use_flash: bool = False,
     flash_interpret: bool = False,
+    window: int = 0,
 ):
     """→ jitted ``step(params, opt_state, features (T,D), labels (T,)) →
     (params, opt_state, loss)`` with weighted BCE on event frames.
@@ -33,9 +34,11 @@ def make_spotting_train_step(
     ``scorer``: "gru" (bidirectional scan) or "transformer"
     (``models/temporal_attention``).  ``use_flash=True`` trains through the
     tiled Pallas flash kernels (O(T·d) memory forward AND backward — the
-    full-rate T=135k path); ``flash_interpret`` runs them in interpret mode
-    (CPU tests).  ``remat=True`` rematerializes the scorer in the backward
-    pass (``jax.checkpoint``): activations are recomputed instead of stored,
+    full-rate T=135k path); ``window > 0`` restricts attention to the
+    |i−j| ≤ window band (sliding-window kernel, O(T·W·d) compute);
+    ``flash_interpret`` runs kernels in interpret mode (CPU tests).
+    ``remat=True`` rematerializes the scorer in the backward pass
+    (``jax.checkpoint``): activations are recomputed instead of stored,
     the standard TPU FLOPs-for-HBM trade.
     """
     import jax as _jax
@@ -45,7 +48,7 @@ def make_spotting_train_step(
 
         def scorer_fn(params, features, _hidden):
             return temporal_transformer_apply(
-                params, features, num_heads, use_flash, flash_interpret
+                params, features, num_heads, use_flash, flash_interpret, window
             )
     else:
         from cvml_goalnet_tpu.models.temporal import temporal_scorer_apply as scorer_fn
@@ -80,6 +83,7 @@ def make_sharded_spotting_train_step(
     axis: str = "data",
     use_flash: bool = False,
     flash_interpret: bool = False,
+    window: int = 0,
 ):
     """Context-parallel transformer spotting train step.
 
@@ -99,7 +103,7 @@ def make_sharded_spotting_train_step(
     def loss_fn(params, features, labels):
         logits = temporal_transformer_sharded_apply(
             params, features, mesh, num_heads, axis,
-            use_flash=use_flash, flash_interpret=flash_interpret,
+            use_flash=use_flash, flash_interpret=flash_interpret, window=window,
         )
         w = jnp.where(labels > 0.5, pos_weight, 1.0)
         per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))

@@ -570,3 +570,206 @@ class TestFlashAttentionLocal:
         _, k, v = _qkv(1, 256, 64)
         with pytest.raises(ValueError):
             flash_attention_local(q, k, v, 16, None, True)
+
+
+class TestWindowedTransformer:
+    """temporal_window wiring: banded attention through the scorer + dispatch."""
+
+    def _params(self, dim=16, model_dim=32, layers=1, heads=2, max_len=128):
+        return temporal_transformer_init(
+            jax.random.PRNGKey(0), dim, model_dim=model_dim,
+            num_layers=layers, num_heads=heads, max_len=max_len)
+
+    def test_window_changes_scores_and_matches_banded_semantics(self):
+        params = self._params()
+        feats = jnp.asarray(
+            np.random.default_rng(0).standard_normal((96, 16)).astype(np.float32))
+        full = np.asarray(temporal_transformer_apply(params, feats, 2))
+        banded = np.asarray(temporal_transformer_apply(params, feats, 2, window=8))
+        assert banded.shape == full.shape
+        assert not np.allclose(banded, full)  # restricting context must matter
+        # a window covering the whole timeline IS full attention
+        wide = np.asarray(temporal_transformer_apply(params, feats, 2, window=96))
+        np.testing.assert_allclose(wide, full, atol=1e-5)
+
+    def test_config_dispatch_passes_window(self, small_cfg):
+        import dataclasses
+
+        from cvml_goalnet_tpu.spotting import score_timeline_auto
+
+        params = self._params()
+        feats = jnp.asarray(
+            np.random.default_rng(1).standard_normal((64, 16)).astype(np.float32))
+        mk = lambda w: dataclasses.replace(
+            small_cfg, model=dataclasses.replace(
+                small_cfg.model, temporal_model="transformer",
+                temporal_num_heads=2, temporal_window=w))
+        full = np.asarray(score_timeline_auto(params, feats, mk(0)))
+        banded = np.asarray(score_timeline_auto(params, feats, mk(6)))
+        want = np.asarray(temporal_transformer_apply(params, feats, 2, window=6))
+        np.testing.assert_allclose(banded, want, atol=1e-6)
+        assert not np.allclose(banded, full)
+
+    def test_windowed_training_learns(self):
+        from cvml_goalnet_tpu.train.spotting import (
+            init_spotting_opt, make_spotting_train_step)
+
+        rng = np.random.default_rng(2)
+        t, dim = 96, 8
+        labels = (rng.random(t) < 0.1).astype(np.float32)
+        feats = rng.standard_normal((t, dim)).astype(np.float32) * 0.1
+        feats[labels > 0.5, 0] += 3.0
+        params = self._params(dim=dim, model_dim=16, heads=1, max_len=128)
+        opt = init_spotting_opt(params)
+        step = make_spotting_train_step(
+            0, lr=3e-3, scorer="transformer", num_heads=1, window=8)
+        losses = []
+        for _ in range(30):
+            params, opt, loss = step(params, opt, jnp.asarray(feats), jnp.asarray(labels))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.8
+
+
+class TestHaloBandedContextParallel:
+    """Banded CP: one ppermute halo per neighbor instead of a full ring —
+    exact vs the monolithic banded scorer."""
+
+    def _params(self, dim=16, model_dim=32, layers=2, heads=2, max_len=128):
+        return temporal_transformer_init(
+            jax.random.PRNGKey(0), dim, model_dim=model_dim,
+            num_layers=layers, num_heads=heads, max_len=max_len)
+
+    def test_halo_attention_equals_banded_reference(self):
+        from cvml_goalnet_tpu.ops.pallas.flash_attention import (
+            attention_local_reference)
+        from cvml_goalnet_tpu.parallel.halo_attention import halo_attention_local
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        mesh = cpu_mesh(8)
+        q, k, v = _qkv(2, 256, 64, seed=50)   # 32 frames/device
+        window = 16
+        want = np.asarray(attention_local_reference(q, k, v, window))
+        seq = P(None, "data", None)
+        fn = shard_map(
+            lambda ql, kl, vl: halo_attention_local(
+                ql, kl, vl, "data", window, t_valid=256),
+            mesh=mesh, in_specs=(seq, seq, seq), out_specs=seq, check_rep=False)
+        got = np.asarray(jax.jit(fn)(q, k, v))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_halo_flash_equals_banded_reference(self):
+        from cvml_goalnet_tpu.ops.pallas.flash_attention import (
+            attention_local_reference)
+        from cvml_goalnet_tpu.parallel.halo_attention import halo_attention_local
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        mesh = cpu_mesh(8)
+        q, k, v = _qkv(1, 1024, 128, seed=51)  # 128 frames/device
+        window = 64
+        want = np.asarray(attention_local_reference(q, k, v, window))
+        seq = P(None, "data", None)
+        fn = shard_map(
+            lambda ql, kl, vl: halo_attention_local(
+                ql, kl, vl, "data", window, t_valid=1024,
+                use_flash=True, flash_interpret=True),
+            mesh=mesh, in_specs=(seq, seq, seq), out_specs=seq, check_rep=False)
+        got = np.asarray(jax.jit(fn)(q, k, v))
+        np.testing.assert_allclose(got, want, atol=3e-5)
+
+    def test_sharded_windowed_transformer_equals_monolithic(self):
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_sharded_apply)
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+
+        mesh = cpu_mesh(8)
+        params = self._params()
+        feats = jnp.asarray(
+            np.random.default_rng(52).standard_normal((96, 16)).astype(np.float32))
+        mono = np.asarray(temporal_transformer_apply(params, feats, 2, window=8))
+        shard = np.asarray(temporal_transformer_sharded_apply(
+            params, feats, mesh, 2, window=8))
+        np.testing.assert_allclose(shard, mono, atol=1e-4)
+
+    def test_sharded_windowed_with_global_padding(self):
+        # T=90 over 8 devices: internal pad masked by the [lo, hi) bounds
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_sharded_apply)
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+
+        mesh = cpu_mesh(8)
+        params = self._params()
+        feats = jnp.asarray(
+            np.random.default_rng(53).standard_normal((90, 16)).astype(np.float32))
+        mono = np.asarray(temporal_transformer_apply(params, feats, 2, window=6))
+        shard = np.asarray(temporal_transformer_sharded_apply(
+            params, feats, mesh, 2, window=6))
+        assert shard.shape == (90,)
+        np.testing.assert_allclose(shard, mono, atol=1e-4)
+
+    def test_cp_banded_grads_match_monolithic(self):
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_sharded_apply)
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+
+        mesh = cpu_mesh(8)
+        params = temporal_transformer_init(
+            jax.random.PRNGKey(0), 12, model_dim=32, num_layers=1,
+            num_heads=1, max_len=128)
+        rng = np.random.default_rng(54)
+        feats = jnp.asarray(rng.standard_normal((96, 12)).astype(np.float32))
+        labels = jnp.asarray((rng.random(96) < 0.1).astype(np.float32))
+
+        def bce(logits, labels):
+            per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+            return jnp.mean(per)
+
+        def loss_mono(p):
+            return bce(temporal_transformer_apply(p, feats, 1, window=8), labels)
+
+        def loss_cp(p):
+            return bce(temporal_transformer_sharded_apply(
+                p, feats, mesh, 1, window=8), labels)
+
+        g1 = jax.tree_util.tree_leaves(jax.grad(loss_mono)(params))
+        g2 = jax.tree_util.tree_leaves(jax.grad(loss_cp)(params))
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-3)
+
+    def test_cp_banded_train_step_learns(self):
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+        from cvml_goalnet_tpu.train.spotting import (
+            init_spotting_opt, make_sharded_spotting_train_step)
+
+        mesh = cpu_mesh(8)
+        rng = np.random.default_rng(55)
+        t, dim = 128, 8
+        labels = (rng.random(t) < 0.1).astype(np.float32)
+        feats = rng.standard_normal((t, dim)).astype(np.float32) * 0.1
+        feats[labels > 0.5, 0] += 3.0
+        params = temporal_transformer_init(
+            jax.random.PRNGKey(0), dim, model_dim=16, num_layers=1,
+            num_heads=1, max_len=128)
+        opt = init_spotting_opt(params)
+        step = make_sharded_spotting_train_step(mesh, num_heads=1, lr=3e-3, window=8)
+        losses = []
+        for _ in range(30):
+            params, opt, loss = step(params, opt, jnp.asarray(feats), jnp.asarray(labels))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.8
+
+    def test_window_exceeding_shard_raises(self):
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_sharded_apply)
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+
+        mesh = cpu_mesh(8)
+        params = self._params()
+        feats = jnp.asarray(
+            np.random.default_rng(56).standard_normal((64, 16)).astype(np.float32))
+        with pytest.raises(ValueError, match="window"):
+            temporal_transformer_sharded_apply(params, feats, mesh, 2, window=32)
