@@ -69,7 +69,8 @@ def grad_parity(t: int = 2048, d: int = 128) -> None:
          ok=all(x < 1e-3 for x in diffs.values()))
 
 
-def train_steps(t: int, iters: int = 10, model_dim: int = 128) -> None:
+def train_steps(t: int, iters: int = 10, model_dim: int = 128,
+                window: int = 0) -> None:
     rng = np.random.default_rng(1)
     dim = 64
     feats = jnp.asarray(rng.standard_normal((t, dim)).astype(np.float32) * 0.1)
@@ -81,7 +82,7 @@ def train_steps(t: int, iters: int = 10, model_dim: int = 128) -> None:
     opt = init_spotting_opt(params)
     step = make_spotting_train_step(
         0, lr=1e-3, scorer="transformer", num_heads=1, use_flash=True,
-        flash_interpret=INTERP,
+        flash_interpret=INTERP, window=window,
     )
     t0 = time.perf_counter()
     params, opt, loss = step(params, opt, feats, labels)
@@ -94,7 +95,8 @@ def train_steps(t: int, iters: int = 10, model_dim: int = 128) -> None:
         params, opt, loss = step(params, opt, feats, labels)
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / iters
-    emit(metric="flash_transformer_train_step", t=t, ms_per_step=round(dt * 1e3, 2),
+    emit(metric="flash_transformer_train_step", t=t, window=window,
+         ms_per_step=round(dt * 1e3, 2),
          compile_s=round(compile_s, 1), loss=float(loss),
          finite=bool(np.isfinite(float(loss))))
 
@@ -106,6 +108,9 @@ def main() -> None:
     for t in (32_768, 135_000):
         if t <= cap:
             train_steps(t, iters=5 if t > 100_000 else 10)
+    # sliding-window training at full rate: O(T·W·d) fwd+bwd
+    if 135_000 <= cap:
+        train_steps(135_000, iters=5, window=1024)
 
 
 if __name__ == "__main__":

@@ -88,6 +88,15 @@ def main() -> None:
             "tfm", lambda f: temporal_transformer_apply(tfm, f, 1, True), feats
         ) * 1e3, 1
     )
+    # sliding-window flash attention: O(T·W·d) — the band an event actually
+    # uses (W=1024 condensed frames ≈ ±41 s of context at 25 fps)
+    results["transformer_flash_w1024_ms"] = round(
+        bench_chained(
+            "tfm_w1024",
+            lambda f: temporal_transformer_apply(tfm, f, 1, True, window=1024),
+            feats,
+        ) * 1e3, 1
+    )
 
     best = min(results.values())
     print(json.dumps({

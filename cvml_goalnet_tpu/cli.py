@@ -232,6 +232,10 @@ def cmd_spot(args) -> int:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, temporal_model=args.temporal_model)
         )
+    if getattr(args, "attn_window", None) is not None:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, temporal_window=args.attn_window)
+        )
     d = cfg.model.vis_feature_dim + (cfg.model.aud_feature_dim if cfg.model.audio_included else 0)
     if cfg.model.temporal_model == "transformer":
         from cvml_goalnet_tpu.models.temporal_attention import temporal_transformer_init
@@ -318,6 +322,10 @@ def cmd_spot_train(args) -> int:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, temporal_model=args.temporal_model)
         )
+    if getattr(args, "attn_window", None) is not None:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, temporal_window=args.attn_window)
+        )
     data = _resolve_data(args)
     paths = _artifact_paths(args.workdir, cfg.model.audio_included)
     store = (
@@ -362,6 +370,7 @@ def cmd_spot_train(args) -> int:
         step = make_spotting_train_step(
             0, lr=args.lr, pos_weight=args.pos_weight,
             scorer="transformer", num_heads=cfg.model.temporal_num_heads,
+            window=cfg.model.temporal_window,
         )
     else:
         tparams = temporal_scorer_init(jax.random.PRNGKey(1), d, cfg.model.temporal_hidden)
@@ -430,6 +439,9 @@ def main(argv=None) -> int:
     p.add_argument("--no-audio", action="store_true")
     p.add_argument("--temporal-checkpoint", default=None)
     p.add_argument("--temporal-model", choices=["gru", "transformer"], default=None)
+    p.add_argument("--attn-window", type=int, default=None,
+                   help="transformer attention band radius in condensed frames "
+                        "(sliding-window flash kernel; 0/default = full attention)")
     p.add_argument("--peak-window", type=int, default=5)
     p.add_argument("--peak-threshold", type=float, default=0.0)
     p.add_argument("--eval-events", action="store_true",
@@ -442,6 +454,8 @@ def main(argv=None) -> int:
     _add_data_args(p)
     p.add_argument("--no-audio", action="store_true")
     p.add_argument("--temporal-model", choices=["gru", "transformer"], default=None)
+    p.add_argument("--attn-window", type=int, default=None,
+                   help="transformer attention band radius in condensed frames")
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--pos-weight", type=float, default=10.0)

@@ -150,6 +150,16 @@ class TestCLISpotTransformer:
         payload = json.loads(r.stdout[r.stdout.index("{"):])
         assert payload["summary_frames"] > 0
 
+    def test_spot_with_attention_window(self, cli_env):
+        root = cli_env["root"]
+        r = _run(["spot", cli_env["video_fps"][0], "--mat-fp", cli_env["mat_file_path"],
+                  "--h5-fp", cli_env["h5_file_path"], "--config", cli_env["cfg"],
+                  "--workdir", root, "--peak-threshold=-1e9",
+                  "--temporal-model", "transformer", "--attn-window", "3"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = json.loads(r.stdout[r.stdout.index("{"):])
+        assert payload["summary_frames"] > 0
+
 
 class TestCLISpotTrain:
     def test_spot_train_then_spot_with_head(self, cli_env):
