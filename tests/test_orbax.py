@@ -1,0 +1,77 @@
+"""Orbax checkpoint backend: sharded-aware save/restore (train/orbax_io.py)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import pytest
+
+from cvml_goalnet_tpu.train.orbax_io import (
+    load_checkpoint_orbax,
+    save_checkpoint_orbax,
+)
+from cvml_goalnet_tpu.train.state import create_train_state
+
+
+def _leaves_equal(a, b):
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestOrbaxCheckpoint:
+    def test_roundtrip_full_state(self, small_cfg, tmp_path):
+        st = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        st = st._replace(epoch=7)
+        save_checkpoint_orbax(str(tmp_path), st, small_cfg, tag="opt")
+        tpl = create_train_state(jax.random.PRNGKey(1), small_cfg)
+        st2 = load_checkpoint_orbax(str(tmp_path), tpl, tag="opt")
+        _leaves_equal(st.params, st2.params)
+        _leaves_equal(st.model_state, st2.model_state)
+        _leaves_equal(st.opt_state, st2.opt_state)
+        assert st2.epoch == 7
+
+    def test_mismatched_config_raises(self, small_cfg, tmp_path):
+        from cvml_goalnet_tpu.train.checkpoint import CheckpointMismatchError
+
+        st = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        save_checkpoint_orbax(str(tmp_path), st, small_cfg)
+        other = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(
+                small_cfg.model, fusion_hidden=(24, 12)))
+        tpl = create_train_state(jax.random.PRNGKey(1), other)
+        with pytest.raises(CheckpointMismatchError):
+            load_checkpoint_orbax(str(tmp_path), tpl)
+
+    def test_missing_checkpoint_raises_filenotfound(self, small_cfg, tmp_path):
+        tpl = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        with pytest.raises(FileNotFoundError):
+            load_checkpoint_orbax(str(tmp_path), tpl)
+
+    def test_sharded_restore_lands_on_mesh(self, small_cfg, tmp_path):
+        """The adapter's point: a DP/TP job resumes into SHARDED arrays —
+        no host gather, each leaf restored with the template's sharding."""
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+        from cvml_goalnet_tpu.parallel.sharding import place_params
+
+        mesh = cpu_mesh(8)
+        st = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        sharded_params = place_params(st.params, mesh, tensor_parallel=True)
+        st_sharded = st._replace(params=sharded_params, epoch=3)
+        save_checkpoint_orbax(str(tmp_path), st_sharded, small_cfg)
+
+        tpl = create_train_state(jax.random.PRNGKey(1), small_cfg)
+        tpl = tpl._replace(
+            params=place_params(tpl.params, mesh, tensor_parallel=True))
+        st2 = load_checkpoint_orbax(str(tmp_path), tpl)
+        _leaves_equal(st.params, st2.params)
+        assert st2.epoch == 3
+        # restored leaves carry the template's shardings (distributed, not host)
+        flat_t = jax.tree_util.tree_leaves(tpl.params)
+        flat_r = jax.tree_util.tree_leaves(st2.params)
+        any_sharded = False
+        for t, r in zip(flat_t, flat_r):
+            if isinstance(r, jax.Array) and hasattr(t, "sharding"):
+                assert r.sharding.is_equivalent_to(t.sharding, r.ndim), (
+                    t.sharding, r.sharding)
+                any_sharded |= len(r.sharding.device_set) > 1
+        assert any_sharded, "expected at least one multi-device leaf"
