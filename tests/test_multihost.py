@@ -1,0 +1,101 @@
+"""Multi-host runtime (parallel/multihost.py): a REAL 2-process CPU cluster.
+
+Two subprocesses (4 virtual devices each) form an 8-device global mesh via
+the JAX distributed system and run one data-parallel train step of the real
+AVM, each feeding only its half of the global batch.  Both processes must
+report the SAME loss, equal to the single-process 8-device run — proving the
+SPMD programs are process-count-agnostic and the input pipeline feeds
+host-local shards correctly.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _single_process_loss() -> float:
+    """The same step/batch as the workers, on this process's 8-device mesh."""
+    from cvml_goalnet_tpu.config import (
+        AudioConfig, MeshConfig, ModelConfig, PipelineConfig, PreprocessConfig)
+    from cvml_goalnet_tpu.parallel.dp import make_dp_train_step
+    from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+    from cvml_goalnet_tpu.parallel.sharding import shard_batch
+    from cvml_goalnet_tpu.train.state import create_train_state
+
+    cfg = PipelineConfig(
+        preprocess=PreprocessConfig(skip_frames=30, frame_size=(24, 24)),
+        audio=AudioConfig(n_fft=512, hop_length=128, n_mels=40, n_mfcc=13,
+                          bin_length=12),
+        model=ModelConfig(vis_channels=(8, 16, 16), vis_feature_dim=32,
+                          aud_channels=(8, 16), aud_feature_dim=16,
+                          fusion_hidden=(32, 16)),
+        mesh=MeshConfig(data=8, model=1),
+    )
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    mesh = cpu_mesh(8)
+    rng = np.random.default_rng(0)
+    b = 16
+    vis = shard_batch(mesh, np.asarray(
+        rng.random((b, *cfg.preprocess.frame_size, 3)).astype(np.float32)))
+    aud = shard_batch(mesh, np.asarray(
+        rng.random((b, cfg.audio.bin_length, cfg.audio.n_mfcc)).astype(np.float32)))
+    lab = shard_batch(mesh, np.asarray(rng.integers(1, 6, b).astype(np.float32)))
+    step = make_dp_train_step(cfg, mesh)
+    _, _, _, loss = step(state.params, state.model_state, state.opt_state,
+                         vis, aud, lab, jax.random.PRNGKey(1))
+    return float(np.asarray(loss))
+
+
+class TestMultiHostRuntime:
+    def test_two_process_dp_step_matches_single_process(self, tmp_path):
+        port = _free_port()
+        procs, outs = [], []
+        env = {
+            **os.environ,
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "GOALNET_PLATFORM": "cpu",
+            "PYTHONPATH": REPO,
+        }
+        for pid in range(2):
+            out = str(tmp_path / f"loss_{pid}.txt")
+            outs.append(out)
+            procs.append(subprocess.Popen(
+                [sys.executable, WORKER, str(pid), "2", str(port), out],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+        rcs = [p.wait(timeout=300) for p in procs]
+        for p, rc in zip(procs, rcs):
+            if rc != 0:
+                pytest.fail(f"worker failed (rc={rc}):\n{p.stderr.read()[-3000:]}")
+        losses = [float(open(o).read()) for o in outs]
+        assert losses[0] == losses[1], losses   # replicated loss, same on both
+        want = _single_process_loss()
+        np.testing.assert_allclose(losses[0], want, rtol=1e-6)
+
+    def test_helpers_single_process(self):
+        # degenerate (1-process) semantics of the helpers used by the workers
+        from cvml_goalnet_tpu.parallel.multihost import (
+            global_data_mesh, process_count, process_index, replicated_to_host,
+            shard_host_batch)
+
+        assert process_count() >= 1 and process_index() == 0
+        mesh = global_data_mesh()
+        x = np.arange(len(jax.devices()) * 3, dtype=np.float32).reshape(-1, 3)
+        g = shard_host_batch(x, mesh)
+        assert g.shape == x.shape
+        np.testing.assert_array_equal(np.asarray(g), x)
+        np.testing.assert_array_equal(replicated_to_host(g.sum()), x.sum())
