@@ -140,6 +140,10 @@ class ModelConfig:
 
     dtype: str = "float32"         # activations dtype ("bfloat16" on TPU hot path)
     param_dtype: str = "float32"
+    # Eval-only: route the MXU-bound visual convs (conv1/conv2, 88% of model
+    # FLOPs) through the int8 MXU (ops/quant.py) — measured 1.5-1.6× on those
+    # stages (v5e); score drift gate in tests/test_precision.py.
+    quantized_inference: bool = False
 
 
 @dataclass(frozen=True)

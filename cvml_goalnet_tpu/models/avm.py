@@ -84,9 +84,12 @@ def avm_apply(
     k_vis, *k_drop = jax.random.split(rng, 1 + len(cfg.fusion_hidden))
 
     _, vis_apply = _visual_init(cfg)
+    vis_kw = {}
+    if not train and cfg.quantized_inference and cfg.vis_backbone != "resnet":
+        vis_kw["quant"] = True   # int8 MXU path for the dominant convs
     feats, new_state = vis_apply(
         params["visual"], state["visual"], visual,
-        train=train, rng=k_vis, dropout_rate=cfg.dropout_rate,
+        train=train, rng=k_vis, dropout_rate=cfg.dropout_rate, **vis_kw,
     )
     parts = [feats]
     if cfg.audio_included:

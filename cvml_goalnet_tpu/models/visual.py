@@ -54,7 +54,8 @@ def visual_encoder_init(key, cfg: ModelConfig, pre: PreprocessConfig):
     return params, state
 
 
-def visual_encoder_apply(params, state, x, *, train: bool, rng, dropout_rate: float):
+def visual_encoder_apply(params, state, x, *, train: bool, rng, dropout_rate: float,
+                         quant: bool = False):
     """x: (N, H, W, C) normalized frames → (N, vis_feature_dim).
 
     Eval mode folds each batchnorm (affine per channel, ``y = s·x + t``) into
@@ -63,9 +64,14 @@ def visual_encoder_apply(params, state, x, *, train: bool, rng, dropout_rate: fl
     passes (and their HBM round-trips) from the inference hot path.  The fold
     arithmetic runs in f32 on the (tiny) weights; results are numerically the
     same regrouped sums (tested vs the unfolded path).
+
+    ``quant=True`` (eval only) routes the MXU-bound stages (conv1/conv2 —
+    88% of model FLOPs) through the int8 MXU path (``ops/quant.py``): folded
+    weights get per-channel int8 scales, activations a dynamic per-tensor
+    scale.  conv0 (shape-limited) and the HBM-bound head stay float.
     """
     if not train:
-        return _visual_encoder_apply_folded(params, state, x), state
+        return _visual_encoder_apply_folded(params, state, x, quant=quant), state
 
     new_state = {}
     for i in range(len(_STAGE_GEOM)):
@@ -94,7 +100,7 @@ def _bn_affine(bn_params, bn_state, eps: float = 1e-5):
     return s, t
 
 
-def _visual_encoder_apply_folded(params, state, x):
+def _visual_encoder_apply_folded(params, state, x, quant: bool = False):
     import jax.numpy as jnp
 
     n_stages = sum(1 for i in range(len(_STAGE_GEOM)) if f"conv{i}" in params)
@@ -116,8 +122,14 @@ def _visual_encoder_apply_folded(params, state, x):
                 stride=st, padding=pad,
             )
             w = w * s_prev[None, None, :, None]
-            folded = {"w": w.astype(x.dtype), "b": jnp.zeros_like(b, x.dtype)}
-            x = L.conv2d_apply(folded, x, stride=st, padding=pad) + corr
+            if quant:
+                # int8 MXU path for the FLOPs-dominant stages (conv1/conv2)
+                from cvml_goalnet_tpu.ops.quant import quantized_conv2d
+
+                x = quantized_conv2d(x, w, stride=st, padding=pad) + corr
+            else:
+                folded = {"w": w.astype(x.dtype), "b": jnp.zeros_like(b, x.dtype)}
+                x = L.conv2d_apply(folded, x, stride=st, padding=pad) + corr
         else:
             folded = {"w": w.astype(x.dtype), "b": b.astype(x.dtype)}
             x = L.conv2d_apply(folded, x, stride=st, padding=pad)

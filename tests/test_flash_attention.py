@@ -762,6 +762,26 @@ class TestHaloBandedContextParallel:
             losses.append(float(loss))
         assert losses[-1] < losses[0] * 0.8
 
+    def test_single_device_mesh_halo_wraps_to_self_masked(self):
+        # n=1: the ppermute halos wrap to the device itself; the [lo, hi)
+        # bounds must mask them so the result equals plain banded attention
+        from cvml_goalnet_tpu.ops.pallas.flash_attention import (
+            attention_local_reference)
+        from cvml_goalnet_tpu.parallel.halo_attention import halo_attention_local
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices("cpu")[:1]), ("data",))
+        q, k, v = _qkv(1, 96, 32, seed=57)
+        want = np.asarray(attention_local_reference(q, k, v, 12))
+        seq = P(None, "data", None)
+        fn = shard_map(
+            lambda ql, kl, vl: halo_attention_local(
+                ql, kl, vl, "data", 12, t_valid=96),
+            mesh=mesh, in_specs=(seq, seq, seq), out_specs=seq, check_rep=False)
+        got = np.asarray(jax.jit(fn)(q, k, v))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
     def test_window_exceeding_shard_raises(self):
         from cvml_goalnet_tpu.models.temporal_attention import (
             temporal_transformer_sharded_apply)

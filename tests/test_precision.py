@@ -76,3 +76,63 @@ class TestMixedPrecisionTraining:
             leaf.dtype == jnp2.float32
             for leaf in jax.tree_util.tree_leaves(params)
         )
+
+
+class TestInt8Quantized:
+    """Int8 MXU inference path (ops/quant.py + ModelConfig.quantized_inference)."""
+
+    def test_weight_quant_roundtrip_bound(self):
+        from cvml_goalnet_tpu.ops.quant import quantize_weights_per_channel
+
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.standard_normal((3, 3, 16, 32)).astype(np.float32) *
+                        rng.gamma(2.0, 1.0, (1, 1, 1, 32)).astype(np.float32))
+        q, s = quantize_weights_per_channel(w, axis=3)
+        assert q.dtype == jnp.int8 and s.shape == (1, 1, 1, 32)
+        # symmetric rounding: reconstruction error ≤ half a quantization step
+        err = np.abs(np.asarray(q, np.float32) * np.asarray(s) - np.asarray(w))
+        assert (err <= np.asarray(s) / 2 + 1e-7).all()
+
+    def test_quantized_conv_close_to_float(self):
+        from cvml_goalnet_tpu.ops.quant import quantized_conv2d
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(np.abs(rng.standard_normal((4, 11, 11, 16))).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((3, 3, 16, 32)).astype(np.float32))
+        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        want = jax.lax.conv_general_dilated(x, w, (1, 1), [(1, 1)] * 2,
+                                            dimension_numbers=dn)
+        got = quantized_conv2d(x, w, stride=1, padding=1)
+        w_, g_ = np.asarray(want), np.asarray(got)
+        denom = np.abs(w_).max()
+        assert np.abs(g_ - w_).max() / denom < 0.02, np.abs(g_ - w_).max() / denom
+
+    def test_avm_quantized_scores_close_to_f32(self, small_cfg):
+        import dataclasses
+
+        cfg = small_cfg
+        qcfg = dataclasses.replace(cfg.model, quantized_inference=True)
+        params, state = avm_init(jax.random.PRNGKey(0), cfg.model, cfg.preprocess, cfg.audio)
+        rng = np.random.default_rng(2)
+        vis = rng.random((6, *cfg.preprocess.frame_size, 3)).astype(np.float32)
+        aud = rng.random((6, cfg.audio.bin_length, cfg.audio.n_mfcc)).astype(np.float32)
+
+        out32, _ = avm_apply(params, state, jnp.asarray(vis), jnp.asarray(aud), cfg=cfg.model)
+        outq, _ = avm_apply(params, state, jnp.asarray(vis), jnp.asarray(aud), cfg=qcfg)
+        # same drift gate as bf16: scores live on the [1, 5] scale
+        np.testing.assert_allclose(np.asarray(outq), np.asarray(out32), atol=0.1)
+        assert not np.array_equal(np.asarray(outq), np.asarray(out32))
+
+    def test_train_mode_ignores_quant_flag(self, small_cfg):
+        import dataclasses
+
+        cfg = small_cfg
+        qcfg = dataclasses.replace(cfg.model, quantized_inference=True)
+        params, state = avm_init(jax.random.PRNGKey(0), cfg.model, cfg.preprocess, cfg.audio)
+        rng = np.random.default_rng(3)
+        vis = jnp.asarray(rng.random((4, *cfg.preprocess.frame_size, 3)).astype(np.float32))
+        aud = jnp.asarray(rng.random((4, cfg.audio.bin_length, cfg.audio.n_mfcc)).astype(np.float32))
+        key = jax.random.PRNGKey(7)
+        out_q, _ = avm_apply(params, state, vis, aud, cfg=qcfg, train=True, rng=key)
+        out_f, _ = avm_apply(params, state, vis, aud, cfg=cfg.model, train=True, rng=key)
+        np.testing.assert_array_equal(np.asarray(out_q), np.asarray(out_f))
