@@ -16,7 +16,8 @@ target of ≥50× real-time at 25 fps full-rate decode (50 × 25 = 1250
 frames/sec/chip); 1.0 means the target is exactly met.
 
 Env: ``GOALNET_PLATFORM=cpu`` forces the CPU backend (smoke runs);
-``GOALNET_BENCH_BATCH`` / ``GOALNET_BENCH_DTYPE=float32`` override defaults.
+``GOALNET_BENCH_BATCH`` / ``GOALNET_BENCH_DTYPE=float32`` /
+``GOALNET_BENCH_QUANT=0`` override defaults.
 """
 
 from __future__ import annotations
@@ -49,6 +50,13 @@ def main() -> None:
 
     batch = int(os.environ.get("GOALNET_BENCH_BATCH", 4096))
     dtype = jnp.float32 if os.environ.get("GOALNET_BENCH_DTYPE") == "float32" else jnp.bfloat16
+    # int8 MXU path for the dominant convs (score drift ≤0.1 on [1,5] —
+    # tests/test_precision.py::TestInt8Quantized); disable with =0
+    if os.environ.get("GOALNET_BENCH_QUANT", "1") != "0":
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, quantized_inference=True))
     decode_hw = (180, 320)  # host decoder output resolution fed to the device
 
     raw_frames = jax.device_put(jnp.asarray(
