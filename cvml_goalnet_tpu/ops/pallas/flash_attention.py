@@ -87,12 +87,15 @@ def _fwd_kernel(tv_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_s
 
     @pl.when(ki == n_kv - 1)
     def _store():
-        l = l_scr[:, :1]
-        o_ref[0] = (acc_scr[...] / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
-        # log-sum-exp residual for the backward; rows with no valid columns
-        # get 0 so the backward's exp(NEG_INF - 0) underflows to 0, not NaN.
-        lse = jnp.where(l_scr[...] == 0.0, 0.0, m_scr[...] + jnp.log(l_scr[...]))
-        lse_ref[0] = lse
+        # A row that never saw a valid key keeps m == NEG_INF (each masked
+        # tile contributes p = exp(NEG_INF - NEG_INF) = 1, so l is NOT 0):
+        # detect dead rows via m and emit out = 0, lse = 0 — the backward's
+        # exp(NEG_INF - 0) then underflows to 0, not NaN.
+        dead = m_scr[...] == NEG_INF
+        l = jnp.where(dead[:, :1], 1.0, l_scr[:, :1])
+        o_ref[0] = jnp.where(
+            dead[:, :1], 0.0, acc_scr[...] / l).astype(o_ref.dtype)
+        lse_ref[0] = jnp.where(dead, 0.0, m_scr[...] + jnp.log(l_scr[...]))
 
 
 def _block_defaults(t, t_kv, block_q, block_k):
@@ -455,10 +458,13 @@ def _local_fwd_kernel(tv_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     @pl.when(kj == n_loc - 1)
     def _store():
-        l = l_scr[:, :1]
-        o_ref[0] = (acc_scr[...] / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
-        lse = jnp.where(l_scr[...] == 0.0, 0.0, m_scr[...] + jnp.log(l_scr[...]))
-        lse_ref[0] = lse
+        # dead rows (no valid key in the band) keep m == NEG_INF; emit 0s —
+        # see _fwd_kernel._store
+        dead = m_scr[...] == NEG_INF
+        l = jnp.where(dead[:, :1], 1.0, l_scr[:, :1])
+        o_ref[0] = jnp.where(
+            dead[:, :1], 0.0, acc_scr[...] / l).astype(o_ref.dtype)
+        lse_ref[0] = jnp.where(dead, 0.0, m_scr[...] + jnp.log(l_scr[...]))
 
 
 def _local_dkv_kernel(tv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
@@ -684,15 +690,11 @@ def _flash_local_bwd(q, k, v, o, lse, g, scale, window, block, interpret=False,
 def attention_local_reference(q, k, v, window: int, scale: float | None = None):
     """XLA banded attention (materializes the masked score matrix) — the
     numerical contract for the local kernels, used for parity tests and as
-    the CPU fallback in the temporal transformer."""
-    h, t, d = q.shape
-    scale = (1.0 / np.sqrt(d)) if scale is None else scale
-    s = jnp.einsum("htd,hsd->hts", q, k).astype(jnp.float32) * scale
-    idx = jnp.arange(t)
-    band = jnp.abs(idx[:, None] - idx[None, :]) <= window
-    s = jnp.where(band[None], s, -jnp.inf)
-    p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("hts,hsd->htd", p.astype(v.dtype), v)
+    the CPU fallback in the temporal transformer.  The special case of
+    :func:`attention_local_bounded_reference` with the full [0, T) bounds
+    (every row then has a valid diagonal key)."""
+    t = q.shape[1]
+    return attention_local_bounded_reference(q, k, v, 0, t, window, scale)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

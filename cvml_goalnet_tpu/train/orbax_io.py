@@ -86,7 +86,7 @@ def load_checkpoint_orbax(
                 item=target,
                 restore_args=ocp.checkpoint_utils.construct_restore_args(target),
             ))
-    except BaseException as e:
+    except Exception as e:
         raise CheckpointMismatchError(
             f"orbax checkpoint at {path!r} does not match the current config "
             f"({type(e).__name__}: {e}) — it was saved with different model "

@@ -27,10 +27,13 @@ def apply_platform_override() -> None:
     # the exact compile-host CPU features — reloading one on a host with a
     # different feature set can SIGILL/abort the process (observed with
     # fleet-heterogeneous hosts), so a CPU session must never touch the
-    # persistent cache.  "Effective platform" = the env override or whatever
-    # jax_platforms is already pinned to (sitecustomize / caller).
+    # persistent cache.  Enable it ONLY when an accelerator platform is
+    # explicitly named (env override or pinned jax_platforms); when the
+    # platform is unresolved, stay conservative — correctness over compile
+    # speed (accelerator entry points on TPU images always have the pin).
     effective = platform or (jax.config.jax_platforms or "")
-    if not effective.startswith("cpu") and not os.environ.get("GOALNET_NO_COMPILE_CACHE"):
+    accelerator_named = bool(effective) and not effective.startswith("cpu")
+    if accelerator_named and not os.environ.get("GOALNET_NO_COMPILE_CACHE"):
         cache_dir = os.environ.get(
             "GOALNET_COMPILE_CACHE_DIR",
             os.path.expanduser("~/.cache/goalnet_jax"),

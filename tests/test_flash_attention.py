@@ -793,3 +793,44 @@ class TestHaloBandedContextParallel:
             np.random.default_rng(56).standard_normal((64, 16)).astype(np.float32))
         with pytest.raises(ValueError, match="window"):
             temporal_transformer_sharded_apply(params, feats, mesh, 2, window=32)
+
+
+class TestBoundedLocalDeadRows:
+    """Rows whose whole band is masked out must return 0 (and lse 0) — the
+    documented convention, exercised directly (not just via sliced callers)."""
+
+    def test_bounded_kernel_matches_reference_including_dead_rows(self):
+        from cvml_goalnet_tpu.ops.pallas.flash_attention import (
+            attention_local_bounded_reference, flash_attention_local_bounded)
+
+        q, k, v = _qkv(1, 256, 64, seed=60)
+        window, lo, hi = 16, 64, 200   # rows < 48 and >= 216 have empty bands
+        want = np.asarray(attention_local_bounded_reference(q, k, v, lo, hi, window))
+        got = np.asarray(flash_attention_local_bounded(
+            q, k, v, jnp.float32(lo), jnp.float32(hi), window, True))
+        np.testing.assert_allclose(got, want, atol=3e-5)
+        assert np.all(got[:, :window] == 0.0)          # dead head rows
+        assert np.all(got[:, hi + window:] == 0.0)     # dead tail rows
+        assert np.abs(got[:, lo:hi]).max() > 0
+
+    def test_dead_rows_have_zero_gradients(self):
+        from cvml_goalnet_tpu.ops.pallas.flash_attention import (
+            flash_attention_local_bounded)
+
+        q, k, v = _qkv(1, 128, 32, seed=61)
+        window, lo, hi = 8, 32, 96
+
+        def loss(q, k, v):
+            out = flash_attention_local_bounded(
+                q, k, v, jnp.float32(lo), jnp.float32(hi), window, True)
+            return jnp.sum(out ** 2)
+
+        dq, dk, dv = jax.grad(loss, (0, 1, 2))(q, k, v)
+        assert np.isfinite(np.asarray(dq)).all()
+        assert np.isfinite(np.asarray(dk)).all()
+        assert np.isfinite(np.asarray(dv)).all()
+        # dead query rows (band entirely outside [lo, hi)) get zero dq
+        assert np.all(np.asarray(dq)[:, :window] == 0.0)
+        # masked-out keys get zero dk/dv
+        assert np.all(np.asarray(dk)[:, :lo] == 0.0)
+        assert np.all(np.asarray(dv)[:, hi:] == 0.0)

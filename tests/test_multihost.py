@@ -77,10 +77,12 @@ class TestMultiHostRuntime:
                 [sys.executable, WORKER, str(pid), "2", str(port), out],
                 env=env, cwd=REPO,
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
-        rcs = [p.wait(timeout=300) for p in procs]
-        for p, rc in zip(procs, rcs):
-            if rc != 0:
-                pytest.fail(f"worker failed (rc={rc}):\n{p.stderr.read()[-3000:]}")
+        # communicate() drains stdout/stderr while waiting — wait() alone can
+        # deadlock if a worker fills the OS pipe buffer with log spam
+        results = [p.communicate(timeout=300) for p in procs]
+        for p, (_, err) in zip(procs, results):
+            if p.returncode != 0:
+                pytest.fail(f"worker failed (rc={p.returncode}):\n{err[-3000:]}")
         losses = [float(open(o).read()) for o in outs]
         assert losses[0] == losses[1], losses   # replicated loss, same on both
         want = _single_process_loss()
