@@ -395,7 +395,7 @@ flash_attention_trainable.defvjp(_fat_fwd, _fat_bwd)
 
 
 def _band_mask(s_shape, desired_tile, anchor_tile, block, window, n_tiles,
-               tv_lo, tv_hi, desired_axis: int):
+               tv_lo, tv_hi, desired_axis: int, q_offset: int = 0):
     """Validity mask for one (block, block) tile of the banded score matrix.
 
     ``desired_tile`` indexes the streamed side (may be out of range — masked
@@ -403,17 +403,23 @@ def _band_mask(s_shape, desired_tile, anchor_tile, block, window, n_tiles,
     which axis of ``s`` the streamed side lies on (1 = cols for fwd/dQ,
     0 = rows for dKV).  Keys are valid in the dynamic half-open range
     ``[tv_lo, tv_hi)`` — context-parallel halo shards pass nonzero ``tv_lo``
-    to mask nonexistent halos at the global sequence edges.
+    to mask nonexistent halos at the global sequence edges.  The band is
+    ``|(q_pos + q_offset) − k_pos| ≤ window``: a nonzero static ``q_offset``
+    lets Tq ≠ Tk shards (query rows sitting mid-way into an extended key
+    sequence, the halo-CP layout) skip computing discarded halo query rows.
     """
     d_iota = jax.lax.broadcasted_iota(jnp.int32, s_shape, desired_axis)
     a_iota = jax.lax.broadcasted_iota(jnp.int32, s_shape, 1 - desired_axis)
     d_pos = d_iota + desired_tile * block
     a_pos = a_iota + anchor_tile * block
-    col = d_pos if desired_axis == 1 else a_pos   # key position → tv mask
+    if desired_axis == 1:   # anchor side is Q
+        q_pos, k_pos = a_pos + q_offset, d_pos
+    else:                   # desired (streamed) side is Q
+        q_pos, k_pos = d_pos + q_offset, a_pos
     return (
-        (jnp.abs(d_pos - a_pos) <= window)
-        & (col >= tv_lo)
-        & (col < tv_hi)
+        (jnp.abs(q_pos - k_pos) <= window)
+        & (k_pos >= tv_lo)
+        & (k_pos < tv_hi)
         & (desired_tile >= 0)
         & (desired_tile < n_tiles)
     )
@@ -421,8 +427,8 @@ def _band_mask(s_shape, desired_tile, anchor_tile, block, window, n_tiles,
 
 def _local_fwd_kernel(tv_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                       m_scr, l_scr, acc_scr, *,
-                      block: int, scale: float, n_loc: int, w_tiles: int,
-                      window: int, n_kv: int):
+                      block: int, scale: float, n_loc: int, tile_base: int,
+                      window: int, n_kv: int, q_offset: int):
     qi = pl.program_id(1)
     kj = pl.program_id(2)
 
@@ -437,9 +443,9 @@ def _local_fwd_kernel(tv_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    kv_tile = qi - w_tiles + kj
+    kv_tile = qi + tile_base + kj
     valid = _band_mask(s.shape, kv_tile, qi, block, window, n_kv,
-                       tv_ref[0], tv_ref[1], 1)
+                       tv_ref[0], tv_ref[1], 1, q_offset)
     s = jnp.where(valid, s, NEG_INF)
 
     m_prev = m_scr[:, :1]
@@ -469,8 +475,8 @@ def _local_fwd_kernel(tv_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 def _local_dkv_kernel(tv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                       dk_ref, dv_ref, dk_scr, dv_scr, *,
-                      block: int, scale: float, n_loc: int, w_tiles: int,
-                      window: int, n_q: int):
+                      block: int, scale: float, n_loc: int, tile_base: int,
+                      window: int, n_q: int, q_offset: int):
     ki = pl.program_id(1)
     qj = pl.program_id(2)
 
@@ -489,9 +495,9 @@ def _local_dkv_kernel(tv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    q_tile = ki - w_tiles + qj
+    q_tile = ki + tile_base + qj
     valid = _band_mask(s.shape, q_tile, ki, block, window, n_q,
-                       tv_ref[0], tv_ref[1], 0)
+                       tv_ref[0], tv_ref[1], 0, q_offset)
     s = jnp.where(valid, s, NEG_INF)
     p = jnp.exp(s - lse)
 
@@ -516,8 +522,8 @@ def _local_dkv_kernel(tv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 
 def _local_dq_kernel(tv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                      dq_ref, dq_scr, *,
-                     block: int, scale: float, n_loc: int, w_tiles: int,
-                     window: int, n_kv: int):
+                     block: int, scale: float, n_loc: int, tile_base: int,
+                     window: int, n_kv: int, q_offset: int):
     qi = pl.program_id(1)
     kj = pl.program_id(2)
 
@@ -535,9 +541,9 @@ def _local_dq_kernel(tv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    kv_tile = qi - w_tiles + kj
+    kv_tile = qi + tile_base + kj
     valid = _band_mask(s.shape, kv_tile, qi, block, window, n_kv,
-                       tv_ref[0], tv_ref[1], 1)
+                       tv_ref[0], tv_ref[1], 1, q_offset)
     s = jnp.where(valid, s, NEG_INF)
     p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(
@@ -563,32 +569,54 @@ def _local_block_default(t: int, window: int) -> int:
     return block
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _flash_local_fwd(q, k, v, scale, window, block, interpret,
-                     tv_lo=None, tv_hi=None):
-    h, t, d = q.shape
-    t_pad = -(-t // block) * block
-    q, k, v = _pad_seq(q, t_pad), _pad_seq(k, t_pad), _pad_seq(v, t_pad)
-    n = t_pad // block
+def _band_cover(window: int, block: int, q_offset: int):
+    """Static tile geometry for the banded cover.
+
+    ``n_loc = 2·ceil(W/block)+1`` streamed tiles per anchor tile, starting at
+    ``anchor + tile_base_fwd`` (kv tiles for a q tile) or
+    ``anchor + tile_base_bwd`` (q tiles for a kv tile).  Asserted sufficient
+    for the given static offset (holds for the offsets used: 0 and W).
+    """
     w_tiles = -(-window // block)
     n_loc = 2 * w_tiles + 1
+    base_fwd = (q_offset - window) // block          # floor
+    base_bwd = (-q_offset - window) // block
+    hi_fwd = (block - 1 + q_offset + window) // block
+    hi_bwd = (block - 1 + window - q_offset) // block
+    assert hi_fwd - base_fwd <= n_loc - 1, (window, block, q_offset)
+    assert hi_bwd - base_bwd <= n_loc - 1, (window, block, q_offset)
+    return n_loc, base_fwd, base_bwd
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 9))
+def _flash_local_fwd(q, k, v, scale, window, block, interpret,
+                     tv_lo=None, tv_hi=None, q_offset=0):
+    h, t, d = q.shape
+    t_kv = k.shape[1]
+    t_pad = -(-t // block) * block
+    tkv_pad = -(-t_kv // block) * block
+    q = _pad_seq(q, t_pad)
+    k, v = _pad_seq(k, tkv_pad), _pad_seq(v, tkv_pad)
+    n_q, n_kv = t_pad // block, tkv_pad // block
+    n_loc, base_fwd, _ = _band_cover(window, block, q_offset)
     tv = jnp.stack([
         jnp.int32(0) if tv_lo is None else tv_lo.astype(jnp.int32),
-        jnp.int32(t) if tv_hi is None else tv_hi.astype(jnp.int32),
+        jnp.int32(t_kv) if tv_hi is None else tv_hi.astype(jnp.int32),
     ])
 
     def clamp(i):
-        return jnp.clip(i, 0, n - 1)
+        return jnp.clip(i, 0, n_kv - 1)
 
     q_spec = pl.BlockSpec((1, block, d), lambda hh, qi, kj: (hh, qi, 0),
                           memory_space=pltpu.VMEM)
     kv_spec = pl.BlockSpec(
-        (1, block, d), lambda hh, qi, kj: (hh, clamp(qi - w_tiles + kj), 0),
+        (1, block, d), lambda hh, qi, kj: (hh, clamp(qi + base_fwd + kj), 0),
         memory_space=pltpu.VMEM)
     out, lse = pl.pallas_call(
         partial(_local_fwd_kernel, block=block, scale=scale, n_loc=n_loc,
-                w_tiles=w_tiles, window=window, n_kv=n),
-        grid=(h, n, n_loc),
+                tile_base=base_fwd, window=window, n_kv=n_kv,
+                q_offset=q_offset),
+        grid=(h, n_q, n_loc),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), q_spec, kv_spec, kv_spec],
         out_specs=[
             q_spec,
@@ -612,46 +640,51 @@ def _flash_local_fwd(q, k, v, scale, window, block, interpret,
     return out[:, :t], lse
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 12))
 def _flash_local_bwd(q, k, v, o, lse, g, scale, window, block, interpret=False,
-                     tv_lo=None, tv_hi=None):
+                     tv_lo=None, tv_hi=None, q_offset=0):
     h, t, d = q.shape
+    t_kv = k.shape[1]
     t_pad = -(-t // block) * block
-    q, k, v = _pad_seq(q, t_pad), _pad_seq(k, t_pad), _pad_seq(v, t_pad)
+    tkv_pad = -(-t_kv // block) * block
+    q = _pad_seq(q, t_pad)
+    k, v = _pad_seq(k, tkv_pad), _pad_seq(v, tkv_pad)
     g, o = _pad_seq(g, t_pad), _pad_seq(o, t_pad)
-    n = t_pad // block
-    w_tiles = -(-window // block)
-    n_loc = 2 * w_tiles + 1
+    n_q, n_kv = t_pad // block, tkv_pad // block
+    n_loc, base_fwd, base_bwd = _band_cover(window, block, q_offset)
     tv = jnp.stack([
         jnp.int32(0) if tv_lo is None else tv_lo.astype(jnp.int32),
-        jnp.int32(t) if tv_hi is None else tv_hi.astype(jnp.int32),
+        jnp.int32(t_kv) if tv_hi is None else tv_hi.astype(jnp.int32),
     ])
 
     di_col = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), -1, keepdims=True)
     di = jnp.broadcast_to(di_col, (h, t_pad, LANES))
 
-    def clamp(i):
-        return jnp.clip(i, 0, n - 1)
+    def clamp_q(i):
+        return jnp.clip(i, 0, n_q - 1)
+
+    def clamp_kv(i):
+        return jnp.clip(i, 0, n_kv - 1)
 
     # dKV: grid (h, kv tiles, band offset) — the banded Q tiles stream
-    anchor = pl.BlockSpec((1, block, d), lambda hh, ki, qj: (hh, ki, 0),
-                          memory_space=pltpu.VMEM)
+    kv_anchor = pl.BlockSpec((1, block, d), lambda hh, ki, qj: (hh, ki, 0),
+                             memory_space=pltpu.VMEM)
     banded_q = pl.BlockSpec(
-        (1, block, d), lambda hh, ki, qj: (hh, clamp(ki - w_tiles + qj), 0),
+        (1, block, d), lambda hh, ki, qj: (hh, clamp_q(ki + base_bwd + qj), 0),
         memory_space=pltpu.VMEM)
     banded_stat = pl.BlockSpec(
-        (1, block, LANES), lambda hh, ki, qj: (hh, clamp(ki - w_tiles + qj), 0),
+        (1, block, LANES), lambda hh, ki, qj: (hh, clamp_q(ki + base_bwd + qj), 0),
         memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
         partial(_local_dkv_kernel, block=block, scale=scale, n_loc=n_loc,
-                w_tiles=w_tiles, window=window, n_q=n),
-        grid=(h, n, n_loc),
+                tile_base=base_bwd, window=window, n_q=n_q, q_offset=q_offset),
+        grid=(h, n_kv, n_loc),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  banded_q, anchor, anchor, banded_q, banded_stat, banded_stat],
-        out_specs=[anchor, anchor],
+                  banded_q, kv_anchor, kv_anchor, banded_q, banded_stat, banded_stat],
+        out_specs=[kv_anchor, kv_anchor],
         out_shape=[
-            jax.ShapeDtypeStruct((h, t_pad, d), k.dtype),
-            jax.ShapeDtypeStruct((h, t_pad, d), v.dtype),
+            jax.ShapeDtypeStruct((h, tkv_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((h, tkv_pad, d), v.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block, d), jnp.float32),
@@ -664,18 +697,20 @@ def _flash_local_bwd(q, k, v, o, lse, g, scale, window, block, interpret=False,
     )(tv, q, k, v, g, lse, di)
 
     # dQ: grid (h, q tiles, band offset) — the banded KV tiles stream
+    q_anchor = pl.BlockSpec((1, block, d), lambda hh, qi, kj: (hh, qi, 0),
+                            memory_space=pltpu.VMEM)
     banded_kv = pl.BlockSpec(
-        (1, block, d), lambda hh, qi, kj: (hh, clamp(qi - w_tiles + kj), 0),
+        (1, block, d), lambda hh, qi, kj: (hh, clamp_kv(qi + base_fwd + kj), 0),
         memory_space=pltpu.VMEM)
     stat = pl.BlockSpec((1, block, LANES), lambda hh, qi, kj: (hh, qi, 0),
                         memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
         partial(_local_dq_kernel, block=block, scale=scale, n_loc=n_loc,
-                w_tiles=w_tiles, window=window, n_kv=n),
-        grid=(h, n, n_loc),
+                tile_base=base_fwd, window=window, n_kv=n_kv, q_offset=q_offset),
+        grid=(h, n_q, n_loc),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  anchor, banded_kv, banded_kv, anchor, stat, stat],
-        out_specs=anchor,
+                  q_anchor, banded_kv, banded_kv, q_anchor, stat, stat],
+        out_specs=q_anchor,
         out_shape=jax.ShapeDtypeStruct((h, t_pad, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -684,7 +719,7 @@ def _flash_local_bwd(q, k, v, o, lse, g, scale, window, block, interpret=False,
         interpret=interpret,
     )(tv, q, k, v, g, lse, di)
 
-    return dq[:, :t], dk[:, :t], dv[:, :t]
+    return dq[:, :t], dk[:, :t_kv], dv[:, :t_kv]
 
 
 def attention_local_reference(q, k, v, window: int, scale: float | None = None):
@@ -735,38 +770,41 @@ def _fal_bwd(window, scale, interpret, res, g):
 flash_attention_local.defvjp(_fal_fwd, _fal_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def flash_attention_local_bounded(q, k, v, lo_f, hi_f, window: int,
-                                  interpret: bool = False):
+                                  interpret: bool = False, q_offset: int = 0):
     """Banded flash attention with DYNAMIC key-validity bounds [lo, hi).
 
-    The context-parallel halo formulation runs each shard's band over an
-    extended local sequence (left halo ‖ local ‖ right halo); shards at the
-    global sequence edges have nonexistent halos, masked by these bounds.
-    ``lo_f``/``hi_f`` are float32 scalars (cast inside) so the custom VJP can
-    return zero cotangents for them.
+    The band is ``|(i + q_offset) − j| ≤ window`` between q rows i and key
+    columns j — the context-parallel halo formulation keeps only the local
+    query rows (Tq) against the extended key sequence (Tk = Tq + 2·window,
+    ``q_offset = window``), so no FLOPs are spent on discarded halo queries.
+    Shards at the global sequence edges have nonexistent halos, masked by
+    the dynamic bounds.  ``lo_f``/``hi_f`` are float32 scalars (cast inside)
+    so the custom VJP can return zero cotangents for them.
     """
-    out, _ = _falb_fwd(q, k, v, lo_f, hi_f, window, interpret)
+    out, _ = _falb_fwd(q, k, v, lo_f, hi_f, window, interpret, q_offset)
     return out
 
 
-def _falb_fwd(q, k, v, lo_f, hi_f, window, interpret):
+def _falb_fwd(q, k, v, lo_f, hi_f, window, interpret, q_offset=0):
     h, t, d = q.shape
     block = _local_block_default(t, window)
     scale = 1.0 / np.sqrt(d)
     out, lse = _flash_local_fwd(q, k, v, scale, window, block, interpret,
-                                lo_f.astype(jnp.int32), hi_f.astype(jnp.int32))
+                                lo_f.astype(jnp.int32), hi_f.astype(jnp.int32),
+                                q_offset)
     return out, (q, k, v, out, lse, lo_f, hi_f)
 
 
-def _falb_bwd(window, interpret, res, g):
+def _falb_bwd(window, interpret, q_offset, res, g):
     q, k, v, o, lse, lo_f, hi_f = res
     h, t, d = q.shape
     block = _local_block_default(t, window)
     scale = 1.0 / np.sqrt(d)
     dq, dk, dv = _flash_local_bwd(
         q, k, v, o, lse, g, scale, window, block, interpret,
-        lo_f.astype(jnp.int32), hi_f.astype(jnp.int32))
+        lo_f.astype(jnp.int32), hi_f.astype(jnp.int32), q_offset)
     return dq, dk, dv, jnp.zeros_like(lo_f), jnp.zeros_like(hi_f)
 
 
@@ -774,16 +812,20 @@ flash_attention_local_bounded.defvjp(_falb_fwd, _falb_bwd)
 
 
 def attention_local_bounded_reference(q, k, v, lo, hi, window: int,
-                                      scale: float | None = None):
+                                      scale: float | None = None,
+                                      q_offset: int = 0):
     """XLA banded attention with [lo, hi) key-validity bounds (parity oracle
-    and CPU fallback for the halo context-parallel path).  Rows with no valid
-    keys return 0 (matching the kernel's l == 0 convention)."""
+    and CPU fallback for the halo context-parallel path).  Band:
+    ``|(i + q_offset) − j| ≤ window`` (Tq and Tk may differ).  Rows with no
+    valid keys return 0 (matching the kernel's dead-row convention)."""
     h, t, d = q.shape
+    t_kv = k.shape[1]
     scale = (1.0 / np.sqrt(d)) if scale is None else scale
     s = jnp.einsum("htd,hsd->hts", q, k).astype(jnp.float32) * scale
-    idx = jnp.arange(t)
-    valid = (jnp.abs(idx[:, None] - idx[None, :]) <= window) \
-        & (idx[None, :] >= lo) & (idx[None, :] < hi)
+    qi = jnp.arange(t) + q_offset
+    kj = jnp.arange(t_kv)
+    valid = (jnp.abs(qi[:, None] - kj[None, :]) <= window) \
+        & (kj[None, :] >= lo) & (kj[None, :] < hi)
     s = jnp.where(valid[None], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     row_has = jnp.any(valid, axis=1)[None, :, None]

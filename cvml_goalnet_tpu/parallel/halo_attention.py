@@ -8,11 +8,12 @@ riding a single ICI hop, no ring, no log-sum-exp merge — gives every device
 the exact keys its band touches.  Per-device cost is O(T_local·W·d) compute
 and two W-frame halo transfers per layer, independent of the mesh size.
 
-Formulation: each shard runs the banded kernel over the EXTENDED local
-sequence (left halo ‖ local ‖ right halo) with Q zero-padded into the halo
-rows, then keeps the middle T_local outputs.  In extended coordinates the
-global band |gi − gj| ≤ W becomes exactly the kernel's |i − j| ≤ W, so the
-result is EXACT — equal to monolithic banded attention (tested ≤1e-5).
+Formulation: each shard runs the banded kernel with its LOCAL query rows
+against the EXTENDED key sequence (left halo ‖ local ‖ right halo) using the
+kernel's static q_offset=W band shift — the global band |gi − gj| ≤ W maps
+exactly onto |(i + W) − j| ≤ W in extended key coordinates, with zero FLOPs
+spent on discarded halo queries.  The result is EXACT — equal to monolithic
+banded attention (tested ≤1e-5).
 Shards at the global sequence edges have nonexistent halos (the ppermute
 wraps around the ring); those keys are masked by dynamic [lo, hi) validity
 bounds, which also mask global padding when T doesn't divide the mesh.
@@ -56,7 +57,6 @@ def halo_attention_local(
 
     if w == 0:
         ext_k, ext_v = k_l, v_l
-        q_ext = q_l
     else:
         # one hop to each neighbor; wrap-around halos at the global edges are
         # masked by the [lo, hi) bounds below
@@ -68,10 +68,11 @@ def halo_attention_local(
         v_right = jax.lax.ppermute(v_l[:, :w], axis_name=axis, perm=bwd)
         ext_k = jnp.concatenate([k_left, k_l, k_right], axis=1)
         ext_v = jnp.concatenate([v_left, v_l, v_right], axis=1)
-        q_ext = jnp.pad(q_l, ((0, 0), (w, w), (0, 0)))
 
-    # extended index j ↔ global position me·tl − w + j; valid keys are the
-    # global range [0, t_valid) mapped into extended coordinates
+    # Q stays the LOCAL rows only (no padded halo queries — the kernel's
+    # static q_offset=w shifts the band instead, saving 2W rows of work per
+    # shard per layer).  Extended key index j ↔ global position me·tl − w + j;
+    # valid keys are the global [0, t_valid) mapped into extended coordinates.
     ext_len = tl + 2 * w
     g0 = me * tl - w
     tv = jnp.int32(n * tl if t_valid is None else t_valid)
@@ -83,16 +84,16 @@ def halo_attention_local(
             flash_attention_local_bounded,
         )
 
-        out_ext = flash_attention_local_bounded(
-            q_ext, ext_k, ext_v, lo.astype(jnp.float32), hi.astype(jnp.float32),
-            window, flash_interpret,
+        out = flash_attention_local_bounded(
+            q_l, ext_k, ext_v, lo.astype(jnp.float32), hi.astype(jnp.float32),
+            window, flash_interpret, w,
         )
     else:
         from cvml_goalnet_tpu.ops.pallas.flash_attention import (
             attention_local_bounded_reference,
         )
 
-        out_ext = attention_local_bounded_reference(
-            q_ext, ext_k, ext_v, lo, hi, window,
+        out = attention_local_bounded_reference(
+            q_l, ext_k, ext_v, lo, hi, window, q_offset=w,
         )
-    return out_ext[:, w:w + tl].astype(q_l.dtype)
+    return out.astype(q_l.dtype)

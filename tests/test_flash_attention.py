@@ -834,3 +834,52 @@ class TestBoundedLocalDeadRows:
         # masked-out keys get zero dk/dv
         assert np.all(np.asarray(dk)[:, :lo] == 0.0)
         assert np.all(np.asarray(dv)[:, hi:] == 0.0)
+
+
+class TestOffsetBandKernel:
+    """The q_offset band shift (halo-CP layout: local queries vs extended
+    keys, Tq != Tk) — parity vs the bounded oracle, forward and grads."""
+
+    def test_offset_forward_matches_oracle(self):
+        from cvml_goalnet_tpu.ops.pallas.flash_attention import (
+            attention_local_bounded_reference, flash_attention_local_bounded)
+
+        rng = np.random.default_rng(70)
+        w, tq = 16, 160
+        tk = tq + 2 * w
+        q = jnp.asarray(rng.standard_normal((2, tq, 32)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((2, tk, 32)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((2, tk, 32)).astype(np.float32))
+        lo, hi = 10, 180
+        want = np.asarray(attention_local_bounded_reference(
+            q, k, v, lo, hi, w, q_offset=w))
+        got = np.asarray(flash_attention_local_bounded(
+            q, k, v, jnp.float32(lo), jnp.float32(hi), w, True, w))
+        assert got.shape == (2, tq, 32)
+        np.testing.assert_allclose(got, want, atol=3e-5)
+
+    def test_offset_grads_match_oracle(self):
+        from cvml_goalnet_tpu.ops.pallas.flash_attention import (
+            attention_local_bounded_reference, flash_attention_local_bounded)
+
+        rng = np.random.default_rng(71)
+        w, tq = 8, 96
+        tk = tq + 2 * w
+        q = jnp.asarray(rng.standard_normal((1, tq, 32)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((1, tk, 32)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((1, tk, 32)).astype(np.float32))
+        lo, hi = 0, tk
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention_local_bounded(
+                q, k, v, jnp.float32(lo), jnp.float32(hi), w, True, w) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(attention_local_bounded_reference(
+                q, k, v, lo, hi, w, q_offset=w) ** 2)
+
+        g1 = jax.grad(loss_flash, (0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
