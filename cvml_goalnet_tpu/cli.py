@@ -360,6 +360,10 @@ def cmd_spot_train(args) -> int:
         return 2
 
     d = int(pairs[0][1].shape[-1])
+    if getattr(args, "cp", False) and cfg.model.temporal_model != "transformer":
+        print("E: --cp needs the transformer scorer (--temporal-model transformer)",
+              file=sys.stderr)
+        return 2
     if cfg.model.temporal_model == "transformer":
         from cvml_goalnet_tpu.models.temporal_attention import temporal_transformer_init
 
@@ -367,11 +371,28 @@ def cmd_spot_train(args) -> int:
             jax.random.PRNGKey(1), d,
             num_heads=cfg.model.temporal_num_heads, max_len=cfg.model.temporal_max_len,
         )
-        step = make_spotting_train_step(
-            0, lr=args.lr, pos_weight=args.pos_weight,
-            scorer="transformer", num_heads=cfg.model.temporal_num_heads,
-            window=cfg.model.temporal_window,
-        )
+        if getattr(args, "cp", False):
+            # context parallel: each timeline shards over ALL devices; the
+            # attention runs as a ppermute ring (or one halo hop per neighbor
+            # when temporal_window > 0) — train/spotting.py
+            from jax.sharding import Mesh
+
+            from cvml_goalnet_tpu.train.spotting import make_sharded_spotting_train_step
+
+            mesh = Mesh(np.array(jax.devices()), ("data",))
+            print(f"context-parallel over {len(jax.devices())} devices")
+            step = make_sharded_spotting_train_step(
+                mesh, num_heads=cfg.model.temporal_num_heads,
+                lr=args.lr, pos_weight=args.pos_weight,
+                use_flash=jax.default_backend() not in ("cpu",),
+                window=cfg.model.temporal_window,
+            )
+        else:
+            step = make_spotting_train_step(
+                0, lr=args.lr, pos_weight=args.pos_weight,
+                scorer="transformer", num_heads=cfg.model.temporal_num_heads,
+                window=cfg.model.temporal_window,
+            )
     else:
         tparams = temporal_scorer_init(jax.random.PRNGKey(1), d, cfg.model.temporal_hidden)
         step = make_spotting_train_step(
@@ -456,6 +477,10 @@ def main(argv=None) -> int:
     p.add_argument("--temporal-model", choices=["gru", "transformer"], default=None)
     p.add_argument("--attn-window", type=int, default=None,
                    help="transformer attention band radius in condensed frames")
+    p.add_argument("--cp", action="store_true",
+                   help="context-parallel training: shard each timeline over "
+                        "all devices (transformer scorer only; ring attention, "
+                        "or halo exchange with --attn-window)")
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--pos-weight", type=float, default=10.0)

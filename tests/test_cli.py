@@ -202,3 +202,27 @@ class TestCLISpotEval:
         ev = payload["eval"]
         assert set(ev) >= {"precision", "recall", "f1", "average_map", "per_tolerance"}
         assert 0.0 <= ev["precision"] <= 1.0 and 0.0 <= ev["recall"] <= 1.0
+
+
+class TestCLISpotTrainCP:
+    def test_spot_train_context_parallel(self, cli_env):
+        root = cli_env["root"]
+        for fp in cli_env["video_fps"]:
+            side = fp.rsplit(".", 1)[0] + ".events.json"
+            with open(side, "w") as f:
+                json.dump([0, 60, 150], f)
+        head_fp = os.path.join(root, "models", "spot_head_cp.npz")
+        r = _run(["spot-train", *_data_args(cli_env), "--workdir", root,
+                  "--no-audio", "--temporal-model", "transformer",
+                  "--attn-window", "1", "--cp", "--epochs", "2",
+                  "--out", head_fp], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "context-parallel over 8 devices" in r.stdout
+        assert os.path.exists(head_fp)
+
+    def test_cp_requires_transformer(self, cli_env):
+        root = cli_env["root"]
+        r = _run(["spot-train", *_data_args(cli_env), "--workdir", root,
+                  "--no-audio", "--cp", "--epochs", "1"], root)
+        assert r.returncode == 2
+        assert "transformer" in r.stderr
