@@ -186,16 +186,27 @@ def train_importance_model(
     metrics_logger=None,
     async_checkpoint: bool = False,
     preemption_guard=None,
+    checkpoint_backend: str = "npz",
 ):
     """Full training driver (reference ``train_importance_model``, ``main.py:26-298``).
 
     Per epoch: scan-train each video, eval the val set, aggregate metrics,
     keep the best state by train-F-score-avg (reference ``main.py:255-263``)
     and checkpoint every epoch.  Returns (best_state, history dict).
+
+    ``checkpoint_backend``: "npz" (portable default) or "orbax"
+    (``train/orbax_io.py`` — sharded-aware save/restore for multi-chip jobs).
     """
-    from cvml_goalnet_tpu.train.checkpoint import save_checkpoint
+    if checkpoint_backend == "orbax":
+        from cvml_goalnet_tpu.train.orbax_io import save_checkpoint_orbax as save_checkpoint
+    elif checkpoint_backend == "npz":
+        from cvml_goalnet_tpu.train.checkpoint import save_checkpoint
+    else:
+        raise ValueError(f"unknown checkpoint_backend {checkpoint_backend!r}")
 
     if async_checkpoint:
+        if checkpoint_backend != "npz":
+            raise ValueError("async_checkpoint currently supports the npz backend only")
         from cvml_goalnet_tpu.train.checkpoint import AsyncCheckpointer
 
         _ck = AsyncCheckpointer()

@@ -75,3 +75,31 @@ class TestOrbaxCheckpoint:
                     t.sharding, r.sharding)
                 any_sharded |= len(r.sharding.device_set) > 1
         assert any_sharded, "expected at least one multi-device leaf"
+
+
+class TestOrbaxInTrainLoop:
+    def test_train_loop_with_orbax_backend(self, small_cfg, tmp_path):
+        from tests.test_train import _make_item
+        from cvml_goalnet_tpu.train.loop import train_importance_model
+
+        st = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        items = [_make_item(small_cfg, seed=0)]
+        best, hist = train_importance_model(
+            small_cfg, items, [], st, num_epochs=1,
+            checkpoint_dir=str(tmp_path), verbose=False,
+            checkpoint_backend="orbax",
+        )
+        import os
+        assert os.path.isdir(str(tmp_path / "ckp_orbax"))
+        assert os.path.isdir(str(tmp_path / "opt_orbax"))
+        restored = load_checkpoint_orbax(str(tmp_path), st, tag="ckp")
+        assert restored.epoch >= 1
+
+    def test_unknown_backend_raises(self, small_cfg):
+        from cvml_goalnet_tpu.train.loop import train_importance_model
+
+        st = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        with pytest.raises(ValueError, match="checkpoint_backend"):
+            train_importance_model(
+                small_cfg, [], [], st, num_epochs=1,
+                checkpoint_backend="protobuf")
