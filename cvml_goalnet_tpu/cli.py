@@ -236,22 +236,77 @@ def cmd_spot(args) -> int:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, temporal_window=args.attn_window)
         )
+    classes = args.classes.split(",") if getattr(args, "classes", None) else None
     d = cfg.model.vis_feature_dim + (cfg.model.aud_feature_dim if cfg.model.audio_included else 0)
+    n_classes = len(classes) if classes else 1
     if cfg.model.temporal_model == "transformer":
         from cvml_goalnet_tpu.models.temporal_attention import temporal_transformer_init
 
         tparams = temporal_transformer_init(
             jax.random.PRNGKey(1), d,
             num_heads=cfg.model.temporal_num_heads, max_len=cfg.model.temporal_max_len,
+            n_classes=n_classes,
         )
     else:
-        tparams = temporal_scorer_init(jax.random.PRNGKey(1), d, cfg.model.temporal_hidden)
+        tparams = temporal_scorer_init(
+            jax.random.PRNGKey(1), d, cfg.model.temporal_hidden, n_classes=n_classes)
     if args.temporal_checkpoint:
         tparams = load_spotting_checkpoint(args.temporal_checkpoint, tparams)
     else:
         print("W: no --temporal-checkpoint; scoring with a random-init temporal head")
 
     import jax.numpy as jnp
+
+    if classes:
+        # multi-class: per-class event streams; the knapsack summary uses the
+        # class-agnostic eventness (max over classes) on the shared contract
+        from cvml_goalnet_tpu.pipeline import summarize
+        from cvml_goalnet_tpu.spotting import (
+            encode_timeline, score_timeline_auto, spot_events_multi)
+
+        feats = encode_timeline(
+            state.params, state.model_state, jnp.asarray(item.visual),
+            jnp.asarray(item.audio) if item.audio is not None else None, cfg)
+        scores_mc = np.asarray(score_timeline_auto(tparams, feats, cfg))  # (T, C)
+        events_by_class = spot_events_multi(
+            scores_mc, args.peak_window, args.peak_threshold)
+        agg = scores_mc.max(axis=1)
+        lo_s, hi_s = agg.min(), agg.max()
+        importances = 1.0 + 4.0 * (agg - lo_s) / max(hi_s - lo_s, 1e-7)
+        summary = summarize(importances, item.clip_intervals,
+                            cfg.preprocess.skip_frames, item.full_n_frames,
+                            cfg.knapsack)
+        payload = {
+            "video_id": item.video_id,
+            "classes": classes,
+            "events_condensed_frames": {
+                c: ev.tolist() for c, ev in zip(classes, events_by_class)},
+            "events_seconds": {
+                c: [round(float(e * cfg.preprocess.skip_frames) / 30.0, 2) for e in ev]
+                for c, ev in zip(classes, events_by_class)},
+            "summary_clips": np.asarray(summary.clip_intervals).tolist(),
+            "summary_frames": int(summary.frame_mask.sum()),
+        }
+        events_fp = args.video.rsplit(".", 1)[0] + ".events.json"
+        if getattr(args, "eval_events", False) and os.path.exists(events_fp):
+            from cvml_goalnet_tpu.ops.spotting_metrics import multiclass_average_map
+            from cvml_goalnet_tpu.spotting import load_event_labels
+
+            gt_mc = load_event_labels(
+                events_fp, len(item.visual), cfg.preprocess.skip_frames, classes)
+            gt_by_class = [np.nonzero(gt_mc[:, c])[0] for c in range(len(classes))]
+            score_by_class = [
+                scores_mc[ev, c] if len(ev) else np.zeros((0,))
+                for c, ev in enumerate(events_by_class)]
+            mm = multiclass_average_map(events_by_class, score_by_class, gt_by_class)
+            payload["eval"] = {
+                "gt_events": {c: g.tolist() for c, g in zip(classes, gt_by_class)},
+                "average_map": mm["average_map"],
+                "per_class": {
+                    c: pc for c, pc in zip(classes, mm["per_class"])},
+            }
+        print(json.dumps(payload, indent=2))
+        return 0
 
     result = summarize_match(
         state.params, state.model_state, tparams,
@@ -341,6 +396,8 @@ def cmd_spot_train(args) -> int:
     except Exception as e:  # CheckpointMismatchError: saved with other settings
         print(f"W: checkpoint unusable ({e}); encoding with a random-init trunk")
 
+    classes = args.classes.split(",") if getattr(args, "classes", None) else None
+
     # encode every labelled video once
     pairs = []
     for fp in data["videos"]:
@@ -353,7 +410,8 @@ def cmd_spot_train(args) -> int:
             state.params, state.model_state, jnp.asarray(item.visual),
             jnp.asarray(item.audio) if item.audio is not None else None, cfg,
         )
-        labels = load_event_labels(events_fp, len(item.visual), cfg.preprocess.skip_frames)
+        labels = load_event_labels(
+            events_fp, len(item.visual), cfg.preprocess.skip_frames, classes)
         pairs.append((item.video_id, feats, jnp.asarray(labels)))
     if not pairs:
         print("E: no videos with .events.json sidecars", file=sys.stderr)
@@ -370,6 +428,7 @@ def cmd_spot_train(args) -> int:
         tparams = temporal_transformer_init(
             jax.random.PRNGKey(1), d,
             num_heads=cfg.model.temporal_num_heads, max_len=cfg.model.temporal_max_len,
+            n_classes=len(classes) if classes else 1,
         )
         if getattr(args, "cp", False):
             # context parallel: each timeline shards over ALL devices; the
@@ -394,7 +453,9 @@ def cmd_spot_train(args) -> int:
                 window=cfg.model.temporal_window,
             )
     else:
-        tparams = temporal_scorer_init(jax.random.PRNGKey(1), d, cfg.model.temporal_hidden)
+        tparams = temporal_scorer_init(
+            jax.random.PRNGKey(1), d, cfg.model.temporal_hidden,
+            n_classes=len(classes) if classes else 1)
         step = make_spotting_train_step(
             cfg.model.temporal_hidden, lr=args.lr, pos_weight=args.pos_weight
         )
@@ -463,6 +524,10 @@ def main(argv=None) -> int:
     p.add_argument("--attn-window", type=int, default=None,
                    help="transformer attention band radius in condensed frames "
                         "(sliding-window flash kernel; 0/default = full attention)")
+    p.add_argument("--classes", default=None,
+                   help="comma-separated event classes (goal,card,...) for "
+                        "multi-class spotting; requires a head trained with "
+                        "the same classes")
     p.add_argument("--peak-window", type=int, default=5)
     p.add_argument("--peak-threshold", type=float, default=0.0)
     p.add_argument("--eval-events", action="store_true",
@@ -481,6 +546,9 @@ def main(argv=None) -> int:
                    help="context-parallel training: shard each timeline over "
                         "all devices (transformer scorer only; ring attention, "
                         "or halo exchange with --attn-window)")
+    p.add_argument("--classes", default=None,
+                   help="comma-separated event classes (goal,card,...) — "
+                        "trains a multi-class head from labelled sidecars")
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--pos-weight", type=float, default=10.0)

@@ -51,22 +51,35 @@ def _gru_scan(params, xs, hidden: int, reverse: bool = False):
     return hs
 
 
-def temporal_scorer_init(key, in_dim: int, hidden: int):
+def temporal_scorer_init(key, in_dim: int, hidden: int, n_classes: int = 1):
+    """``n_classes > 1`` → a multi-class spotting head (goal/card/sub-style):
+    one score channel per event class, (T, C) outputs."""
     kf, kb, kh = jax.random.split(key, 3)
     return {
         "fwd": _gru_init(kf, in_dim, hidden),
         "bwd": _gru_init(kb, in_dim, hidden),
-        "head": L.linear_init(kh, 2 * hidden, 1),
+        "head": L.linear_init(kh, 2 * hidden, n_classes),
     }
 
 
 @partial(jax.jit, static_argnums=(2,))
 def temporal_scorer_apply(params, features, hidden: int):
-    """features: (T, D) per-frame fused features → (T,) temporal event scores."""
+    """features: (T, D) fused features → (T,) event scores — or (T, C) when
+    the head was initialized with ``n_classes > 1`` (shape is static from the
+    head params)."""
     hs_f = _gru_scan(params["fwd"], features, hidden)
     hs_b = _gru_scan(params["bwd"], features, hidden, reverse=True)
     hs = jnp.concatenate([hs_f, hs_b], axis=-1)
-    return L.linear_apply(params["head"], hs)[:, 0]
+    out = L.linear_apply(params["head"], hs)
+    return out[:, 0] if out.shape[-1] == 1 else out
+
+
+@partial(jax.jit, static_argnums=(1,))
+def detect_peaks_multi(scores, window: int = 5, threshold: float = 0.0):
+    """(T, C) multi-class scores → (T, C) boolean event masks (per class)."""
+    return jax.vmap(
+        lambda s: detect_peaks(s, window, threshold), in_axes=1, out_axes=1
+    )(scores)
 
 
 @partial(jax.jit, static_argnums=(1,))

@@ -35,13 +35,15 @@ def temporal_transformer_init(
     num_layers: int = 2,
     num_heads: int = 1,
     max_len: int = 8192,
+    n_classes: int = 1,
 ):
+    """``n_classes > 1`` → multi-class spotting head ((T, C) outputs)."""
     assert model_dim % num_heads == 0
     keys = jax.random.split(key, 3 + num_layers)
     params = {
         "proj_in": L.linear_init(keys[0], in_dim, model_dim),
         "pos": jax.random.normal(keys[1], (max_len, model_dim)) * 0.02,
-        "head": L.linear_init(keys[2], model_dim, 1),
+        "head": L.linear_init(keys[2], model_dim, n_classes),
         "layers": [],
     }
     for lk in keys[3:]:
@@ -108,13 +110,14 @@ def temporal_transformer_apply(
         x = x + _attend(layer, h, num_heads, use_flash, flash_interpret, window)
         h = L.layernorm_apply(layer["ln2"], x)
         x = x + L.linear_apply(layer["mlp_out"], jax.nn.gelu(L.linear_apply(layer["mlp_in"], h)))
-    return L.linear_apply(params["head"], x)[:, 0]
+    out = L.linear_apply(params["head"], x)
+    return out[:, 0] if out.shape[-1] == 1 else out
 
 
 @lru_cache(maxsize=16)
 def _sharded_transformer_fn(mesh, num_heads: int, axis: str, t: int,
                             use_flash: bool = False, flash_interpret: bool = False,
-                            window: int = 0):
+                            window: int = 0, n_out: int = 1):
     """Build + cache the jitted shard_map program for one (mesh, T) shape."""
     import numpy as np
     from jax.experimental.shard_map import shard_map
@@ -157,11 +160,13 @@ def _sharded_transformer_fn(mesh, num_heads: int, axis: str, t: int,
             x = x + L.linear_apply(
                 layer["mlp_out"], jax.nn.gelu(L.linear_apply(layer["mlp_in"], h))
             )
-        return L.linear_apply(params["head"], x)[:, 0]
+        out = L.linear_apply(params["head"], x)
+        return out[:, 0] if n_out == 1 else out
 
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(axis, None)), out_specs=P(axis),
+        in_specs=(P(), P(axis, None)),
+        out_specs=P(axis) if n_out == 1 else P(axis, None),
         check_rep=False,
     )
     return jax.jit(fn)
@@ -194,6 +199,7 @@ def temporal_transformer_sharded_apply(
     n = mesh.shape[axis]
     t_pad = -(-t // n) * n
     feats = jnp.pad(features, ((0, t_pad - t), (0, 0))) if t_pad != t else features
+    n_out = int(params["head"]["w"].shape[-1])
     fn = _sharded_transformer_fn(mesh, num_heads, axis, t, use_flash,
-                                 flash_interpret, window)
+                                 flash_interpret, window, n_out)
     return fn(params, feats)[:t]

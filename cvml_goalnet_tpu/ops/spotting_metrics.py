@@ -82,3 +82,20 @@ def average_map(
     """AP averaged over a tolerance sweep + per-tolerance breakdown."""
     aps = {int(t): average_precision(pred_frames, pred_scores, gt_frames, t) for t in tolerances}
     return {"average_map": float(np.mean(list(aps.values()))), "per_tolerance": aps}
+
+
+def multiclass_average_map(
+    pred_by_class, scores_by_class, gt_by_class, tolerances=(5, 10, 20, 40, 60)
+) -> dict:
+    """SoccerNet-style multi-class average-mAP: per-class AP sweep + the mean
+    over classes.  ``*_by_class`` are equal-length sequences (one entry per
+    event class) of frame-index / score arrays."""
+    per_class = [
+        average_map(p, s, g, tolerances)
+        for p, s, g in zip(pred_by_class, scores_by_class, gt_by_class)
+    ]
+    return {
+        "average_map": float(np.mean([c["average_map"] for c in per_class]))
+        if per_class else 0.0,
+        "per_class": per_class,
+    }

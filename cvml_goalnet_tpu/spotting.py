@@ -169,24 +169,44 @@ def score_timeline_sharded(
     return scores
 
 
-def load_event_labels(path: str, n_condensed: int, skip_frames: int) -> np.ndarray:
-    """Parse an event sidecar (``<video>.events.json``) → (T,) binary labels.
+def load_event_labels(
+    path: str,
+    n_condensed: int,
+    skip_frames: int,
+    classes: list[str] | tuple[str, ...] | None = None,
+) -> np.ndarray:
+    """Parse an event sidecar (``<video>.events.json``) → per-frame labels.
 
-    Format: a JSON list of raw frame indices (or of ``{"frame": i}`` objects,
-    SoccerNet-style).  Each event marks the condensed frame containing it
-    (``raw // skip_frames``); events beyond the condensed timeline are
-    ignored.  This is the supervision for ``goalnet spot-train``.
+    Format: a JSON list of raw frame indices (or of ``{"frame": i}`` /
+    ``{"frame": i, "label": "goal"}`` objects, SoccerNet-style).  Each event
+    marks the condensed frame containing it (``raw // skip_frames``); events
+    beyond the condensed timeline are ignored.  This is the supervision for
+    ``goalnet spot-train``.
+
+    With ``classes=None`` → (T,) binary labels (every event counts).
+    With ``classes=["goal", "card", ...]`` → (T, C) multi-class labels;
+    entries whose ``label`` is missing or not in ``classes`` are dropped.
     """
     import json
 
     with open(path) as f:
         raw = json.load(f)
-    labels = np.zeros((n_condensed,), np.float32)
+    if classes is None:
+        labels = np.zeros((n_condensed,), np.float32)
+    else:
+        labels = np.zeros((n_condensed, len(classes)), np.float32)
+        index = {name: i for i, name in enumerate(classes)}
     for e in raw:
         frame = int(e["frame"]) if isinstance(e, dict) else int(e)
         idx = frame // skip_frames
-        if 0 <= idx < n_condensed:
+        if not 0 <= idx < n_condensed:
+            continue
+        if classes is None:
             labels[idx] = 1.0
+        else:
+            name = e.get("label") if isinstance(e, dict) else None
+            if name in index:
+                labels[idx, index[name]] = 1.0
     return labels
 
 
@@ -194,6 +214,14 @@ def spot_events(scores, window: int = 5, threshold: float = 0.0) -> np.ndarray:
     """Event timestamps (frame indices) from temporal scores."""
     mask = detect_peaks(jnp.asarray(scores), window, threshold)
     return np.nonzero(np.asarray(mask))[0]
+
+
+def spot_events_multi(scores, window: int = 5, threshold: float = 0.0) -> list[np.ndarray]:
+    """(T, C) multi-class scores → per-class event frame-index arrays."""
+    from cvml_goalnet_tpu.models.temporal import detect_peaks_multi
+
+    mask = np.asarray(detect_peaks_multi(jnp.asarray(scores), window, threshold))
+    return [np.nonzero(mask[:, c])[0] for c in range(mask.shape[1])]
 
 
 @dataclass

@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from cvml_goalnet_tpu.data.synthetic import synthetic_change_points
 from cvml_goalnet_tpu.data.text import tokenize
@@ -195,3 +196,111 @@ class TestChunkedDefaultDispatch:
         auto = np.asarray(score_timeline_auto(params, feats, cfg))
         mono = np.asarray(temporal_scorer_apply(params, feats, 8))
         np.testing.assert_array_equal(auto, mono)
+
+
+class TestMultiClassSpotting:
+    """Multi-class event spotting (goal/card/sub-style): per-class heads,
+    labels, peaks, and SoccerNet-style multi-class average-mAP."""
+
+    def test_load_event_labels_multiclass(self, tmp_path):
+        import json
+
+        from cvml_goalnet_tpu.spotting import load_event_labels
+
+        fp = str(tmp_path / "v.events.json")
+        with open(fp, "w") as f:
+            json.dump([
+                {"frame": 0, "label": "goal"},
+                {"frame": 35, "label": "card"},
+                {"frame": 60, "label": "unknown"},   # dropped
+                {"frame": 90},                        # no label → dropped
+                10_000,                               # beyond timeline
+            ], f)
+        lab = load_event_labels(fp, 4, 30, classes=["goal", "card"])
+        assert lab.shape == (4, 2)
+        np.testing.assert_array_equal(lab[:, 0], [1, 0, 0, 0])
+        np.testing.assert_array_equal(lab[:, 1], [0, 1, 0, 0])
+        # binary mode counts every event inside the timeline
+        binary = load_event_labels(fp, 4, 30)
+        np.testing.assert_array_equal(binary, [1, 1, 1, 1])
+
+    @pytest.mark.parametrize("scorer", ["gru", "transformer"])
+    def test_multiclass_head_learns_separable_classes(self, scorer):
+        from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_init)
+        from cvml_goalnet_tpu.spotting import spot_events_multi
+        from cvml_goalnet_tpu.train.spotting import (
+            init_spotting_opt, make_spotting_train_step)
+
+        rng = np.random.default_rng(0)
+        t, d, c = 120, 8, 2
+        labels = np.zeros((t, c), np.float32)
+        labels[rng.choice(t, 6, replace=False), 0] = 1.0
+        labels[rng.choice(t, 6, replace=False), 1] = 1.0
+        feats = rng.standard_normal((t, d)).astype(np.float32) * 0.1
+        feats[labels[:, 0] > 0.5, 0] += 3.0   # class 0 lives in dim 0
+        feats[labels[:, 1] > 0.5, 1] += 3.0   # class 1 lives in dim 1
+
+        if scorer == "gru":
+            params = temporal_scorer_init(jax.random.PRNGKey(0), d, 16, n_classes=c)
+            step = make_spotting_train_step(16, lr=3e-3)
+        else:
+            params = temporal_transformer_init(
+                jax.random.PRNGKey(0), d, model_dim=16, num_layers=1,
+                num_heads=1, max_len=128, n_classes=c)
+            step = make_spotting_train_step(
+                0, lr=3e-3, scorer="transformer", num_heads=1)
+        opt = init_spotting_opt(params)
+        losses = []
+        for _ in range(40):
+            params, opt, loss = step(params, opt, jnp.asarray(feats), jnp.asarray(labels))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.6, losses[::10]
+
+        # per-class peaks recover the planted events (loose containment)
+        if scorer == "gru":
+            from cvml_goalnet_tpu.models.temporal import temporal_scorer_apply
+
+            scores = np.asarray(temporal_scorer_apply(params, jnp.asarray(feats), 16))
+        else:
+            from cvml_goalnet_tpu.models.temporal_attention import (
+                temporal_transformer_apply)
+
+            scores = np.asarray(temporal_transformer_apply(params, jnp.asarray(feats), 1))
+        assert scores.shape == (t, c)
+        events = spot_events_multi(scores, window=3, threshold=0.0)
+        assert len(events) == c
+        gt0 = set(np.nonzero(labels[:, 0])[0])
+        hits = sum(1 for e in events[0] if any(abs(e - g) <= 2 for g in gt0))
+        assert hits >= 3, (sorted(events[0]), sorted(gt0))
+
+    def test_multiclass_average_map(self):
+        from cvml_goalnet_tpu.ops.spotting_metrics import multiclass_average_map
+
+        # class 0: perfect; class 1: nothing predicted
+        out = multiclass_average_map(
+            pred_by_class=[np.array([10, 50]), np.array([], int)],
+            scores_by_class=[np.array([0.9, 0.8]), np.array([])],
+            gt_by_class=[np.array([11, 49]), np.array([70])],
+        )
+        assert out["per_class"][0]["average_map"] == 1.0
+        assert out["per_class"][1]["average_map"] == 0.0
+        assert abs(out["average_map"] - 0.5) < 1e-9
+
+    def test_multiclass_sharded_transformer(self):
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_apply, temporal_transformer_init,
+            temporal_transformer_sharded_apply)
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+
+        mesh = cpu_mesh(8)
+        params = temporal_transformer_init(
+            jax.random.PRNGKey(0), 12, model_dim=32, num_layers=1,
+            num_heads=2, max_len=128, n_classes=3)
+        feats = jnp.asarray(
+            np.random.default_rng(1).standard_normal((90, 12)).astype(np.float32))
+        mono = np.asarray(temporal_transformer_apply(params, feats, 2))
+        shard = np.asarray(temporal_transformer_sharded_apply(params, feats, mesh, 2))
+        assert mono.shape == (90, 3)
+        np.testing.assert_allclose(shard, mono, atol=1e-4)
