@@ -97,6 +97,21 @@ def main() -> None:
             feats,
         ) * 1e3, 1
     )
+    # same banded scorer with bf16 params/features (f32 softmax statistics
+    # inside the kernel; scores within 0.05 of f32 — tests)
+    tfm16 = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tfm,
+    )
+    results["transformer_flash_w1024_bf16_ms"] = round(
+        bench_chained(
+            "tfm_w1024_bf16",
+            lambda f: temporal_transformer_apply(
+                tfm16, f.astype(jnp.bfloat16), 1, True, window=1024
+            ).astype(jnp.float32),
+            feats,
+        ) * 1e3, 1
+    )
 
     best = min(results.values())
     print(json.dumps({

@@ -43,6 +43,7 @@ def _jitted_trunk(cfg_model):
         feats, _ = visual_encoder_apply(
             params["visual"], state["visual"], visual,
             train=False, rng=jax.random.PRNGKey(0), dropout_rate=0.0,
+            quant=cfg_model.quantized_inference,   # int8 MXU path (ops/quant.py)
         )
         if cfg_model.audio_included and audio is not None:
             a = audio_encoder_apply(params["audio"], audio)

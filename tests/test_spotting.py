@@ -304,3 +304,23 @@ class TestMultiClassSpotting:
         shard = np.asarray(temporal_transformer_sharded_apply(params, feats, mesh, 2))
         assert mono.shape == (90, 3)
         np.testing.assert_allclose(shard, mono, atol=1e-4)
+
+
+def test_encode_timeline_quantized_close(small_cfg):
+    import dataclasses
+
+    from cvml_goalnet_tpu.spotting import encode_timeline
+
+    cfg = small_cfg
+    qcfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, quantized_inference=True))
+    params, state = avm_init(jax.random.PRNGKey(0), cfg.model, cfg.preprocess, cfg.audio)
+    rng = np.random.default_rng(0)
+    vis = jnp.asarray(rng.random((12, *cfg.preprocess.frame_size, 3)).astype(np.float32))
+    aud = jnp.asarray(rng.random((12, cfg.audio.bin_length, cfg.audio.n_mfcc)).astype(np.float32))
+    f32 = np.asarray(encode_timeline(params, state, vis, aud, cfg))
+    q = np.asarray(encode_timeline(params, state, vis, aud, qcfg))
+    assert f32.shape == q.shape
+    scale = np.abs(f32).max()
+    assert np.abs(f32 - q).max() / max(scale, 1e-6) < 0.05
+    assert not np.array_equal(f32, q)
