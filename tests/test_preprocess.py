@@ -70,3 +70,20 @@ class TestEndToEnd:
         ours = np.asarray(preprocess_frames(jnp.asarray(frames), (40, 40)))
         want = _reference_preprocess(frames.astype(np.float32))
         np.testing.assert_allclose(ours, want, atol=5e-5)
+
+
+def test_reordered_equals_normalize_first_oracle():
+    """preprocess_frames computes resize-then-affine-normalize; it must equal
+    the literal normalize-then-resize order (bilinear rows sum to 1)."""
+    from cvml_goalnet_tpu.ops.preprocess import (
+        preprocess_frames, preprocess_frames_normalize_first)
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (6, 90, 160, 3)).astype(np.uint8)
+    a = np.asarray(preprocess_frames(jnp.asarray(frames), (40, 40)))
+    b = np.asarray(preprocess_frames_normalize_first(jnp.asarray(frames), (40, 40)))
+    np.testing.assert_allclose(a, b, atol=2e-6)
+    # constant frame: degenerate min==max must not NaN
+    const = np.full((2, 50, 50, 3), 7, np.uint8)
+    out = np.asarray(preprocess_frames(jnp.asarray(const), (40, 40)))
+    assert np.isfinite(out).all()
