@@ -112,6 +112,9 @@ def score_timeline_chunked(
     if t <= window:
         return temporal_scorer_apply(temporal_params, features, hidden)
 
+    # single-class heads emit (T,); multi-class (goal/card/…) emit (T, C) —
+    # the head's output arity is static from its params
+    n_out = int(temporal_params["head"]["w"].shape[-1])
     n_chunks = -(-t // chunk)
     chunk_starts = jnp.arange(n_chunks) * chunk
     win_starts = jnp.clip(chunk_starts - overlap, 0, t - window)
@@ -120,12 +123,13 @@ def score_timeline_chunked(
     def one(win_start, keep_off):
         sl = jax.lax.dynamic_slice(features, (win_start, 0), (window, d))
         s = temporal_scorer_apply(temporal_params, sl, hidden)
+        s = s[:, None] if s.ndim == 1 else s
         # static-size keep-slice; the final chunk's tail garbage is trimmed below
-        s_ext = jnp.concatenate([s, jnp.zeros((chunk,), s.dtype)])
-        return jax.lax.dynamic_slice(s_ext, (keep_off,), (chunk,))
+        s_ext = jnp.concatenate([s, jnp.zeros((chunk, n_out), s.dtype)])
+        return jax.lax.dynamic_slice(s_ext, (keep_off, 0), (chunk, n_out))
 
-    scores = jax.vmap(one)(win_starts, keep_offsets).reshape(-1)
-    return scores[:t]
+    scores = jax.vmap(one)(win_starts, keep_offsets).reshape(-1, n_out)[:t]
+    return scores[:, 0] if n_out == 1 else scores
 
 
 def score_timeline_sharded(
@@ -255,6 +259,12 @@ def summarize_match(
     full_n = len(visual) * skip if full_n_frames is None else full_n_frames
     feats = encode_timeline(params, state, visual, audio, cfg)
     scores = np.asarray(score_timeline_auto(temporal_params, feats, cfg))
+    if scores.ndim != 1:
+        raise ValueError(
+            "summarize_match expects a single-class temporal head; for "
+            "multi-class heads use spot_events_multi + pipeline.summarize "
+            "(what `goalnet spot --classes` does)"
+        )
     events = spot_events(scores, peak_window, peak_threshold)
 
     lo, hi = scores.min(), scores.max()

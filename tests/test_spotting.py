@@ -324,3 +324,40 @@ def test_encode_timeline_quantized_close(small_cfg):
     scale = np.abs(f32).max()
     assert np.abs(f32 - q).max() / max(scale, 1e-6) < 0.05
     assert not np.array_equal(f32, q)
+
+
+def test_chunked_scorer_multiclass():
+    from cvml_goalnet_tpu.models.temporal import (
+        temporal_scorer_apply, temporal_scorer_init)
+    from cvml_goalnet_tpu.spotting import score_timeline_chunked
+
+    params = temporal_scorer_init(jax.random.PRNGKey(0), 8, 8, n_classes=3)
+    feats = jnp.asarray(
+        np.random.default_rng(0).standard_normal((200, 8)).astype(np.float32))
+    mono = np.asarray(temporal_scorer_apply(params, feats, 8))
+    chunked = np.asarray(score_timeline_chunked(params, feats, 8, chunk=64, overlap=32))
+    assert chunked.shape == mono.shape == (200, 3)
+    # first/last chunks agree exactly at the timeline boundaries
+    np.testing.assert_allclose(chunked[:32], mono[:32], atol=1e-5)
+    np.testing.assert_allclose(chunked[-32:], mono[-32:], atol=1e-5)
+    # interior borders agree up to halo decay (documented tolerance)
+    np.testing.assert_allclose(chunked, mono, atol=2e-2)
+
+
+def test_summarize_match_rejects_multiclass_head(small_cfg):
+    from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
+    from cvml_goalnet_tpu.spotting import summarize_match
+    from cvml_goalnet_tpu.data.synthetic import synthetic_change_points
+
+    cfg = small_cfg
+    params, state = avm_init(jax.random.PRNGKey(0), cfg.model, cfg.preprocess, cfg.audio)
+    tparams = temporal_scorer_init(
+        jax.random.PRNGKey(1),
+        cfg.model.vis_feature_dim + cfg.model.aud_feature_dim,
+        cfg.model.temporal_hidden, n_classes=2)
+    rng = np.random.default_rng(0)
+    vis = jnp.asarray(rng.random((8, *cfg.preprocess.frame_size, 3)).astype(np.float32))
+    aud = jnp.asarray(rng.random((8, cfg.audio.bin_length, cfg.audio.n_mfcc)).astype(np.float32))
+    cps = synthetic_change_points(8 * cfg.preprocess.skip_frames, 4)
+    with pytest.raises(ValueError, match="multi-class"):
+        summarize_match(params, state, tparams, vis, aud, cps, cfg)
