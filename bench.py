@@ -22,6 +22,7 @@ Env: ``GOALNET_PLATFORM=cpu`` forces the CPU backend (smoke runs);
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -53,8 +54,6 @@ def main() -> None:
     # int8 MXU path for the dominant convs (score drift ≤0.1 on [1,5] —
     # tests/test_precision.py::TestInt8Quantized); disable with =0
     if os.environ.get("GOALNET_BENCH_QUANT", "1") != "0":
-        import dataclasses
-
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, quantized_inference=True))
     decode_hw = (180, 320)  # host decoder output resolution fed to the device

@@ -196,6 +196,20 @@ def cmd_infer(args) -> int:
     return 0
 
 
+
+def _apply_temporal_overrides(cfg, args):
+    """Fold --temporal-model / --attn-window into the config."""
+    if getattr(args, "temporal_model", None):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, temporal_model=args.temporal_model)
+        )
+    if getattr(args, "attn_window", None) is not None:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, temporal_window=args.attn_window)
+        )
+    return cfg
+
+
 def cmd_spot(args) -> int:
     """Temporal event spotting over one video (new capability — spotting.py)."""
     import json
@@ -228,14 +242,7 @@ def cmd_spot(args) -> int:
     except Exception as e:  # CheckpointMismatchError: saved with other settings
         print(f"W: checkpoint unusable ({e}); using random-init trunk")
 
-    if getattr(args, "temporal_model", None):
-        cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, temporal_model=args.temporal_model)
-        )
-    if getattr(args, "attn_window", None) is not None:
-        cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, temporal_window=args.attn_window)
-        )
+    cfg = _apply_temporal_overrides(cfg, args)
     classes = args.classes.split(",") if getattr(args, "classes", None) else None
     d = cfg.model.vis_feature_dim + (cfg.model.aud_feature_dim if cfg.model.audio_included else 0)
     n_classes = len(classes) if classes else 1
@@ -262,7 +269,8 @@ def cmd_spot(args) -> int:
         # class-agnostic eventness (max over classes) on the shared contract
         from cvml_goalnet_tpu.pipeline import summarize
         from cvml_goalnet_tpu.spotting import (
-            encode_timeline, score_timeline_auto, spot_events_multi)
+            encode_timeline, score_timeline_auto, scores_to_importance,
+            spot_events_multi)
 
         feats = encode_timeline(
             state.params, state.model_state, jnp.asarray(item.visual),
@@ -270,9 +278,7 @@ def cmd_spot(args) -> int:
         scores_mc = np.asarray(score_timeline_auto(tparams, feats, cfg))  # (T, C)
         events_by_class = spot_events_multi(
             scores_mc, args.peak_window, args.peak_threshold)
-        agg = scores_mc.max(axis=1)
-        lo_s, hi_s = agg.min(), agg.max()
-        importances = 1.0 + 4.0 * (agg - lo_s) / max(hi_s - lo_s, 1e-7)
+        importances = scores_to_importance(scores_mc.max(axis=1))
         summary = summarize(importances, item.clip_intervals,
                             cfg.preprocess.skip_frames, item.full_n_frames,
                             cfg.knapsack)
@@ -372,15 +378,7 @@ def cmd_spot_train(args) -> int:
     )
     from cvml_goalnet_tpu.train.state import create_train_state
 
-    cfg = _load_cfg(args)
-    if args.temporal_model:
-        cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, temporal_model=args.temporal_model)
-        )
-    if getattr(args, "attn_window", None) is not None:
-        cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, temporal_window=args.attn_window)
-        )
+    cfg = _apply_temporal_overrides(_load_cfg(args), args)
     data = _resolve_data(args)
     paths = _artifact_paths(args.workdir, cfg.model.audio_included)
     store = (

@@ -43,14 +43,9 @@ def initialize_from_env(
     """``jax.distributed.initialize`` with explicit args, ``GOALNET_*`` env
     (COORDINATOR / NUM_PROCESSES / PROCESS_ID), or TPU-pod auto-detection.
 
-    Call once per process, before any jax computation.  No-op (with a
-    warning-free early return) when the distributed system is already up.
+    Call once per process, before any jax computation.  No-op when the
+    distributed system is already up.
     """
-    try:
-        if jax._src.distributed.global_state.client is not None:  # already up
-            return
-    except Exception:
-        pass
     coordinator = coordinator or os.environ.get("GOALNET_COORDINATOR")
     num_processes = num_processes if num_processes is not None else (
         int(os.environ["GOALNET_NUM_PROCESSES"])
@@ -58,15 +53,19 @@ def initialize_from_env(
     process_id = process_id if process_id is not None else (
         int(os.environ["GOALNET_PROCESS_ID"])
         if "GOALNET_PROCESS_ID" in os.environ else None)
-    if coordinator is None and num_processes is None and process_id is None:
-        # TPU pod: the runtime discovers peers from the platform metadata
-        jax.distributed.initialize()
-    else:
-        jax.distributed.initialize(
-            coordinator_address=coordinator,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+    try:
+        if coordinator is None and num_processes is None and process_id is None:
+            # TPU pod: the runtime discovers peers from the platform metadata
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(
+                coordinator_address=coordinator,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+    except RuntimeError as e:   # already initialized → no-op
+        if "already" not in str(e).lower():
+            raise
 
 
 def global_data_mesh(axis: str = "data") -> "jax.sharding.Mesh":

@@ -215,6 +215,14 @@ def load_event_labels(
     return labels
 
 
+def scores_to_importance(scores: np.ndarray) -> np.ndarray:
+    """Affinely map temporal scores to the [1, 5] importance scale so the
+    knapsack stage is shared verbatim with the frame-importance path."""
+    scores = np.asarray(scores)
+    lo, hi = scores.min(), scores.max()
+    return 1.0 + 4.0 * (scores - lo) / max(hi - lo, 1e-7)
+
+
 def spot_events(scores, window: int = 5, threshold: float = 0.0) -> np.ndarray:
     """Event timestamps (frame indices) from temporal scores."""
     mask = detect_peaks(jnp.asarray(scores), window, threshold)
@@ -267,8 +275,7 @@ def summarize_match(
         )
     events = spot_events(scores, peak_window, peak_threshold)
 
-    lo, hi = scores.min(), scores.max()
-    importances = 1.0 + 4.0 * (scores - lo) / max(hi - lo, 1e-7)
+    importances = scores_to_importance(scores)
     res = summarize(
         importances, clip_intervals, skip, full_n, kcfg or cfg.knapsack
     )

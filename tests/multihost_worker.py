@@ -18,6 +18,23 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 
+def tiny_dp_config(n_devices: int):
+    """The shared tiny full-architecture config (worker + parent test must
+    build the identical model so losses compare exactly)."""
+    from cvml_goalnet_tpu.config import (
+        AudioConfig, MeshConfig, ModelConfig, PipelineConfig, PreprocessConfig)
+
+    return PipelineConfig(
+        preprocess=PreprocessConfig(skip_frames=30, frame_size=(24, 24)),
+        audio=AudioConfig(n_fft=512, hop_length=128, n_mels=40, n_mfcc=13,
+                          bin_length=12),
+        model=ModelConfig(vis_channels=(8, 16, 16), vis_feature_dim=32,
+                          aud_channels=(8, 16), aud_feature_dim=16,
+                          fusion_hidden=(32, 16)),
+        mesh=MeshConfig(data=n_devices, model=1),
+    )
+
+
 def main() -> int:
     pid, nproc, port, out_fp = (
         int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
@@ -32,23 +49,11 @@ def main() -> int:
     assert jax.process_count() == nproc
     n = jax.device_count()
 
-    import dataclasses
-
-    from cvml_goalnet_tpu.config import MeshConfig, PipelineConfig, PreprocessConfig
-    from cvml_goalnet_tpu.config import AudioConfig, ModelConfig
     from cvml_goalnet_tpu.parallel.dp import make_dp_train_step
     from cvml_goalnet_tpu.parallel.mesh import build_mesh
     from cvml_goalnet_tpu.train.state import create_train_state
 
-    cfg = PipelineConfig(
-        preprocess=PreprocessConfig(skip_frames=30, frame_size=(24, 24)),
-        audio=AudioConfig(n_fft=512, hop_length=128, n_mels=40, n_mfcc=13,
-                          bin_length=12),
-        model=ModelConfig(vis_channels=(8, 16, 16), vis_feature_dim=32,
-                          aud_channels=(8, 16), aud_feature_dim=16,
-                          fusion_hidden=(32, 16)),
-        mesh=MeshConfig(data=n, model=1),
-    )
+    cfg = tiny_dp_config(n)
     state = create_train_state(jax.random.PRNGKey(0), cfg)
     mesh = build_mesh(cfg.mesh, jax.devices())
 

@@ -29,22 +29,13 @@ def _free_port() -> int:
 
 def _single_process_loss() -> float:
     """The same step/batch as the workers, on this process's 8-device mesh."""
-    from cvml_goalnet_tpu.config import (
-        AudioConfig, MeshConfig, ModelConfig, PipelineConfig, PreprocessConfig)
     from cvml_goalnet_tpu.parallel.dp import make_dp_train_step
     from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
     from cvml_goalnet_tpu.parallel.sharding import shard_batch
     from cvml_goalnet_tpu.train.state import create_train_state
+    from tests.multihost_worker import tiny_dp_config
 
-    cfg = PipelineConfig(
-        preprocess=PreprocessConfig(skip_frames=30, frame_size=(24, 24)),
-        audio=AudioConfig(n_fft=512, hop_length=128, n_mels=40, n_mfcc=13,
-                          bin_length=12),
-        model=ModelConfig(vis_channels=(8, 16, 16), vis_feature_dim=32,
-                          aud_channels=(8, 16), aud_feature_dim=16,
-                          fusion_hidden=(32, 16)),
-        mesh=MeshConfig(data=8, model=1),
-    )
+    cfg = tiny_dp_config(8)
     state = create_train_state(jax.random.PRNGKey(0), cfg)
     mesh = cpu_mesh(8)
     rng = np.random.default_rng(0)
