@@ -62,10 +62,11 @@ def make_data(seed: int):
 
 def run(scorer: str, window: int, feats, labels):
     if scorer == "gru":
+        from cvml_goalnet_tpu.models.temporal import temporal_scorer_apply
+
         params = temporal_scorer_init(jax.random.PRNGKey(0), D, HIDDEN)
         step = make_spotting_train_step(HIDDEN, lr=5e-3)
-        apply = lambda p, f: __import__("cvml_goalnet_tpu.models.temporal", fromlist=["x"]
-                                        ).temporal_scorer_apply(p, f, HIDDEN)
+        apply = lambda p, f: temporal_scorer_apply(p, f, HIDDEN)
     else:
         params = temporal_transformer_init(
             jax.random.PRNGKey(0), D, model_dim=32, num_layers=1, num_heads=2,

@@ -275,7 +275,9 @@ def cmd_spot(args) -> int:
         feats = encode_timeline(
             state.params, state.model_state, jnp.asarray(item.visual),
             jnp.asarray(item.audio) if item.audio is not None else None, cfg)
-        scores_mc = np.asarray(score_timeline_auto(tparams, feats, cfg))  # (T, C)
+        scores_mc = np.asarray(score_timeline_auto(tparams, feats, cfg))
+        if scores_mc.ndim == 1:   # one-channel head (--classes with one name)
+            scores_mc = scores_mc[:, None]
         events_by_class = spot_events_multi(
             scores_mc, args.peak_window, args.peak_threshold)
         importances = scores_to_importance(scores_mc.max(axis=1))

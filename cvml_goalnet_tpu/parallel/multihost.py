@@ -63,8 +63,11 @@ def initialize_from_env(
                 num_processes=num_processes,
                 process_id=process_id,
             )
-    except RuntimeError as e:   # already initialized → no-op
-        if "already" not in str(e).lower():
+    except RuntimeError as e:
+        # already initialized → no-op (JAX's message is "distributed.initialize
+        # should only be called once."; older versions said "already")
+        msg = str(e).lower()
+        if "once" not in msg and "already" not in msg:
             raise
 
 

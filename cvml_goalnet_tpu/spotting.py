@@ -212,6 +212,16 @@ def load_event_labels(
             name = e.get("label") if isinstance(e, dict) else None
             if name in index:
                 labels[idx, index[name]] = 1.0
+    if classes is not None and len(raw) > 0 and labels.sum() == 0:
+        import warnings
+
+        warnings.warn(
+            f"{path}: {len(raw)} events but NONE matched classes {list(classes)} "
+            "(plain frame indices carry no label; use {\"frame\": i, "
+            "\"label\": name} entries) — training on these labels would "
+            "supervise all-negative",
+            stacklevel=2,
+        )
     return labels
 
 
@@ -230,10 +240,16 @@ def spot_events(scores, window: int = 5, threshold: float = 0.0) -> np.ndarray:
 
 
 def spot_events_multi(scores, window: int = 5, threshold: float = 0.0) -> list[np.ndarray]:
-    """(T, C) multi-class scores → per-class event frame-index arrays."""
+    """(T, C) multi-class scores → per-class event frame-index arrays.
+
+    A (T,) input (one-output-channel head — e.g. ``--classes goal``) is
+    treated as C=1."""
     from cvml_goalnet_tpu.models.temporal import detect_peaks_multi
 
-    mask = np.asarray(detect_peaks_multi(jnp.asarray(scores), window, threshold))
+    scores = jnp.asarray(scores)
+    if scores.ndim == 1:
+        scores = scores[:, None]
+    mask = np.asarray(detect_peaks_multi(scores, window, threshold))
     return [np.nonzero(mask[:, c])[0] for c in range(mask.shape[1])]
 
 

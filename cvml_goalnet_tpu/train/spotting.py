@@ -57,7 +57,10 @@ def make_spotting_train_step(
         scorer_fn = _jax.checkpoint(scorer_fn, static_argnums=(2,))
 
     def loss_fn(params, features, labels):
-        logits = scorer_fn(params, features, hidden)
+        # heads emit (T,) for one output channel and (T, C) otherwise; align
+        # to the labels' layout so a (T, 1)-labelled single-class run can
+        # never silently broadcast to a (T, T) loss
+        logits = scorer_fn(params, features, hidden).reshape(labels.shape)
         w = jnp.where(labels > 0.5, pos_weight, 1.0)
         per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
         return jnp.sum(w * per) / jnp.sum(w)
@@ -104,7 +107,7 @@ def make_sharded_spotting_train_step(
         logits = temporal_transformer_sharded_apply(
             params, features, mesh, num_heads, axis,
             use_flash=use_flash, flash_interpret=flash_interpret, window=window,
-        )
+        ).reshape(labels.shape)
         w = jnp.where(labels > 0.5, pos_weight, 1.0)
         per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
         return jnp.sum(w * per) / jnp.sum(w)

@@ -258,3 +258,26 @@ class TestCLIMultiClassSpotting:
         assert payload["summary_frames"] > 0
         assert "average_map" in payload["eval"]
         assert set(payload["eval"]["per_class"]) == {"goal", "card"}
+
+
+class TestCLISingleClassSpotting:
+    def test_spot_train_and_spot_single_class(self, cli_env):
+        root = cli_env["root"]
+        for fp in cli_env["video_fps"]:
+            side = fp.rsplit(".", 1)[0] + ".events.json"
+            with open(side, "w") as f:
+                json.dump([{"frame": 0, "label": "goal"},
+                           {"frame": 150, "label": "goal"}], f)
+        head_fp = os.path.join(root, "models", "spot_head_1c.npz")
+        r = _run(["spot-train", *_data_args(cli_env), "--workdir", root,
+                  "--no-audio", "--classes", "goal", "--epochs", "2",
+                  "--out", head_fp], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        r = _run(["spot", cli_env["video_fps"][0], "--mat-fp", cli_env["mat_file_path"],
+                  "--h5-fp", cli_env["h5_file_path"], "--config", cli_env["cfg"],
+                  "--workdir", root, "--no-audio", "--peak-threshold=-1e9",
+                  "--classes", "goal", "--temporal-checkpoint", head_fp], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = json.loads(r.stdout[r.stdout.index("{"):])
+        assert payload["classes"] == ["goal"]
+        assert "goal" in payload["events_condensed_frames"]

@@ -361,3 +361,48 @@ def test_summarize_match_rejects_multiclass_head(small_cfg):
     cps = synthetic_change_points(8 * cfg.preprocess.skip_frames, 4)
     with pytest.raises(ValueError, match="multi-class"):
         summarize_match(params, state, tparams, vis, aud, cps, cfg)
+
+
+class TestSingleClassClassesMode:
+    """Regression: --classes with exactly ONE class must behave like C=1,
+    not broadcast (T,1)x(T,) losses or crash axis-1 indexing."""
+
+    def test_train_step_single_class_labels_match_binary(self):
+        from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
+        from cvml_goalnet_tpu.train.spotting import (
+            init_spotting_opt, make_spotting_train_step)
+
+        rng = np.random.default_rng(0)
+        t, d = 64, 8
+        labels = (rng.random(t) < 0.1).astype(np.float32)
+        feats = jnp.asarray(rng.standard_normal((t, d)).astype(np.float32))
+        params = temporal_scorer_init(jax.random.PRNGKey(0), d, 8, n_classes=1)
+        opt = init_spotting_opt(params)
+        step = make_spotting_train_step(8, lr=1e-3)
+        _, _, loss_flat = step(params, opt, feats, jnp.asarray(labels))
+        _, _, loss_col = step(params, opt, feats, jnp.asarray(labels[:, None]))
+        np.testing.assert_allclose(float(loss_flat), float(loss_col), rtol=1e-6)
+
+    def test_spot_events_multi_accepts_1d(self):
+        from cvml_goalnet_tpu.spotting import spot_events_multi
+
+        scores = np.zeros(50, np.float32)
+        scores[[10, 30]] = 5.0
+        events = spot_events_multi(scores, window=3, threshold=1.0)
+        assert len(events) == 1
+        np.testing.assert_array_equal(events[0], [10, 30])
+
+    def test_unlabeled_sidecar_warns_in_class_mode(self, tmp_path):
+        import json
+        import warnings
+
+        from cvml_goalnet_tpu.spotting import load_event_labels
+
+        fp = str(tmp_path / "v.events.json")
+        with open(fp, "w") as f:
+            json.dump([0, 60, 150], f)   # plain ints: no labels
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            lab = load_event_labels(fp, 8, 30, classes=["goal"])
+        assert lab.sum() == 0
+        assert any("NONE matched" in str(w.message) for w in caught)
