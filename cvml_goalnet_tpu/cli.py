@@ -297,7 +297,8 @@ def cmd_spot(args) -> int:
         }
         events_fp = args.video.rsplit(".", 1)[0] + ".events.json"
         if getattr(args, "eval_events", False) and os.path.exists(events_fp):
-            from cvml_goalnet_tpu.ops.spotting_metrics import multiclass_average_map
+            from cvml_goalnet_tpu.ops.spotting_metrics import (
+                multiclass_average_map, spotting_pr)
             from cvml_goalnet_tpu.spotting import load_event_labels
 
             gt_mc = load_event_labels(
@@ -307,11 +308,20 @@ def cmd_spot(args) -> int:
                 scores_mc[ev, c] if len(ev) else np.zeros((0,))
                 for c, ev in enumerate(events_by_class)]
             mm = multiclass_average_map(events_by_class, score_by_class, gt_by_class)
+            per_class = {}
+            for i, c in enumerate(classes):
+                pr, rc, f1 = spotting_pr(
+                    events_by_class[i], score_by_class[i], gt_by_class[i],
+                    tolerance=args.eval_tolerance)
+                per_class[c] = {
+                    "precision": round(pr, 4), "recall": round(rc, 4),
+                    "f1": round(f1, 4), **mm["per_class"][i],
+                }
             payload["eval"] = {
                 "gt_events": {c: g.tolist() for c, g in zip(classes, gt_by_class)},
+                "tolerance": args.eval_tolerance,
                 "average_map": mm["average_map"],
-                "per_class": {
-                    c: pc for c, pc in zip(classes, mm["per_class"])},
+                "per_class": per_class,
             }
         print(json.dumps(payload, indent=2))
         return 0

@@ -561,9 +561,11 @@ def _local_dq_kernel(tv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 
 
 def _local_block_default(t: int, window: int) -> int:
-    # keep the band cover tight: the smallest of (512, padded T, tiles that
-    # would over-cover a tiny window by more than 2×)
-    block = 512 if t >= 512 else 128
+    # Measured on v5e at T=135k/W=1024 (chained fwd): block 1024 → 5.17 ms,
+    # 512 → 6.52, 256 → 8.92, 128 → 14.34 — bigger MXU tiles beat the extra
+    # band-cover padding.  Shrink only for short sequences and for tiny
+    # windows (where a huge tile would over-cover the band by > 2×).
+    block = 1024 if t >= 1024 else (512 if t >= 512 else 128)
     while block > 128 and block > 2 * max(window, 1):
         block //= 2
     return block
