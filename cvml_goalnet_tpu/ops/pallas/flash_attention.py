@@ -99,10 +99,17 @@ def _fwd_kernel(tv_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_s
 
 
 def _block_defaults(t, t_kv, block_q, block_k):
+    # Measured on v5e (chained fwd, d=128): at T=135k block 1024 → 73.7 ms vs
+    # 512 → 159.2 (2.16×); at T=16k 3.99 vs 5.01 ms.  2048 fails Mosaic
+    # compilation (VMEM).  Bigger MXU tiles win; shrink for short sequences
+    # to bound padding waste.
+    def pick(n):
+        return 1024 if n >= 1024 else (512 if n >= 512 else 128)
+
     if block_q is None:
-        block_q = 512 if t >= 512 else 128
+        block_q = pick(t)
     if block_k is None:
-        block_k = 512 if t_kv >= 512 else 128
+        block_k = pick(t_kv)
     return block_q, block_k
 
 
