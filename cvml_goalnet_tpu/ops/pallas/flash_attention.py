@@ -176,9 +176,9 @@ def flash_attention(
 ) -> jax.Array:
     """Full (non-causal) attention: q (H, Tq, d) × k/v (H, Tk, d) → (H, Tq, d).
 
-    Default block sizes: 512 for long sequences (measured 1.42× faster than
-    XLA's attention at T=16k on v5e — docs/BENCHMARKS.md), shrinking to 128
-    for short ones to bound padding waste.
+    Default block sizes: 1024 for long sequences (measured ~2× XLA's
+    attention at T=16k and 2.16× the 512-block kernel at T=135k on v5e —
+    docs/BENCHMARKS.md), shrinking for short ones to bound padding waste.
     """
     h, t, d = q.shape
     block_q, block_k = _block_defaults(t, k.shape[1], block_q, block_k)
