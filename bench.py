@@ -53,8 +53,11 @@ def main() -> None:
     batch = int(os.environ.get("GOALNET_BENCH_BATCH", 8192))
     dtype = jnp.float32 if os.environ.get("GOALNET_BENCH_DTYPE") == "float32" else jnp.bfloat16
     # int8 MXU path for the dominant convs (score drift ≤0.1 on [1,5] —
-    # tests/test_precision.py::TestInt8Quantized); disable with =0
-    if os.environ.get("GOALNET_BENCH_QUANT", "1") != "0":
+    # tests/test_precision.py::TestInt8Quantized).  Default ON for
+    # accelerators; XLA:CPU's int8 conv is pathologically slow, so CPU smoke
+    # runs default OFF (=1 forces on, =0 forces off).
+    quant_env = os.environ.get("GOALNET_BENCH_QUANT")
+    if quant_env == "1" or (quant_env != "0" and jax.default_backend() != "cpu"):
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, quantized_inference=True))
     decode_hw = (180, 320)  # host decoder output resolution fed to the device
