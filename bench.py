@@ -9,7 +9,7 @@ steady state on one chip, and prints ONE JSON line.
 Production configuration (selected by measurement — docs/BENCHMARKS.md):
 bfloat16 activations/params with f32 MXU accumulation, int8 MXU path for the
 dominant convs, reordered (resize-then-affine-normalize) preprocess, batch
-8192.  Scores stay within 0.1 of f32 on the [1, 5] scale
+16384.  Scores stay within 0.1 of f32 on the [1, 5] scale
 (tests/test_precision.py; int8 drift measured 3.7e-5 on TPU).
 
 ``vs_baseline`` is measured throughput divided by the BASELINE.md build
@@ -50,7 +50,7 @@ def main() -> None:
     state = create_train_state(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
 
-    batch = int(os.environ.get("GOALNET_BENCH_BATCH", 8192))
+    batch = int(os.environ.get("GOALNET_BENCH_BATCH", 16384))
     dtype = jnp.float32 if os.environ.get("GOALNET_BENCH_DTYPE") == "float32" else jnp.bfloat16
     # int8 MXU path for the dominant convs (score drift ≤0.1 on [1,5] —
     # tests/test_precision.py::TestInt8Quantized).  Default ON for
