@@ -50,7 +50,8 @@ def main() -> None:
     state = create_train_state(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
 
-    batch = int(os.environ.get("GOALNET_BENCH_BATCH", 16384))
+    default_batch = 16384 if jax.default_backend() != "cpu" else 256  # CPU: smoke only
+    batch = int(os.environ.get("GOALNET_BENCH_BATCH", default_batch))
     dtype = jnp.float32 if os.environ.get("GOALNET_BENCH_DTYPE") == "float32" else jnp.bfloat16
     # int8 MXU path for the dominant convs (score drift ≤0.1 on [1,5] —
     # tests/test_precision.py::TestInt8Quantized).  Default ON for

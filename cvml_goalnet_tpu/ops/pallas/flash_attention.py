@@ -98,18 +98,21 @@ def _fwd_kernel(tv_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_s
         lse_ref[0] = jnp.where(dead, 0.0, m_scr[...] + jnp.log(l_scr[...]))
 
 
-def _block_defaults(t, t_kv, block_q, block_k):
-    # Measured on v5e (chained fwd, d=128): at T=135k block 1024 → 73.7 ms vs
-    # 512 → 159.2 (2.16×); at T=16k 3.99 vs 5.01 ms.  2048 fails Mosaic
-    # compilation (VMEM).  Bigger MXU tiles win; shrink for short sequences
-    # to bound padding waste.
-    def pick(n):
-        return 1024 if n >= 1024 else (512 if n >= 512 else 128)
+def _block_ladder(n: int) -> int:
+    """Default tile size by sequence length — one ladder for the full AND
+    banded kernels.  Measured on v5e (chained fwd, d=128): full attention at
+    T=135k block 1024 → 73.7 ms vs 512 → 159.2 (2.16×), T=16k 3.99 vs 5.01;
+    banded W=1024 at T=135k: 1024 → 5.17 ms, 512 → 6.52, 256 → 8.92,
+    128 → 14.34.  2048 fails Mosaic compilation (VMEM).  Bigger MXU tiles
+    win; shrink for short sequences to bound padding waste."""
+    return 1024 if n >= 1024 else (512 if n >= 512 else 128)
 
+
+def _block_defaults(t, t_kv, block_q, block_k):
     if block_q is None:
-        block_q = pick(t)
+        block_q = _block_ladder(t)
     if block_k is None:
-        block_k = pick(t_kv)
+        block_k = _block_ladder(t_kv)
     return block_q, block_k
 
 
@@ -568,11 +571,9 @@ def _local_dq_kernel(tv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 
 
 def _local_block_default(t: int, window: int) -> int:
-    # Measured on v5e at T=135k/W=1024 (chained fwd): block 1024 → 5.17 ms,
-    # 512 → 6.52, 256 → 8.92, 128 → 14.34 — bigger MXU tiles beat the extra
-    # band-cover padding.  Shrink only for short sequences and for tiny
-    # windows (where a huge tile would over-cover the band by > 2×).
-    block = 1024 if t >= 1024 else (512 if t >= 512 else 128)
+    # shared ladder, then shrink for tiny windows (where a huge tile would
+    # over-cover the band by > 2×)
+    block = _block_ladder(t)
     while block > 128 and block > 2 * max(window, 1):
         block //= 2
     return block

@@ -883,3 +883,28 @@ class TestOffsetBandKernel:
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4)
+
+
+class TestBandedBlock1024:
+    """The production banded configuration (long T → block 1024) must be
+    covered by interpret-mode parity, not just TPU benchmarks."""
+
+    def test_forward_and_grads_at_block_1024(self):
+        from cvml_goalnet_tpu.ops.pallas.flash_attention import (
+            attention_local_reference, flash_attention_local,
+            _local_block_default)
+
+        t, window = 2048, 512
+        assert _local_block_default(t, window) == 1024  # production geometry
+        q, k, v = _qkv(1, t, 32, seed=80)
+        want = np.asarray(attention_local_reference(q, k, v, window))
+        got = np.asarray(flash_attention_local(q, k, v, window, None, True))
+        np.testing.assert_allclose(got, want, atol=3e-5)
+
+        g1 = jax.grad(lambda q, k, v: jnp.sum(
+            flash_attention_local(q, k, v, window, None, True) ** 2), (0, 1, 2))(q, k, v)
+        g2 = jax.grad(lambda q, k, v: jnp.sum(
+            attention_local_reference(q, k, v, window) ** 2), (0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
