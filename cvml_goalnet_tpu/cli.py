@@ -93,9 +93,15 @@ def cmd_train(args) -> int:
     print(f"Number of train videos: {len(train_ds)}")
     print(f"Number of val videos: {len(val_ds)}")
 
+    backend = getattr(args, "checkpoint_backend", "npz")
     state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
     if args.checkpoint:
-        state = load_checkpoint(paths["ckp_dir"], state, tag="ckp")
+        if backend == "orbax":
+            from cvml_goalnet_tpu.train.orbax_io import load_checkpoint_orbax
+
+            state = load_checkpoint_orbax(paths["ckp_dir"], state, tag="ckp")
+        else:
+            state = load_checkpoint(paths["ckp_dir"], state, tag="ckp")
         print(f"Resumed from epoch {state.epoch}")
 
     if getattr(args, "dp", False):
@@ -135,6 +141,7 @@ def cmd_train(args) -> int:
         cfg, train_ds, val_ds, state,
         num_epochs=args.epochs, checkpoint_dir=paths["ckp_dir"],
         on_epoch_end=on_epoch_end, metrics_logger=metrics_logger,
+        checkpoint_backend=backend,
     )
     print(f"Optimal epoch: {history['best_epoch']}")
     print("Operation completed")
@@ -512,6 +519,9 @@ def main(argv=None) -> int:
     p.add_argument("--commentary", action="store_true",
                    help="enable the text branch (reads <video>.commentary.jsonl sidecars)")
     p.add_argument("--checkpoint", action="store_true", help="resume from rolling ckp")
+    p.add_argument("--checkpoint-backend", choices=["npz", "orbax"], default="npz",
+                   help="npz (portable default) or orbax (sharded-aware "
+                        "save/restore for multi-chip jobs)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--dp", action="store_true", help="mesh data-parallel training")
     p.add_argument("--global-batch", type=int, default=None)

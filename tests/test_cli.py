@@ -281,3 +281,19 @@ class TestCLISingleClassSpotting:
         payload = json.loads(r.stdout[r.stdout.index("{"):])
         assert payload["classes"] == ["goal"]
         assert "goal" in payload["events_condensed_frames"]
+
+
+class TestCLIOrbaxBackend:
+    def test_train_and_resume_with_orbax(self, cli_env):
+        root = cli_env["root"]
+        wd = os.path.join(root, "orbax_run")
+        r = _run(["train", *_data_args(cli_env), "--workdir", wd,
+                  "--epochs", "1", "--no-audio", "--checkpoint-backend", "orbax"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert os.path.isdir(os.path.join(wd, "models", "importance_no_audio", "ckp_orbax"))
+
+        r = _run(["train", *_data_args(cli_env), "--workdir", wd,
+                  "--epochs", "2", "--no-audio", "--checkpoint",
+                  "--checkpoint-backend", "orbax"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "Resumed from epoch 1" in r.stdout
