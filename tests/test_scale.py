@@ -1,0 +1,55 @@
+"""Dataset-scale smoke: a 6-video TVSum-shaped corpus through build + train.
+
+Everything else in the suite uses 2–3 videos; TVSum50 has 50.  This drives a
+6-video build (decode, MFCC, per-annotator knapsack ground truths, split),
+one training epoch over the full split, and the prefetcher at that width —
+the shape of a real dataset run, scaled to suite time.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory, small_cfg):
+    from cvml_goalnet_tpu.data.synthetic import synthetic_dataset_dir
+
+    root = tmp_path_factory.mktemp("scale")
+    ids = tuple(f"vid{c}" for c in "ABCDEF")
+    meta = synthetic_dataset_dir(str(root), video_ids=ids,
+                                 full_n_frames=240, n_clips=5)
+    return meta
+
+
+class TestDatasetScale:
+    def test_six_video_build_and_epoch(self, corpus, small_cfg):
+        from cvml_goalnet_tpu.data.dataset import build_datasets
+        from cvml_goalnet_tpu.train.loop import train_importance_model
+        from cvml_goalnet_tpu.train.state import create_train_state
+
+        train_ds, val_ds = build_datasets(
+            corpus["video_fps"], small_cfg, corpus["annotation_fp"],
+            corpus["mat_file_path"], corpus["h5_file_path"], corpus["info_fp"],
+        )
+        assert len(train_ds) + len(val_ds) == 6
+        assert len(train_ds) >= 4          # train_ratio 0.8 of 6
+        for item in train_ds:
+            assert item.visual.ndim == 4 and item.audio is not None
+            assert item.gd_summary_masks.shape[0] == 20   # per-annotator GTs
+
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        best, hist = train_importance_model(
+            small_cfg, train_ds, val_ds, state, num_epochs=1, verbose=False)
+        assert np.isfinite(hist["train_loss"][-1])
+        assert np.isfinite(hist["val_loss"][-1])
+
+    def test_prefetcher_at_width(self, corpus, small_cfg):
+        from cvml_goalnet_tpu.data.dataset import Prefetcher, build_datasets
+
+        train_ds, _ = build_datasets(
+            corpus["video_fps"], small_cfg, corpus["annotation_fp"],
+            corpus["mat_file_path"], corpus["h5_file_path"], corpus["info_fp"],
+        )
+        seen = [item.video_id for item in Prefetcher(train_ds, depth=3)]
+        assert seen == [item.video_id for item in train_ds]
