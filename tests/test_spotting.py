@@ -406,3 +406,32 @@ class TestSingleClassClassesMode:
             lab = load_event_labels(fp, 8, 30, classes=["goal"])
         assert lab.sum() == 0
         assert any("NONE matched" in str(w.message) for w in caught)
+
+
+def test_cp_training_multiclass_head():
+    """spot-train --cp --classes combination: context-parallel training with
+    a (T, C) head must learn (sharded loss reshapes logits to labels)."""
+    from cvml_goalnet_tpu.models.temporal_attention import temporal_transformer_init
+    from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+    from cvml_goalnet_tpu.train.spotting import (
+        init_spotting_opt, make_sharded_spotting_train_step)
+
+    mesh = cpu_mesh(8)
+    rng = np.random.default_rng(0)
+    t, dim, c = 128, 8, 2
+    labels = np.zeros((t, c), np.float32)
+    labels[rng.choice(t, 8, replace=False), 0] = 1.0
+    labels[rng.choice(t, 8, replace=False), 1] = 1.0
+    feats = rng.standard_normal((t, dim)).astype(np.float32) * 0.1
+    feats[labels[:, 0] > 0.5, 0] += 3.0
+    feats[labels[:, 1] > 0.5, 1] += 3.0
+    params = temporal_transformer_init(
+        jax.random.PRNGKey(0), dim, model_dim=16, num_layers=1,
+        num_heads=1, max_len=128, n_classes=c)
+    opt = init_spotting_opt(params)
+    step = make_sharded_spotting_train_step(mesh, num_heads=1, lr=3e-3, window=8)
+    losses = []
+    for _ in range(25):
+        params, opt, loss = step(params, opt, jnp.asarray(feats), jnp.asarray(labels))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.8, losses[::8]
