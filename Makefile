@@ -4,6 +4,9 @@ PY ?= python
 test:            ## full suite on CPU (8 virtual devices)
 	$(PY) -m pytest tests/ -q -rs
 
+test-fast:       ## fast lane: skips subprocess/scale/multihost suites
+	$(PY) -m pytest tests/ -q -rs -m "not slow"
+
 bench:           ## one-chip throughput benchmark (JSON line)
 	$(PY) bench.py
 
@@ -22,4 +25,4 @@ clean:
 	$(MAKE) -C runtime clean
 	rm -rf .pytest_cache
 
-.PHONY: test bench bench-all native graft clean
+.PHONY: test test-fast bench bench-all native graft clean

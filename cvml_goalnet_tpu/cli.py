@@ -46,6 +46,47 @@ def _artifact_paths(root: str, audio_included: bool) -> dict:
     }
 
 
+def _checkpoint_present(ckp_dir: str, tag: str, backend: str) -> bool:
+    if backend == "orbax":
+        base = os.path.join(ckp_dir, f"{tag}_orbax")
+        return os.path.isdir(base) or os.path.isdir(base + ".old")
+    return os.path.exists(os.path.join(ckp_dir, f"{tag}_state.npz"))
+
+
+def _load_tag(ckp_dir: str, state, tag: str, backend: str):
+    if backend == "orbax":
+        from cvml_goalnet_tpu.train.orbax_io import load_checkpoint_orbax
+
+        return load_checkpoint_orbax(ckp_dir, state, tag=tag)
+    from cvml_goalnet_tpu.train.checkpoint import load_checkpoint
+
+    return load_checkpoint(ckp_dir, state, tag=tag)
+
+
+def _load_trunk(paths: dict, state, args, tags=("opt", "ckp")):
+    """Load the trunk checkpoint, auto-detecting the npz/orbax backend.
+
+    ``--checkpoint-backend`` pins a backend; otherwise both layouts are
+    probed (npz first, then a ``<tag>_orbax`` dir) so a model trained with
+    ``train --checkpoint-backend orbax`` is found by infer/spot/spot-train
+    without extra flags (advisor finding, round 2).  Raises
+    ``FileNotFoundError`` when no checkpoint exists under any backend;
+    load errors for an EXISTING checkpoint propagate (callers must fail
+    hard rather than fall back to a random trunk).
+    """
+    requested = getattr(args, "checkpoint_backend", None)
+    backends = [requested] if requested else ["npz", "orbax"]
+    for tag in tags:
+        for backend in backends:
+            if _checkpoint_present(paths["ckp_dir"], tag, backend):
+                if tag != tags[0]:
+                    print(f"W: no {tags[0]} checkpoint found, falling back to rolling {tag}")
+                return _load_tag(paths["ckp_dir"], state, tag, backend)
+    raise FileNotFoundError(
+        f"no {'/'.join(tags)} checkpoint (npz or orbax) under {paths['ckp_dir']!r}"
+    )
+
+
 def _add_data_args(p: argparse.ArgumentParser):
     p.add_argument("--data-root", default="./ydata-tvsum50-v1_1")
     p.add_argument("--videos", nargs="*", default=None, help="explicit video paths")
@@ -155,7 +196,6 @@ def cmd_infer(args) -> int:
     from cvml_goalnet_tpu.data.dataset import build_video_item
     from cvml_goalnet_tpu.data.video import decode_all_frames, export_video
     from cvml_goalnet_tpu.pipeline import fuse, summarize
-    from cvml_goalnet_tpu.train.checkpoint import load_checkpoint
     from cvml_goalnet_tpu.train.state import create_train_state
 
     cfg = _load_cfg(args)
@@ -174,11 +214,7 @@ def cmd_infer(args) -> int:
 
     state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
     try:
-        try:
-            state = load_checkpoint(paths["ckp_dir"], state, tag="opt")
-        except FileNotFoundError:
-            print("W: no opt checkpoint found, falling back to rolling ckp")
-            state = load_checkpoint(paths["ckp_dir"], state, tag="ckp")
+        state = _load_trunk(paths, state, args)
     except CheckpointMismatchError as e:
         print(f"E: {e}\nE: re-train with the current flags or pass the matching "
               "--config/--no-audio/--commentary combination", file=sys.stderr)
@@ -227,7 +263,7 @@ def cmd_spot(args) -> int:
     from cvml_goalnet_tpu.data.dataset import build_video_item
     from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
     from cvml_goalnet_tpu.spotting import summarize_match
-    from cvml_goalnet_tpu.train.checkpoint import load_checkpoint
+    from cvml_goalnet_tpu.train.checkpoint import CheckpointMismatchError
     from cvml_goalnet_tpu.train.spotting import load_spotting_checkpoint
     from cvml_goalnet_tpu.train.state import create_train_state
 
@@ -243,11 +279,15 @@ def cmd_spot(args) -> int:
 
     state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
     try:
-        state = load_checkpoint(paths["ckp_dir"], state, tag="opt")
+        state = _load_trunk(paths, state, args, tags=("opt",))
     except FileNotFoundError:
         print("W: no trained importance checkpoint; using random-init trunk")
-    except Exception as e:  # CheckpointMismatchError: saved with other settings
-        print(f"W: checkpoint unusable ({e}); using random-init trunk")
+    except CheckpointMismatchError as e:
+        # a checkpoint EXISTS but doesn't fit the flags — scoring with a
+        # random trunk would be silently meaningless, so fail hard
+        print(f"E: {e}\nE: re-train with the current flags or pass the matching "
+              "--config/--no-audio/--commentary combination", file=sys.stderr)
+        return 2
 
     cfg = _apply_temporal_overrides(cfg, args)
     classes = args.classes.split(",") if getattr(args, "classes", None) else None
@@ -389,7 +429,7 @@ def cmd_spot_train(args) -> int:
     from cvml_goalnet_tpu.data.dataset import build_video_item
     from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
     from cvml_goalnet_tpu.spotting import encode_timeline, load_event_labels
-    from cvml_goalnet_tpu.train.checkpoint import load_checkpoint
+    from cvml_goalnet_tpu.train.checkpoint import CheckpointMismatchError
     from cvml_goalnet_tpu.train.spotting import (
         init_spotting_opt,
         make_spotting_train_step,
@@ -407,11 +447,13 @@ def cmd_spot_train(args) -> int:
     )
     state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
     try:
-        state = load_checkpoint(paths["ckp_dir"], state, tag="opt")
+        state = _load_trunk(paths, state, args, tags=("opt",))
     except FileNotFoundError:
         print("W: no trained importance checkpoint; encoding with a random-init trunk")
-    except Exception as e:  # CheckpointMismatchError: saved with other settings
-        print(f"W: checkpoint unusable ({e}); encoding with a random-init trunk")
+    except CheckpointMismatchError as e:
+        print(f"E: {e}\nE: re-train with the current flags or pass the matching "
+              "--config/--no-audio/--commentary combination", file=sys.stderr)
+        return 2
 
     classes = args.classes.split(",") if getattr(args, "classes", None) else None
 
@@ -533,6 +575,8 @@ def main(argv=None) -> int:
     p.add_argument("--no-audio", action="store_true")
     p.add_argument("--commentary", action="store_true",
                    help="enable the text branch (reads <video>.commentary.jsonl sidecars)")
+    p.add_argument("--checkpoint-backend", choices=["npz", "orbax"], default=None,
+                   help="pin the checkpoint layout (default: auto-detect)")
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("spot", help="temporal event spotting over one video")
@@ -554,6 +598,8 @@ def main(argv=None) -> int:
                    help="evaluate vs <video>.events.json (tolerance P/R + average-mAP)")
     p.add_argument("--eval-tolerance", type=int, default=5,
                    help="matching tolerance in condensed frames")
+    p.add_argument("--checkpoint-backend", choices=["npz", "orbax"], default=None,
+                   help="pin the trunk checkpoint layout (default: auto-detect)")
     p.set_defaults(fn=cmd_spot)
 
     p = sub.add_parser("spot-train", help="train the temporal spotting head on event labels")
@@ -573,6 +619,8 @@ def main(argv=None) -> int:
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--pos-weight", type=float, default=10.0)
     p.add_argument("--out", default=None, help="output npz for the temporal head")
+    p.add_argument("--checkpoint-backend", choices=["npz", "orbax"], default=None,
+                   help="pin the trunk checkpoint layout (default: auto-detect)")
     p.set_defaults(fn=cmd_spot_train)
 
     p = sub.add_parser("baseline", help="random-init chance baseline")

@@ -27,6 +27,26 @@ from cvml_goalnet_tpu.models.visual import visual_encoder_apply, visual_encoder_
 
 N_CLASSES = 5  # classifier-mode output arity (importance grades 1..5)
 
+_RESNET_QUANT_WARNED = False
+
+
+def _warn_resnet_quant_ignored():
+    """One-time warning: quantized_inference has no int8 path for resnet.
+
+    Without this a user benchmarking resnet with the int8 flag set would
+    silently get float numbers (advisor finding, round 2).
+    """
+    global _RESNET_QUANT_WARNED
+    if not _RESNET_QUANT_WARNED:
+        import warnings
+
+        warnings.warn(
+            "quantized_inference=True is ignored for vis_backbone='resnet' "
+            "(no int8 path); running the float resnet encoder",
+            stacklevel=3,
+        )
+        _RESNET_QUANT_WARNED = True
+
 
 def fusion_input_dim(cfg: ModelConfig) -> int:
     dim = cfg.vis_feature_dim
@@ -85,8 +105,11 @@ def avm_apply(
 
     _, vis_apply = _visual_init(cfg)
     vis_kw = {}
-    if not train and cfg.quantized_inference and cfg.vis_backbone != "resnet":
-        vis_kw["quant"] = True   # int8 MXU path for the dominant convs
+    if not train and cfg.quantized_inference:
+        if cfg.vis_backbone == "resnet":
+            _warn_resnet_quant_ignored()   # float path; no int8 for resnet
+        else:
+            vis_kw["quant"] = True   # int8 MXU path for the dominant convs
     feats, new_state = vis_apply(
         params["visual"], state["visual"], visual,
         train=train, rng=k_vis, dropout_rate=cfg.dropout_rate, **vis_kw,

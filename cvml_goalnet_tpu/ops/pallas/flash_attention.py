@@ -593,8 +593,15 @@ def _band_cover(window: int, block: int, q_offset: int):
     base_bwd = (-q_offset - window) // block
     hi_fwd = (block - 1 + q_offset + window) // block
     hi_bwd = (block - 1 + window - q_offset) // block
-    assert hi_fwd - base_fwd <= n_loc - 1, (window, block, q_offset)
-    assert hi_bwd - base_bwd <= n_loc - 1, (window, block, q_offset)
+    # Coverage invariants must survive `python -O` (a violation would
+    # silently truncate the band), so raise rather than assert.
+    if hi_fwd - base_fwd > n_loc - 1 or hi_bwd - base_bwd > n_loc - 1:
+        raise ValueError(
+            f"banded tile cover insufficient for window={window}, "
+            f"block={block}, q_offset={q_offset}: need "
+            f"{max(hi_fwd - base_fwd, hi_bwd - base_bwd) + 1} tiles per "
+            f"anchor but n_loc={n_loc}"
+        )
     return n_loc, base_fwd, base_bwd
 
 

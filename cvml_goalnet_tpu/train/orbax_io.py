@@ -29,30 +29,66 @@ from cvml_goalnet_tpu.train.state import TrainState
 
 
 def _payload(state: TrainState):
+    # epoch rides INSIDE the checkpointed pytree so the step counter can
+    # never pair with a different epoch's weights (the manifest's epoch is
+    # informational only — advisor finding, round 2)
     return {
         "params": state.params,
         "model_state": state.model_state,
         "opt_state": state.opt_state._asdict(),
+        "epoch": np.asarray(state.epoch, dtype=np.int64),
     }
+
+
+def _recover_interrupted_swap(path: str) -> None:
+    """If a crash landed between 'old renamed away' and 'new renamed in',
+    the previous finalized checkpoint survives at ``<path>.old`` — put it
+    back so there is never a window with no valid checkpoint."""
+    if not os.path.isdir(path) and os.path.isdir(path + ".old"):
+        os.rename(path + ".old", path)
 
 
 def save_checkpoint_orbax(
     directory: str, state: TrainState, cfg: PipelineConfig, tag: str = "ckp"
 ) -> str:
     """Write ``<directory>/<tag>_orbax/`` (+ manifest); sharded arrays are
-    written from their devices without a host gather."""
+    written from their devices without a host gather.
+
+    Atomicity (same contract as the npz backend's tmp+``os.replace``): the
+    new payload is finalized at a side path ``<tag>_orbax.new`` first, then
+    swapped in via two renames; the previous checkpoint stays valid (at its
+    own path or at ``.old``) throughout, and the loader recovers a
+    mid-swap ``.old`` automatically.
+    """
+    import shutil
+
     import orbax.checkpoint as ocp
 
     os.makedirs(directory, exist_ok=True)
     path = os.path.abspath(os.path.join(directory, f"{tag}_orbax"))
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, _payload(state), force=True)
+    _recover_interrupted_swap(path)
 
+    # manifest first: per-run constants (config) + informational epoch
     manifest = {"epoch": state.epoch, "config": json.loads(cfg.to_json())}
     mpath = os.path.join(directory, f"{tag}_orbax_manifest.json")
     with open(mpath + ".tmp", "w") as f:
         json.dump(manifest, f, indent=2)
     os.replace(mpath + ".tmp", mpath)
+
+    new = path + ".new"
+    if os.path.isdir(new):
+        shutil.rmtree(new)  # stale debris from an interrupted save
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(new, _payload(state))  # orbax finalizes via its own rename
+
+    old = path + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(new, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
     return path
 
 
@@ -69,6 +105,7 @@ def load_checkpoint_orbax(
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(directory, f"{tag}_orbax"))
+    _recover_interrupted_swap(path)
     if not os.path.isdir(path):
         raise FileNotFoundError(path)
     with open(os.path.join(directory, f"{tag}_orbax_manifest.json")) as f:
@@ -92,9 +129,12 @@ def load_checkpoint_orbax(
             f"({type(e).__name__}: {e}) — it was saved with different model "
             "settings (e.g. audio/text branches)"
         ) from e
+    # epoch comes from the payload (atomic with the weights); older
+    # checkpoints without the leaf fall back to the manifest
+    epoch = payload.get("epoch")
     return TrainState(
         params=payload["params"],
         model_state=payload["model_state"],
         opt_state=AdamState(**payload["opt_state"]),
-        epoch=int(manifest["epoch"]),
+        epoch=int(epoch) if epoch is not None else int(manifest["epoch"]),
     )
