@@ -1,0 +1,340 @@
+"""Run the LIVE reference implementation for A/B parity testing.
+
+Round-2 VERDICT item 1: every parity claim in this repo used to be checked
+against *transcriptions* of the reference algorithms; nobody had ever
+executed ``/root/reference/main.py`` next to the rebuild.  This module closes
+that gap: it materializes a synthetic corpus in the reference's exact on-disk
+layout (``ydata-tvsum50-v1_1/{data,ground_truth,video}`` — reference
+``main.py:39-43``), imports the reference modules unmodified (stubbing only
+the host-absent ``moviepy``/``librosa`` imports, which the no-audio path
+never calls — ``utils.py:7,9``), and drives the real
+``train_importance_model(audio_included=False)`` (``main.py:26-298``)
+in-process with three pieces of *instrumentation* (no reference code is
+edited):
+
+* the per-epoch metric lists are captured at the reference's own
+  ``generate_metric_plots`` call site (``main.py:286``) and training is
+  stopped after K epochs by raising from that hook (the reference hard-codes
+  ``num_epochs=150`` at ``main.py:49``);
+* the ``AVM`` constructor is wrapped to seed torch, materialize the lazy
+  layers (``utils.py:151-168``), optionally zero the dropout probabilities
+  (for a deterministic A/B — dropout placement at ``utils.py:170,245-254``),
+  and capture the initial ``state_dict`` so the rebuild can start from
+  byte-identical weights via ``compat.torch_import``;
+* the working directory is the corpus root, because the reference resolves
+  every path relative to CWD (``main.py:31-43``, ``utils.py:57``).
+
+Empirical finding recorded here (discovered by this harness, round 3): the
+reference's ``full_n_frames = count - 1`` (``utils.py:288``) equals the TRUE
+raw frame count — ``count`` includes the final *failed* ``read()`` iteration,
+so the ``-1`` exactly cancels it.  Rounds 1-2 read this as an off-by-one;
+``decode_condensed_frames(reference_off_by_one=False)`` (the default) is the
+parity-correct behavior.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import copy
+import os
+import sys
+import types
+
+import numpy as np
+
+REFERENCE_DIR = os.environ.get("GOALNET_REFERENCE_DIR", "/root/reference")
+
+#: the two video ids hard-coded by the reference trainer (``main.py:43``);
+#: the corpus must use them for ``train_importance_model`` to find its data.
+REFERENCE_VIDEO_IDS = ("37rzWOQsNIw", "RBCABdttQmI")
+
+
+def reference_available() -> bool:
+    return os.path.exists(os.path.join(REFERENCE_DIR, "main.py")) and os.path.exists(
+        os.path.join(REFERENCE_DIR, "utils.py")
+    )
+
+
+def build_reference_corpus(
+    root: str,
+    n_frames: tuple[int, ...] = (300, 600),
+    n_annotators: int = 20,
+    n_clips: tuple[int, ...] = (16, 24),
+    seed: int = 42,
+) -> dict:
+    """Materialize ``<root>/ydata-tvsum50-v1_1/`` in the reference layout.
+
+    Real mp4 videos (cv2 mp4v — both sides decode the SAME lossy file), anno
+    TSV (``utils.py:370-377`` row schema), MATLAB-v7.3-style ``.mat`` with
+    HDF5 object references (``utils.py:525-550``), eccv16-style ``.h5`` with
+    ``change_points`` honoring the ``nframes_mat == nframes_h5 + 1`` mapping
+    rule (``utils.py:615-622``), the info TSV for title lookup
+    (``utils.py:57``), and empty ``.wav`` sidecars so the unconditional
+    ``export_audio_from_video`` call (``utils.py:95-96``) — which needs the
+    absent moviepy — is skipped by its own existence check.
+
+    Annotations are a slow importance wave + per-annotator noise so labels
+    span 1..5 and the knapsack ground truths are non-degenerate; frame counts
+    are chosen so N condensed frames is a multiple of the reference's
+    ``subbatch_size=10`` (``main.py:50``) — otherwise its final short
+    sub-batch and our masked padded sub-batch would see different batchnorm
+    batch statistics.
+    """
+    import cv2
+    import h5py
+
+    from cvml_goalnet_tpu.data.synthetic import (
+        synthetic_change_points,
+        synthetic_video_frames,
+    )
+
+    video_ids = REFERENCE_VIDEO_IDS[: len(n_frames)]
+    vdir = os.path.join(root, "ydata-tvsum50-v1_1")
+    for d in ("data", "ground_truth", "video"):
+        os.makedirs(os.path.join(vdir, d), exist_ok=True)
+
+    decoded_counts = []
+    for vid, n in zip(video_ids, n_frames):
+        frames = synthetic_video_frames(n, seed=seed + hash(vid) % 997)
+        fp = os.path.join(vdir, "video", f"{vid}.mp4")
+        h, w = frames.shape[1:3]
+        out = cv2.VideoWriter(fp, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+        for f in frames:
+            out.write(np.ascontiguousarray(f))
+        out.release()
+        cap = cv2.VideoCapture(fp)
+        c = 0
+        while cap.read()[0]:
+            c += 1
+        cap.release()
+        decoded_counts.append(c)  # GT is generated from the DECODED count
+        open(os.path.join(vdir, "video", f"{vid}.wav"), "wb").close()
+
+    rng = np.random.default_rng(seed)
+    tsv_rows = []
+    mat_fp = os.path.join(vdir, "ground_truth", "ydata-tvsum50.mat")
+    h5_fp = os.path.join(vdir, "ground_truth", "eccv16_dataset_tvsum_google_pool5.h5")
+    with h5py.File(mat_fp, "w") as mat, h5py.File(h5_fp, "w") as h5:
+        grp = mat.create_group("tvsum50")
+        video_refs, nframe_refs, anno_refs = [], [], []
+        for vi, (vid, F, k) in enumerate(zip(video_ids, decoded_counts, n_clips)):
+            t = np.arange(F)
+            base = 3.0 + 1.8 * np.sin(2 * np.pi * t / 97.0)
+            anno = np.clip(
+                np.round(base[None, :] + rng.normal(0, 0.9, (n_annotators, F))), 1, 5
+            ).astype(np.float64)
+            for a in range(n_annotators):
+                tsv_rows.append([vid, "category", ",".join(str(int(x)) for x in anno[a])])
+            chars = np.array([[ord(c)] for c in vid], dtype=np.uint16)
+            dv = mat.create_dataset(f"#refs#/v{vi}", data=chars)
+            dn = mat.create_dataset(
+                f"#refs#/n{vi}", data=np.array([[F]], dtype=np.float64)
+            )
+            da = mat.create_dataset(f"#refs#/a{vi}", data=anno)
+            video_refs.append([dv.ref])
+            nframe_refs.append([dn.ref])
+            anno_refs.append([da.ref])
+            cps = synthetic_change_points(F - 1, k, seed=seed + vi)
+            h5.create_group(f"video_{vi}").create_dataset("change_points", data=cps)
+        rd = h5py.special_dtype(ref=h5py.Reference)
+        grp.create_dataset("video", data=np.array(video_refs, dtype=object), dtype=rd)
+        grp.create_dataset("nframes", data=np.array(nframe_refs, dtype=object), dtype=rd)
+        grp.create_dataset("user_anno", data=np.array(anno_refs, dtype=object), dtype=rd)
+
+    anno_fp = os.path.join(vdir, "data", "ydata-tvsum50-anno.tsv")
+    with open(anno_fp, "w") as f:
+        for row in tsv_rows:
+            f.write("\t".join(row) + "\n")
+    info_fp = os.path.join(vdir, "data", "ydata-tvsum50-info.tsv")
+    with open(info_fp, "w") as f:
+        f.write("video_id\ttitle\n")
+        for vid in video_ids:
+            f.write(f"{vid}\tTitle {vid}\n")
+
+    # the reference trainer writes checkpoints/plots to ./models and ./tmp
+    # relative to CWD (main.py:31-38,353-356)
+    os.makedirs(os.path.join(root, "models"), exist_ok=True)
+    os.makedirs(os.path.join(root, "tmp"), exist_ok=True)
+    return {
+        "root": root,
+        "video_ids": list(video_ids),
+        "video_fps": [
+            os.path.join(vdir, "video", f"{vid}.mp4") for vid in video_ids
+        ],
+        "annotation_fp": anno_fp,
+        "mat_file_path": mat_fp,
+        "h5_file_path": h5_fp,
+        "info_fp": info_fp,
+        "n_frames": decoded_counts,
+    }
+
+
+def _make_stubs() -> dict:
+    """Import-time stubs for moviepy/librosa (absent on this host; never
+    CALLED on the no-audio path — any call raises loudly)."""
+
+    def _unavail(*a, **k):
+        raise RuntimeError(
+            "stubbed dependency called — the A/B harness only supports the "
+            "reference's no-audio path on this host (no moviepy/librosa)"
+        )
+
+    moviepy = types.ModuleType("moviepy")
+    editor = types.ModuleType("moviepy.editor")
+
+    class VideoFileClip:  # looked up at utils.py:7
+        def __init__(self, *a, **k):
+            _unavail()
+
+    editor.VideoFileClip = VideoFileClip
+    moviepy.editor = editor
+    librosa = types.ModuleType("librosa")
+    librosa.load = _unavail
+    librosa.feature = types.SimpleNamespace(mfcc=_unavail)
+    return {"moviepy": moviepy, "moviepy.editor": editor, "librosa": librosa}
+
+
+@contextlib.contextmanager
+def reference_session(corpus_root: str):
+    """Import the reference modules fresh and run with CWD at the corpus.
+
+    Yields a namespace with ``utils`` and ``main``.  Restores CWD,
+    ``sys.path`` and the touched ``sys.modules`` entries on exit, so the
+    generic module names (``utils``, ``main``, ``visualization``) can't leak
+    into the rest of the process.
+    """
+    os.environ.setdefault("MPLBACKEND", "Agg")
+    touched = ["utils", "main", "visualization", "moviepy", "moviepy.editor", "librosa"]
+    saved = {name: sys.modules.get(name) for name in touched}
+    prev_cwd = os.getcwd()
+    sys_path_entry = REFERENCE_DIR
+    try:
+        for name in ("utils", "main", "visualization"):
+            sys.modules.pop(name, None)
+        sys.modules.update(_make_stubs())
+        sys.path.insert(0, sys_path_entry)
+        os.chdir(corpus_root)
+        import main as ref_main  # noqa: F401  (resolves inside REFERENCE_DIR)
+        import utils as ref_utils
+
+        yield types.SimpleNamespace(utils=ref_utils, main=ref_main)
+    finally:
+        os.chdir(prev_cwd)
+        with contextlib.suppress(ValueError):
+            sys.path.remove(sys_path_entry)
+        for name in touched:
+            if saved[name] is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = saved[name]
+
+
+class _StopTraining(Exception):
+    pass
+
+
+def run_reference_training(
+    corpus_root: str,
+    epochs: int,
+    torch_seed: int = 20260817,
+    zero_dropout: bool = True,
+) -> dict:
+    """Drive the LIVE ``train_importance_model(audio_included=False)`` for
+    ``epochs`` epochs and return everything the A/B comparison needs.
+
+    Returns dict with:
+
+    * ``metrics`` — the reference's own per-epoch lists (index 0 = the
+      initial pre-training evaluation, ``main.py:82-146``): ``train_loss``,
+      ``train_f_avg``, ``train_f_max``, ``val_loss``, ``val_f_avg``,
+      ``val_f_max``;
+    * ``init_state_dict`` — the torch ``state_dict`` at initialization
+      (numpy arrays), for ``compat.torch_import``;
+    * ``ckp_state_dict`` — the rolling checkpoint the reference itself wrote
+      at the end of the last completed epoch (``main.py:282``), loaded back
+      from its ``.pt`` file (numpy arrays).
+    """
+    import torch
+    import torch.nn as nn
+
+    captured: dict = {}
+    init_sd: dict = {}
+
+    with reference_session(corpus_root) as ref:
+        real_avm = ref.utils.AVM
+
+        def capture(opt_val_loss, tr_l, tr_fa, tr_fm, v_l, v_fa, v_fm, exported_image_fp=None):
+            captured.update(
+                train_loss=list(tr_l), train_f_avg=list(tr_fa), train_f_max=list(tr_fm),
+                val_loss=list(v_l), val_f_avg=list(v_fa), val_f_max=list(v_fm),
+            )
+            if len(tr_l) >= epochs + 1:  # initial eval + `epochs` epochs
+                raise _StopTraining
+
+        def avm_factory(audio_included):
+            torch.manual_seed(torch_seed)
+            m = real_avm(audio_included=audio_included)
+            m.eval()  # materialize lazy layers WITHOUT touching BN stats
+            with torch.no_grad():
+                m(None, torch.zeros(2, 3, 40, 40))
+            if zero_dropout:
+                for mod in m.modules():
+                    if isinstance(mod, nn.Dropout):
+                        mod.p = 0.0
+            m.train()
+            init_sd.update(copy.deepcopy(m.state_dict()))
+            return m
+
+        ref.main.generate_metric_plots = capture
+        ref.main.AVM = avm_factory
+        try:
+            ref.main.train_importance_model(audio_included=False, load_ckp=False)
+        except _StopTraining:
+            pass
+
+        ckp_fp = os.path.join(corpus_root, "models", "ckp_frame_importance_model_no_audio.pt")
+        ckp_sd = torch.load(ckp_fp, map_location="cpu")
+
+    to_np = lambda sd: {k: np.asarray(v.detach().cpu()) for k, v in sd.items()}
+    return {
+        "metrics": captured,
+        "init_state_dict": to_np(init_sd),
+        "ckp_state_dict": to_np(ckp_sd),
+        "ckp_path": ckp_fp,
+    }
+
+
+def reference_eval_and_postprocess(corpus_root: str, state_dict, video_index: int = 0):
+    """Deterministic reference inference: load ``state_dict`` into a fresh
+    AVM, run ``model.eval()`` over one video's condensed frames, and
+    postprocess to the summary mask (``utils.py:606-643``).
+
+    This is the reference side of the checkpoint end-to-end lock (VERDICT r2
+    item 7): its outputs are compared against the rebuild's ``fuse`` +
+    ``summarize`` on the same imported weights.
+    Returns (scores (N,), summary_mask (full_n,), full_n_frames).
+    """
+    import torch
+
+    with reference_session(corpus_root) as ref:
+        vid = REFERENCE_VIDEO_IDS[video_index]
+        video_fp = os.path.join("ydata-tvsum50-v1_1", "video", f"{vid}.mp4")
+        frames, full_n = ref.utils.extract_condensed_frame_tensor(video_fp, skip_frames=30)
+        model = ref.utils.AVM(audio_included=False)
+        model.eval()
+        with torch.no_grad():
+            model(None, torch.zeros(2, 3, 40, 40))  # materialize lazy layers
+            model.load_state_dict(
+                {k: torch.as_tensor(v) for k, v in state_dict.items()}
+            )
+            preds = model(None, torch.tensor(frames, dtype=torch.float32))
+        _, mask = ref.utils.postprocess(
+            video_id=vid,
+            h5_file_path="ydata-tvsum50-v1_1/ground_truth/eccv16_dataset_tvsum_google_pool5.h5",
+            mat_file_path="ydata-tvsum50-v1_1/ground_truth/ydata-tvsum50.mat",
+            batch_importances=preds,
+            skip_frames=30,
+            full_n_frames=full_n,
+            full_frames=None,
+        )
+    return np.asarray(preds)[:, 0], np.asarray(mask), full_n

@@ -166,6 +166,13 @@ class TrainConfig:
     # False (default) = intended semantics: elementwise MSE on aligned shapes.
     # True  = bug-compatible broadcast loss, kept only for A/B comparison.
     broadcast_loss_compat: bool = False
+    # The reference never calls model.eval(): its "evaluation" forwards run
+    # in TRAIN mode (batchnorm batch stats, dropout active — main.py:93-118
+    # has no .eval()).  False (default) = intended semantics (running-stat
+    # BN, no dropout).  True = evaluation forwards use train-mode batchnorm
+    # (the updated state is discarded), for live A/B against the reference;
+    # pair with dropout_rate=0 for determinism.
+    eval_train_mode_compat: bool = False
     checkpoint_every: int = 1      # epochs between rolling checkpoints
 
 

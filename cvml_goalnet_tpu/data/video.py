@@ -9,10 +9,12 @@ Differences by design:
 * Decode produces RAW uint8 frames; the per-frame min-max normalize + resize
   happens ON DEVICE in batched XLA/Pallas (``ops/preprocess.py``), not per
   frame on the host inside the decode loop.
-* ``full_n_frames`` is the true raw frame count.  The reference reported
-  ``count - 1`` because its read loop counted the final failed read
-  (``utils.py:288``) — documented divergence (SURVEY.md §7.1); pass
-  ``reference_off_by_one=True`` for bug-compatible accounting.
+* ``full_n_frames`` is the true raw frame count — which the live A/B harness
+  (round 3, ``compat/reference_runner.py``) showed the reference ALSO
+  reports: its ``count - 1`` (``utils.py:288``) exactly cancels the final
+  failed-read iteration its loop counts.  ``reference_off_by_one=True``
+  (true count − 1) predates that finding and matches nothing; kept only for
+  backward compatibility.
 * Decoders are pluggable (cv2 or imageio, whichever the host has) and frames
   can be streamed in chunks for double-buffered pipelines.
 

@@ -119,9 +119,11 @@ def _make_eval_fn(cfg: PipelineConfig, classifier: bool = False):
     tc, mc = cfg.train, cfg.model
 
     def fn(params, model_state, visual, audio, labels, valid, text=None):
+        # eval_train_mode_compat: the reference evaluates without .eval()
+        # (train-mode BN — main.py:93-118); new batchnorm state is discarded
         preds, _ = avm_apply(
             params, model_state, visual, audio, text,
-            cfg=mc, train=False, classifier=classifier,
+            cfg=mc, train=tc.eval_train_mode_compat, classifier=classifier,
         )
         loss = _loss_fn(
             preds, labels, valid,

@@ -1,0 +1,225 @@
+"""LIVE A/B against the actual reference implementation (VERDICT r2 item 1).
+
+These tests execute ``/root/reference/main.py``'s real code paths — not
+transcriptions — on a synthetic corpus written in the reference's on-disk
+layout, next to the rebuild in bug-compat mode
+(``broadcast_loss_compat=True`` + ``eval_train_mode_compat=True`` +
+``dropout_rate=0``), starting from byte-identical initial weights
+(``compat.torch_import``).  Compared per epoch: losses, F-scores, and (item
+7) the end-to-end summary mask from the reference's own rolling checkpoint.
+
+Divergence budget: both stacks run f32 on CPU (torch vs XLA); single-forward
+quantities agree to ~1e-6 and the gap compounds through Adam steps — the
+per-epoch loss tolerance grows with epoch index.  F-scores and knapsack masks
+are integer-valued downstream of a round() and must match EXACTLY.
+"""
+
+import dataclasses as dc
+import os
+
+import numpy as np
+import pytest
+
+from cvml_goalnet_tpu.compat.reference_runner import (
+    REFERENCE_VIDEO_IDS,
+    build_reference_corpus,
+    reference_available,
+    reference_eval_and_postprocess,
+    reference_session,
+    run_reference_training,
+)
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not reference_available(), reason="reference repo not present"),
+]
+
+EPOCHS = 4
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ref_ab")
+    return build_reference_corpus(str(root))
+
+
+@pytest.fixture(scope="module")
+def ab_cfg():
+    from cvml_goalnet_tpu.config import PipelineConfig
+
+    base = PipelineConfig()
+    return dc.replace(
+        base,
+        model=dc.replace(base.model, audio_included=False, dropout_rate=0.0),
+        train=dc.replace(
+            base.train,
+            broadcast_loss_compat=True,
+            eval_train_mode_compat=True,
+            num_epochs=EPOCHS,
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def our_datasets(corpus, ab_cfg):
+    from cvml_goalnet_tpu.data.dataset import build_datasets
+
+    return build_datasets(
+        corpus["video_fps"], ab_cfg,
+        annotation_fp=corpus["annotation_fp"],
+        mat_file_path=corpus["mat_file_path"],
+        h5_file_path=corpus["h5_file_path"],
+        info_fp=corpus["info_fp"],
+        audio_included=False,
+    )
+
+
+@pytest.fixture(scope="module")
+def reference_run(corpus):
+    return run_reference_training(corpus["root"], epochs=EPOCHS)
+
+
+class TestDatasetParityLive:
+    """Our ``build_datasets`` vs the LIVE ``get_dataloaders`` on the same
+    mp4 corpus (ingest + annotations + per-annotator knapsack GT chain)."""
+
+    @pytest.fixture(scope="class")
+    def ref_datasets(self, corpus):
+        with reference_session(corpus["root"]) as ref:
+            train_ds, val_ds = ref.utils.get_dataloaders(
+                video_fps=[
+                    f"./ydata-tvsum50-v1_1/video/{v}.mp4" for v in corpus["video_ids"]
+                ],
+                skip_frames=30, train_ratio=0.8,
+                annotation_fp="ydata-tvsum50-v1_1/data/ydata-tvsum50-anno.tsv",
+                mat_file_path="ydata-tvsum50-v1_1/ground_truth/ydata-tvsum50.mat",
+                h5_file_path="ydata-tvsum50-v1_1/ground_truth/eccv16_dataset_tvsum_google_pool5.h5",
+                audio_included=False,
+            )
+            out = []
+            for ds in (train_ds, val_ds):
+                for i in range(len(ds)):
+                    vid, frames, _, labels, gd = ds[i]
+                    out.append({
+                        "video_id": vid,
+                        "frames": np.asarray(frames),          # (N, 3, 40, 40)
+                        "labels": np.asarray(labels),
+                        "gd": np.asarray(gd),                   # (20, full_n)
+                        "full_n": int(ds.full_n_frames_),
+                    })
+        return out
+
+    def test_split_sizes(self, ref_datasets, our_datasets):
+        train, val = our_datasets
+        assert len(train) + len(val) == len(ref_datasets) == 2
+        assert len(train) == 1 and len(val) == 1
+
+    def test_per_video_tensors(self, ref_datasets, our_datasets):
+        train, val = our_datasets
+        ours = list(train) + list(val)
+        for ref, item in zip(ref_datasets, ours):
+            assert item.video_id == ref["video_id"]
+            assert item.full_n_frames == ref["full_n"]
+            # preprocessed frames: NHWC (ours) vs NCHW (ref); both decode the
+            # same lossy mp4 with cv2 then min-max-normalize + resize to 40×40
+            ours_nchw = np.transpose(item.visual, (0, 3, 1, 2))
+            np.testing.assert_allclose(ours_nchw, ref["frames"], atol=1e-5)
+            # trimmed mean-annotator labels: exact (round of identical means)
+            np.testing.assert_array_equal(item.labels, ref["labels"])
+            # per-annotator knapsack ground-truth masks: exact
+            np.testing.assert_array_equal(item.gd_summary_masks, ref["gd"])
+            assert ref["gd"].sum() > 0, "degenerate corpus: empty GT summaries"
+
+
+class TestTrainingTrajectoryLive:
+    """Same init, no dropout → per-epoch losses within fp-drift tolerance,
+    F-scores exact, vs the LIVE reference training loop."""
+
+    @pytest.fixture(scope="class")
+    def our_history(self, corpus, ab_cfg, our_datasets, reference_run):
+        from cvml_goalnet_tpu.compat.torch_import import import_reference_state_dict
+        from cvml_goalnet_tpu.train.loop import train_importance_model
+        from cvml_goalnet_tpu.train.optim import adam_init
+        from cvml_goalnet_tpu.train.state import TrainState
+
+        params, model_state = import_reference_state_dict(
+            reference_run["init_state_dict"], ab_cfg.model, ab_cfg.preprocess,
+            ab_cfg.audio,
+        )
+        state = TrainState(
+            params=params, model_state=model_state,
+            opt_state=adam_init(params), epoch=0,
+        )
+        train_ds, val_ds = our_datasets
+        _, hist = train_importance_model(
+            ab_cfg, train_ds, val_ds, state, num_epochs=EPOCHS, verbose=False
+        )
+        return hist
+
+    def test_loss_trajectories_match(self, reference_run, our_history):
+        ref = reference_run["metrics"]
+        assert len(our_history["train_loss"]) == len(ref["train_loss"]) == EPOCHS + 1
+        for e in range(EPOCHS + 1):
+            # fp drift compounds with optimizer steps, and the broadcast
+            # loss's (n,n) objective makes the trajectory chaotic: epochs 0-2
+            # prove NUMERICAL parity (tight abs tol), later epochs prove
+            # trajectory TRACKING (relative tol — torch's own thread-level
+            # reduction nondeterminism lands in the same band)
+            a, b = our_history["train_loss"][e], ref["train_loss"][e]
+            av, bv = our_history["val_loss"][e], ref["val_loss"][e]
+            if e <= 2:
+                tol = 1e-5 * (10 ** e)
+                assert abs(a - b) < tol, (e, our_history["train_loss"], ref["train_loss"])
+                assert abs(av - bv) < tol * 5, (e, our_history["val_loss"], ref["val_loss"])
+            else:
+                assert abs(a - b) / max(abs(b), 1e-6) < 0.15, (
+                    e, our_history["train_loss"], ref["train_loss"])
+                assert abs(av - bv) / max(abs(bv), 1e-6) < 0.15, (
+                    e, our_history["val_loss"], ref["val_loss"])
+
+    def test_fscores_match_exactly(self, reference_run, our_history):
+        ref = reference_run["metrics"]
+        for key in ("train_f_avg", "train_f_max", "val_f_avg", "val_f_max"):
+            np.testing.assert_allclose(
+                our_history[key], ref[key], atol=1e-12, err_msg=key)
+
+    def test_fscores_nondegenerate(self, reference_run):
+        # the comparison only proves something if the knapsack actually
+        # selects clips on both sides, for BOTH videos
+        assert max(reference_run["metrics"]["val_f_avg"]) > 0
+        assert max(reference_run["metrics"]["train_f_avg"]) > 0
+
+
+class TestCheckpointEndToEndLock:
+    """VERDICT r2 item 7: the reference's own trained ``.pt`` imported via
+    ``compat.torch_import`` must reproduce the reference's inference-time
+    scores and knapsack summary mask end to end."""
+
+    def test_imported_checkpoint_matches_reference_postprocess(
+        self, corpus, ab_cfg, our_datasets, reference_run
+    ):
+        from cvml_goalnet_tpu.compat.torch_import import import_reference_state_dict
+        from cvml_goalnet_tpu.pipeline import fuse, summarize
+
+        sd = reference_run["ckp_state_dict"]
+        ref_scores, ref_mask, full_n = reference_eval_and_postprocess(
+            corpus["root"], sd, video_index=0
+        )
+
+        params, model_state = import_reference_state_dict(
+            sd, ab_cfg.model, ab_cfg.preprocess, ab_cfg.audio
+        )
+        item = our_datasets[0][0]
+        assert item.video_id == REFERENCE_VIDEO_IDS[0]
+        scores = np.asarray(fuse(
+            params, model_state,
+            {"visual": item.visual, "audio": None, "text": None}, ab_cfg,
+        ))
+        np.testing.assert_allclose(scores, ref_scores, atol=1e-4)
+        res = summarize(
+            scores, item.clip_intervals, ab_cfg.preprocess.skip_frames,
+            item.full_n_frames, ab_cfg.knapsack,
+        )
+        assert item.full_n_frames == full_n
+        np.testing.assert_array_equal(res.frame_mask, ref_mask)
+        assert ref_mask.sum() > 0, "degenerate lock: empty reference summary"
