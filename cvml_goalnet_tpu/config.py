@@ -82,6 +82,12 @@ class AudioConfig:
     top_db: float = 80.0
     bin_length: int = 30           # B: time columns per video frame after interpolation
     log_mel: bool = False          # config-2 variant: stop at log-mel, skip DCT
+    # Centered-STFT edge padding.  librosa < 0.10 defaulted to "reflect";
+    # librosa ≥ 0.10 defaults to "constant" (zeros).  The reference stack is
+    # Python 3.10 + PyTorch 2.1.0 (late 2023, report §4.3) → librosa ≥ 0.10,
+    # so "constant" is the era-correct default (round-2 VERDICT item 2).
+    # Slots shorter than n_fft//2 always use constant padding (both eras).
+    stft_pad_mode: str = "constant"
 
 
 @dataclass(frozen=True)

@@ -6,10 +6,12 @@ Capability parity with reference ``extract_audio_features``
 * waveform split into ``n_frames`` per-video-frame slots (``utils.py:322-330``,
   rounding semantics preserved exactly);
 * per slot, MFCC with ``n_mfcc=30`` at librosa defaults — n_fft=2048,
-  hop=512, periodic Hann, centered reflect-padded STFT, power spectrum,
-  128-band Slaney mel filterbank, power→dB with per-call ``top_db=80`` clamp,
-  orthonormal DCT-II — all re-derived here from the published algorithm
-  (librosa is not vendored or imported);
+  hop=512, periodic Hann, centered STFT (edge padding per
+  ``AudioConfig.stft_pad_mode``: "constant" by default, the librosa ≥ 0.10
+  convention of the reference's late-2023 stack; "reflect" for the pre-0.10
+  era), power spectrum, 128-band Slaney mel filterbank, power→dB with
+  per-call ``top_db=80`` clamp, orthonormal DCT-II — all re-derived here
+  from the published algorithm (librosa is not vendored or imported);
 * cubic time-axis interpolation of each slot to ``B = bin_length`` columns
   (``utils.py:335-343``).
 
@@ -133,16 +135,18 @@ def stft_frame_count(n_samples: int, n_fft: int, hop: int) -> int:
     return 1 + (n_samples + 2 * (n_fft // 2) - n_fft) // hop
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def stft_power(y: jax.Array, n_fft: int, hop: int) -> jax.Array:
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def stft_power(y: jax.Array, n_fft: int, hop: int, pad_mode: str = "constant") -> jax.Array:
     """Centered power spectrogram → (T, 1 + n_fft//2).
 
-    Reflect padding needs ``len(y) > n_fft//2``; shorter signals (full-rate
-    slots: e.g. 735 samples/frame at 25 fps) fall back to zero padding — the
-    same degradation librosa applies to too-short inputs.
+    ``pad_mode`` follows ``AudioConfig.stft_pad_mode`` ("constant" =
+    librosa ≥ 0.10 default; "reflect" = the pre-0.10 convention).  Reflect
+    padding needs ``len(y) > n_fft//2``; shorter signals (full-rate slots:
+    e.g. 735 samples/frame at 25 fps) always use zero padding — the same
+    degradation librosa applies to too-short inputs.
     """
     pad = n_fft // 2
-    mode = "reflect" if y.shape[0] > pad else "constant"
+    mode = pad_mode if y.shape[0] > pad else "constant"
     y = jnp.pad(y.astype(jnp.float32), (pad, pad), mode=mode)
     t = (y.shape[0] - n_fft) // hop + 1
     idx = jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None, :]
@@ -162,7 +166,7 @@ def power_to_db(S: jax.Array, top_db: float = 80.0, amin: float = 1e-10) -> jax.
 @partial(jax.jit, static_argnums=(1,))
 def mfcc_slot(y: jax.Array, cfg: AudioConfig) -> jax.Array:
     """MFCCs for one audio slot → (T, n_mfcc).  jit-cached per slot length."""
-    power = stft_power(y, cfg.n_fft, cfg.hop_length)                 # (T, F)
+    power = stft_power(y, cfg.n_fft, cfg.hop_length, cfg.stft_pad_mode)  # (T, F)
     fb = jnp.asarray(mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax))
     mel = power @ fb.T                                               # (T, n_mels)
     mel_db = power_to_db(mel, cfg.top_db)
@@ -225,9 +229,9 @@ def extract_audio_features(y: np.ndarray, n_frames: int, cfg: AudioConfig) -> np
 # --------------------------------------------------------------- host mirror
 
 
-def stft_power_host(y: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
+def stft_power_host(y: np.ndarray, n_fft: int, hop: int, pad_mode: str = "constant") -> np.ndarray:
     pad = n_fft // 2
-    mode = "reflect" if len(y) > pad else "constant"
+    mode = pad_mode if len(y) > pad else "constant"
     y = np.pad(np.asarray(y, np.float32), (pad, pad), mode=mode)
     t = (len(y) - n_fft) // hop + 1
     idx = np.arange(t)[:, None] * hop + np.arange(n_fft)[None, :]
@@ -236,7 +240,7 @@ def stft_power_host(y: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
 
 
 def mfcc_slot_host(y: np.ndarray, cfg: AudioConfig) -> np.ndarray:
-    power = stft_power_host(y, cfg.n_fft, cfg.hop_length)
+    power = stft_power_host(y, cfg.n_fft, cfg.hop_length, cfg.stft_pad_mode)
     fb = mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
     mel = power @ fb.T
     log_spec = 10.0 * np.log10(np.maximum(mel, 1e-10))

@@ -17,9 +17,13 @@ librosa.feature.mfcc(y, sr=22050, n_mfcc=30) at the reference's settings
 Waveforms are generated deterministically here AND in the consuming test
 (tests/test_audio.py) so only the oracle outputs need committing.
 
-librosa pad-mode note: librosa < 0.10 used reflect STFT padding (frozen
-here, matching ``ops/audio.py``); librosa ≥ 0.10 switched its default to
-constant.  Slots shorter than n_fft//2 use constant padding in both.
+librosa pad-mode note (round-2 VERDICT item 2): librosa < 0.10 used reflect
+STFT padding; librosa ≥ 0.10 switched its default to constant.  Goldens are
+frozen for BOTH conventions (``mfcc_<name>_reflect`` / ``mfcc_<name>_constant``)
+and ``AudioConfig.stft_pad_mode`` selects the convention at runtime, with
+"constant" the default — the reference's stack (Python 3.10 + PyTorch 2.1.0,
+late 2023, report §4.3) postdates librosa 0.10.  Slots shorter than
+n_fft//2 use constant padding in both eras.
 """
 
 from __future__ import annotations
@@ -52,16 +56,16 @@ def golden_waveforms() -> dict[str, np.ndarray]:
     }
 
 
-def oracle_mfcc(y: np.ndarray) -> np.ndarray:
-    """→ (n_mfcc, T) float64, librosa-equivalent."""
+def oracle_mfcc(y: np.ndarray, pad_mode: str) -> np.ndarray:
+    """→ (n_mfcc, T) float64, librosa-equivalent at the given era's padding."""
     fb = au.mel_filter_bank(
         1 + N_FFT // 2, N_MELS, 0.0, SR / 2, SR, norm="slaney", mel_scale="slaney"
     ).T.astype(np.float64)                                   # (M, F)
     win = au.window_function(N_FFT, "hann", periodic=True)
-    pad_mode = "reflect" if len(y) > N_FFT // 2 else "constant"
+    mode = pad_mode if len(y) > N_FFT // 2 else "constant"
     S = au.spectrogram(
         y.astype(np.float64), win, frame_length=N_FFT, hop_length=HOP,
-        power=2.0, center=True, pad_mode=pad_mode, dtype=np.float64,
+        power=2.0, center=True, pad_mode=mode, dtype=np.float64,
     )                                                        # (F, T)
     db = au.power_to_db(fb @ S, reference=1.0, min_value=1e-10, db_range=80.0)
     return dct(db, axis=0, type=2, norm="ortho")[:N_MFCC]
@@ -70,7 +74,8 @@ def oracle_mfcc(y: np.ndarray) -> np.ndarray:
 def main() -> None:
     out = {}
     for name, y in golden_waveforms().items():
-        out[f"mfcc_{name}"] = oracle_mfcc(y)
+        for pad_mode in ("reflect", "constant"):
+            out[f"mfcc_{name}_{pad_mode}"] = oracle_mfcc(y, pad_mode)
     out["mel_filterbank"] = au.mel_filter_bank(
         1 + N_FFT // 2, N_MELS, 0.0, SR / 2, SR, norm="slaney", mel_scale="slaney"
     ).T  # (n_mels, 1 + n_fft//2), librosa layout

@@ -159,26 +159,34 @@ class TestLibrosaGoldenParity:
 
         return golden_waveforms()
 
+    @pytest.mark.parametrize("pad_mode", ["reflect", "constant"])
     @pytest.mark.parametrize("name", ["two_tone", "chirp", "click", "short_slot"])
-    def test_host_mfcc_matches_librosa(self, goldens, name):
-        cfg = AudioConfig()  # reference settings: sr 22050, n_mfcc 30
+    def test_host_mfcc_matches_librosa(self, goldens, name, pad_mode):
+        # both librosa eras (VERDICT r2 item 2): <0.10 reflect, ≥0.10 constant
+        cfg = AudioConfig(stft_pad_mode=pad_mode)  # reference settings otherwise
         y = self._waveforms()[name]
         got = mfcc_slot_host(y, cfg).T              # (n_mfcc, T)
-        want = goldens[f"mfcc_{name}"]
+        want = goldens[f"mfcc_{name}_{pad_mode}"]
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=2e-4)
 
+    @pytest.mark.parametrize("pad_mode", ["reflect", "constant"])
     @pytest.mark.parametrize("name", ["two_tone", "short_slot"])
-    def test_device_mfcc_matches_librosa(self, goldens, name):
+    def test_device_mfcc_matches_librosa(self, goldens, name, pad_mode):
         import jax.numpy as jnp
 
         from cvml_goalnet_tpu.ops.audio import mfcc_slot
 
-        cfg = AudioConfig()
+        cfg = AudioConfig(stft_pad_mode=pad_mode)
         y = self._waveforms()[name]
         got = np.asarray(mfcc_slot(jnp.asarray(y), cfg)).T
-        want = goldens[f"mfcc_{name}"]
+        want = goldens[f"mfcc_{name}_{pad_mode}"]
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-3)
+
+    def test_default_pad_mode_is_constant(self):
+        """The era-correct default: the reference stack (late 2023) is
+        librosa ≥ 0.10, whose stft default is constant padding."""
+        assert AudioConfig().stft_pad_mode == "constant"
 
     def test_mel_filterbank_matches_librosa(self, goldens):
         cfg = AudioConfig()
