@@ -92,7 +92,14 @@ def main() -> None:
         chunk_size=256, host_preprocess=host_pre, transfer_dtype=tdtype,
     )
 
-    decode_workers = int(os.environ.get("GOALNET_DECODE_WORKERS", 1))
+    # Default "auto": probe decode throughput per candidate worker count and
+    # pick the empirical argmax (round-3, VERDICT r2 item 4 — the 50× margin
+    # must not depend on the operator hand-picking 4).
+    from cvml_goalnet_tpu.data.video import resolve_decode_workers
+
+    decode_workers = resolve_decode_workers(
+        os.environ.get("GOALNET_DECODE_WORKERS", "auto"), clip_fp, 1
+    )
     # Modes (GOALNET_BENCH_MODE):
     #   stream (default) — real decode in the producer thread: the honest
     #       decode+device+knapsack number;
@@ -129,6 +136,7 @@ def main() -> None:
                 else "frames/s (H2D+device+knapsack, RAM-resident)",
         "realtime_multiple": round(e2e_fps / FPS, 1),
         "decode_only_fps": round(decode_fps, 1),
+        "decode_workers": decode_workers,
         "frames": n_frames,
         "summary_frames": int(res.frame_mask.sum()),
         "stage_seconds": {k: round(v["total_s"], 3) for k, v in stats.stage_seconds.items()},

@@ -44,6 +44,7 @@ from cvml_goalnet_tpu.models import layers as L
 from cvml_goalnet_tpu.train.state import create_train_state
 
 BF16_PEAK_TFLOPS = 197.0  # v5e per chip
+INT8_PEAK_TOPS = 394.0    # v5e int8 MXU peak (2× bf16)
 
 
 def emit(**kw):
@@ -186,6 +187,85 @@ def main() -> None:
         emit(metric="pure_gemm_ceiling", for_stage=name, mkn=(m, k, n),
              ms=round(dt * 1e3, 3), tflops=round(fl / dt / 1e12, 1),
              pct_bf16_peak=round(100 * fl / dt / 1e12 / BF16_PEAK_TFLOPS, 1))
+
+    # ---- int8 rows (round-3, VERDICT r2 item 3) ------------------------
+    # (a) pure int8 GEMM ceilings of the same im2col shapes — the int8
+    #     shape-aware ceiling the quantized production path is judged against
+    for name, (m, k, n) in gemm_shapes.items():
+        aq = jnp.asarray(rng.integers(-127, 128, (m, k), dtype=np.int8))
+        bq = jnp.asarray(rng.integers(-127, 128, (k, n), dtype=np.int8))
+
+        @jax.jit
+        def run_q(aq):
+            def body(c, _):
+                out = jax.lax.dot(aq, bq + c, preferred_element_type=jnp.int32)
+                return (jnp.max(out) % 3).astype(jnp.int8), None
+
+            c, _ = jax.lax.scan(body, jnp.int8(0), None, length=20)
+            return c
+
+        run_q(aq).block_until_ready()
+        t0 = time.perf_counter()
+        run_q(aq).block_until_ready()
+        dt = (time.perf_counter() - t0) / 20
+        fl = 2 * m * k * n
+        emit(metric="pure_gemm_ceiling_int8", for_stage=name, mkn=(m, k, n),
+             ms=round(dt * 1e3, 3), tops=round(fl / dt / 1e12, 1),
+             pct_int8_peak=round(100 * fl / dt / 1e12 / INT8_PEAK_TOPS, 1))
+
+    # (b) the PRODUCTION int8 path (folded BN + int8 conv1/conv2 — what the
+    #     headline bench runs) vs the bf16 folded stack measured above
+    def folded_q(x):
+        out, _ = visual_encoder_apply(
+            p, s, x, train=False, rng=jax.random.PRNGKey(0), dropout_rate=0.0,
+            quant=True,
+        )
+        return out
+
+    t_fq = timed_chained(folded_q, x0)
+    emit(metric="visual_stack_folded_int8", batch=batch, ms=round(t_fq * 1e3, 3),
+         speedup_vs_bf16=round(t_folded / t_fq, 2))
+
+    # (c) flatten→linear head variants: the stage is HBM-bound (37.7% of
+    #     bf16 peak, ~212 MB traffic at B=2048) so int8 WEIGHTS (85→21 MB)
+    #     and int8 weights+activations are candidate wins
+    from cvml_goalnet_tpu.ops.quant import (
+        quantize_act_per_tensor,
+        quantize_weights_per_channel,
+    )
+
+    hw_head = p["head"]["w"]                       # (41472, 512) bf16
+    hb = p["head"]["b"]
+    wq_head, sw_head = quantize_weights_per_channel(
+        hw_head.astype(jnp.float32), axis=1)
+    wq_head = jax.device_put(wq_head)
+    sw_row = jax.device_put(sw_head.reshape(1, -1))
+    xh = jnp.asarray(
+        rng.random((batch, 41472)).astype(np.float32)).astype(jnp.bfloat16)
+
+    def head_bf16(x):
+        return jax.nn.relu(jnp.dot(x, hw_head) + hb)
+
+    def head_w8(x):
+        # weight-only int8: convert(int8→bf16) fuses into the GEMM operand
+        # load when XLA cooperates; measures whether weight traffic shrinks
+        y = jnp.dot(x, wq_head.astype(jnp.bfloat16)) * sw_row.astype(jnp.bfloat16)
+        return jax.nn.relu(y + hb)
+
+    def head_w8a8(x):
+        xq, sx = quantize_act_per_tensor(x)
+        y = jax.lax.dot(xq, wq_head, preferred_element_type=jnp.int32)
+        return jax.nn.relu(
+            y.astype(jnp.float32) * (sx * sw_row) + hb.astype(jnp.float32)
+        ).astype(x.dtype)
+
+    fl_head = 2 * batch * 41472 * 512
+    for name, fn in (("bf16", head_bf16), ("int8_weights", head_w8),
+                     ("int8_w_and_act", head_w8a8)):
+        t = timed_chained(fn, xh)
+        emit(metric="head_variant", variant=name, ms=round(t * 1e3, 3),
+             tflops=round(fl_head / t / 1e12, 1),
+             pct_bf16_peak=round(100 * fl_head / t / 1e12 / BF16_PEAK_TFLOPS, 1))
 
 
 if __name__ == "__main__":

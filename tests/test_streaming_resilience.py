@@ -183,6 +183,44 @@ class TestParallelDecodeStream:
             np.testing.assert_array_equal(a, b)
 
 
+class TestAutoDecodeWorkers:
+    def test_probe_picks_valid_count(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        from cvml_goalnet_tpu.data.synthetic import synthetic_video_frames
+        from cvml_goalnet_tpu.data.video import (
+            pick_decode_workers,
+            resolve_decode_workers,
+        )
+
+        fp = str(tmp_path / "clip.mp4")
+        frames = synthetic_video_frames(120, 48, 64)
+        out = cv2.VideoWriter(fp, cv2.VideoWriter_fourcc(*"mp4v"), 25, (64, 48))
+        for f in frames:
+            out.write(f[..., ::-1].copy())
+        out.release()
+
+        w = pick_decode_workers(fp, 1, candidates=(1, 2), probe_seconds=0.1)
+        assert w in (1, 2)
+        assert resolve_decode_workers("auto", fp, 1) >= 1
+        assert resolve_decode_workers(4, fp, 1) == 4
+        assert resolve_decode_workers("2", fp, 1) == 2
+
+    def test_candidates_capped_by_cpu_count(self, tmp_path, monkeypatch):
+        cv2 = pytest.importorskip("cv2")
+        from cvml_goalnet_tpu.data.synthetic import synthetic_video_frames
+        from cvml_goalnet_tpu.data import video as V
+
+        fp = str(tmp_path / "clip.mp4")
+        frames = synthetic_video_frames(60, 48, 64)
+        out = cv2.VideoWriter(fp, cv2.VideoWriter_fourcc(*"mp4v"), 25, (64, 48))
+        for f in frames:
+            out.write(f[..., ::-1].copy())
+        out.release()
+
+        monkeypatch.setattr(V.os, "cpu_count", lambda: 1)
+        assert V.pick_decode_workers(fp, 1, probe_seconds=0.05) == 1
+
+
 class TestDecodeMetadataMismatch:
     """Round-2 hardening: metadata frame count ≠ decodable count must not
     silently change frames or `full_n_frames` (VERDICT weak #2)."""
