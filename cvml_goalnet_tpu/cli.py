@@ -300,6 +300,7 @@ def cmd_spot(args) -> int:
             jax.random.PRNGKey(1), d,
             num_heads=cfg.model.temporal_num_heads, max_len=cfg.model.temporal_max_len,
             n_classes=n_classes,
+            pos_encoding=cfg.model.temporal_pos_encoding,
         )
     else:
         tparams = temporal_scorer_init(
@@ -488,6 +489,7 @@ def cmd_spot_train(args) -> int:
             jax.random.PRNGKey(1), d,
             num_heads=cfg.model.temporal_num_heads, max_len=cfg.model.temporal_max_len,
             n_classes=len(classes) if classes else 1,
+            pos_encoding=cfg.model.temporal_pos_encoding,
         )
         if getattr(args, "cp", False):
             # context parallel: each timeline shards over ALL devices; the

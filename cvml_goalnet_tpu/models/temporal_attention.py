@@ -36,16 +36,28 @@ def temporal_transformer_init(
     num_heads: int = 1,
     max_len: int = 8192,
     n_classes: int = 1,
+    pos_encoding: str = "learned",
 ):
-    """``n_classes > 1`` → multi-class spotting head ((T, C) outputs)."""
+    """``n_classes > 1`` → multi-class spotting head ((T, C) outputs).
+
+    ``pos_encoding``: "learned" (absolute table of ``max_len`` positions,
+    tiled mod ``max_len`` beyond it) or "rotary" (RoPE on q/k — relative,
+    alias-free at ANY timeline length; the right choice for FULL attention
+    at match scale T≈135k ≫ max_len, round-2 VERDICT weak #6).  The mode is
+    carried by the params structure (a "pos" table exists only for
+    "learned"), so checkpoints restore into the right behavior.
+    """
     assert model_dim % num_heads == 0
+    if pos_encoding not in ("learned", "rotary"):
+        raise ValueError(f"pos_encoding must be 'learned' or 'rotary', got {pos_encoding!r}")
     keys = jax.random.split(key, 3 + num_layers)
     params = {
         "proj_in": L.linear_init(keys[0], in_dim, model_dim),
-        "pos": jax.random.normal(keys[1], (max_len, model_dim)) * 0.02,
         "head": L.linear_init(keys[2], model_dim, n_classes),
         "layers": [],
     }
+    if pos_encoding == "learned":
+        params["pos"] = jax.random.normal(keys[1], (max_len, model_dim)) * 0.02
     for lk in keys[3:]:
         k1, k2, k3, k4, k5, k6 = jax.random.split(lk, 6)
         params["layers"].append({
@@ -61,8 +73,28 @@ def temporal_transformer_init(
     return params
 
 
+def rope_rotate(x: jax.Array, positions: jax.Array, base: float = 10000.0) -> jax.Array:
+    """Rotary position embedding on (H, T, hd) q/k tensors.
+
+    Relative by construction — attention logits depend on (i − j) only — so
+    there is no ``max_len`` to alias against at match scale.  Pure
+    elementwise sin/cos that XLA fuses into the projection epilogue; the
+    flash kernels see ordinary (rotated) q/k and need no change.
+    """
+    hd = x.shape[-1]
+    half = hd // 2
+    freqs = base ** (-jnp.arange(half, dtype=jnp.float32) / half)
+    ang = positions.astype(jnp.float32)[:, None] * freqs[None, :]     # (T, half)
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    x1, x2 = x[..., :half], x[..., half : 2 * half]
+    rot = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    if hd % 2:  # odd head dim: last lane passes through
+        rot = jnp.concatenate([rot, x[..., 2 * half :]], axis=-1)
+    return rot.astype(x.dtype)
+
+
 def _attend(layer, x, num_heads: int, use_flash: bool, flash_interpret: bool,
-            window: int = 0):
+            window: int = 0, rope_pos=None):
     t, d = x.shape
     hd = d // num_heads
 
@@ -72,6 +104,9 @@ def _attend(layer, x, num_heads: int, use_flash: bool, flash_interpret: bool,
     q = split(L.linear_apply(layer["wq"], x))
     k = split(L.linear_apply(layer["wk"], x))
     v = split(L.linear_apply(layer["wv"], x))
+    if rope_pos is not None:
+        q = rope_rotate(q, rope_pos)
+        k = rope_rotate(k, rope_pos)
     # trainable variants: tiled Pallas forward AND backward, O(T·d) memory;
     # window > 0 restricts to the |i−j| ≤ window band (O(T·W·d) compute)
     if window > 0:
@@ -100,14 +135,20 @@ def temporal_transformer_apply(
     """(T, D) → (T,) temporal event scores."""
     t = features.shape[0]
     x = L.linear_apply(params["proj_in"], features)
-    max_len = params["pos"].shape[0]
-    # learned positions, tiled for timelines beyond max_len (local continuity
-    # matters more than absolute phase at match scale)
-    idx = jnp.arange(t) % max_len
-    x = x + params["pos"][idx]
+    rope_pos = None
+    if "pos" in params:
+        max_len = params["pos"].shape[0]
+        # learned positions, tiled for timelines beyond max_len: the FULL
+        # scorer then cannot distinguish period-max_len aliases — use
+        # pos_encoding="rotary" for full attention at match scale
+        idx = jnp.arange(t) % max_len
+        x = x + params["pos"][idx]
+    else:  # rotary: relative q/k rotation per layer, alias-free at any T
+        rope_pos = jnp.arange(t)
     for layer in params["layers"]:
         h = L.layernorm_apply(layer["ln1"], x)
-        x = x + _attend(layer, h, num_heads, use_flash, flash_interpret, window)
+        x = x + _attend(layer, h, num_heads, use_flash, flash_interpret, window,
+                        rope_pos)
         h = L.layernorm_apply(layer["ln2"], x)
         x = x + L.linear_apply(layer["mlp_out"], jax.nn.gelu(L.linear_apply(layer["mlp_in"], h)))
     out = L.linear_apply(params["head"], x)
@@ -129,10 +170,14 @@ def _sharded_transformer_fn(mesh, num_heads: int, axis: str, t: int,
     def body(params, feats_l):
         me = jax.lax.axis_index(axis)
         tl = feats_l.shape[0]
-        max_len = params["pos"].shape[0]
         x = L.linear_apply(params["proj_in"], feats_l)
-        gidx = (me * tl + jnp.arange(tl)) % max_len
-        x = x + params["pos"][gidx]
+        rope_pos = None
+        if "pos" in params:
+            max_len = params["pos"].shape[0]
+            gidx = (me * tl + jnp.arange(tl)) % max_len
+            x = x + params["pos"][gidx]
+        else:  # rotary: rotate q/k by GLOBAL positions so every shard agrees
+            rope_pos = me * tl + jnp.arange(tl)
         d = x.shape[-1]
         hd = d // num_heads
 
@@ -144,6 +189,9 @@ def _sharded_transformer_fn(mesh, num_heads: int, axis: str, t: int,
             q = split(L.linear_apply(layer["wq"], h))
             k = split(L.linear_apply(layer["wk"], h))
             v = split(L.linear_apply(layer["wv"], h))
+            if rope_pos is not None:
+                q = rope_rotate(q, rope_pos)
+                k = rope_rotate(k, rope_pos)
             if window > 0:
                 # banded CP: one halo hop to each neighbor, no ring
                 attn = halo_attention_local(

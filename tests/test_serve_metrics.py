@@ -290,3 +290,48 @@ class TestHTTPWithBatcher:
         assert all(r is not None and r["mask_frames"] > 0 for r in results)
         assert batcher.stats["requests"] == 3
         assert batcher.stats["batches"] < 3  # concurrent riders shared dispatches
+
+    def test_batched_http_carries_audio(self, small_cfg, tmp_path):
+        """Round-2 VERDICT weak #4: do_POST with a batcher used to submit
+        waveform=None, so audio-included configs got silent-audio features
+        exactly when batching was on.  Batched and unbatched responses must
+        agree for the same video + .wav sidecar."""
+        from cvml_goalnet_tpu.data.audio_io import write_wav
+        from cvml_goalnet_tpu.data.synthetic import synthetic_waveform
+        from cvml_goalnet_tpu.serve import DynamicBatcher
+
+        cfg = small_cfg  # audio_included=True by default
+        rng = np.random.default_rng(9)
+        n_frames = 90
+        fp = str(tmp_path / "withaudio.npz")
+        np.savez_compressed(
+            fp, frames=rng.integers(0, 255, (n_frames, 32, 32, 3), dtype=np.uint8))
+        sr = cfg.audio.sample_rate
+        wav = synthetic_waveform(int(n_frames / 30 * sr), sr, seed=4)
+        write_wav(str(tmp_path / "withaudio.wav"), wav, sr)
+
+        s = Summarizer(cfg)
+        unbatched = s.summarize_path(fp)
+        assert np.abs(unbatched.scores).sum() > 0
+
+        batcher = DynamicBatcher(s, max_wait_ms=10.0, buckets=(64,))
+        server = start_http_background(s, port=0, batcher=batcher)
+        port = server.server_address[1]
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/summarize",
+                data=json.dumps({"video": fp}).encode(), method="POST")
+            with urllib.request.urlopen(req) as r:
+                payload = json.load(r)
+        finally:
+            server.shutdown()
+        # batched path loads the same sidecar → same scores (not silent-audio)
+        np.testing.assert_allclose(
+            payload["scores"], np.round(unbatched.scores, 4), atol=2e-3)
+        assert payload["mask_frames"] == int(unbatched.frame_mask.sum())
+
+        # and a control: scoring WITHOUT the sidecar must differ, proving the
+        # waveform actually flows through the batched path
+        condensed = np.load(fp)["frames"][:: cfg.preprocess.skip_frames]
+        silent = s.summarize_frames("ctrl", condensed, None, n_frames, None)
+        assert not np.allclose(silent.scores, unbatched.scores, atol=1e-5)
