@@ -1,0 +1,116 @@
+"""LIVE wall-clock A/B: the actual reference implementation vs this stack.
+
+`table2_bench.py` compares against the reference's PUBLISHED numbers
+(949.3 s on an RTX 4060M, report Table 2).  This benchmark removes the
+hardware caveat: it executes the reference's real
+``train_importance_model(audio_included=False)`` (``main.py:26-298``) on a
+synthetic reference-layout corpus via ``compat/reference_runner.py``, times
+K epochs, then trains OUR loop for the same K epochs on the SAME corpus on
+the same host — one JSON line per side plus a speedup row.
+
+Both sides pay their own data build (the reference rebuilds knapsack ground
+truths through its Python DP per annotator; ours caches and batches).  The
+training comparison is epoch wall-clock with identical epoch semantics
+(per-video scan of 10-frame sub-batch steps).
+
+Run: ``GOALNET_PLATFORM=cpu python benchmarks/reference_ab_bench.py``
+(CPU-for-both is the honest same-host comparison; on the TPU the device
+side drops to ~ms and the tunnel dominates).  ``GOALNET_AB_EPOCHS``
+overrides K (default 5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from cvml_goalnet_tpu.utils import apply_platform_override
+
+apply_platform_override()
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main() -> None:
+    import dataclasses as dc
+    import tempfile
+
+    from cvml_goalnet_tpu.compat.reference_runner import (
+        build_reference_corpus,
+        reference_available,
+        run_reference_training,
+    )
+    from cvml_goalnet_tpu.config import PipelineConfig
+
+    if not reference_available():
+        emit(metric="reference_ab", error="reference repo not present")
+        return
+
+    epochs = int(os.environ.get("GOALNET_AB_EPOCHS", 5))
+    root = tempfile.mkdtemp(prefix="goalnet_ab_")
+    t0 = time.perf_counter()
+    corpus = build_reference_corpus(root)
+    t_corpus = time.perf_counter() - t0
+
+    # ---- reference side: LIVE code, data build + K epochs ----------------
+    t0 = time.perf_counter()
+    ref = run_reference_training(corpus["root"], epochs=epochs)
+    t_ref_total = time.perf_counter() - t0
+    emit(metric="reference_live_train", epochs=epochs,
+         seconds=round(t_ref_total, 2),
+         final_train_loss=round(ref["metrics"]["train_loss"][-1], 4),
+         note="in-process /root/reference main.py train_importance_model "
+              "(no-audio), incl. its own get_dataloaders build")
+
+    # ---- our side: same corpus, same epoch semantics ---------------------
+    import jax
+
+    from cvml_goalnet_tpu.data.dataset import build_datasets
+    from cvml_goalnet_tpu.train.loop import train_importance_model
+    from cvml_goalnet_tpu.train.state import create_train_state
+
+    base = PipelineConfig()
+    cfg = dc.replace(
+        base,
+        model=dc.replace(base.model, audio_included=False),
+        train=dc.replace(base.train, num_epochs=epochs),
+    )
+    t0 = time.perf_counter()
+    train_ds, val_ds = build_datasets(
+        corpus["video_fps"], cfg,
+        annotation_fp=corpus["annotation_fp"],
+        mat_file_path=corpus["mat_file_path"],
+        h5_file_path=corpus["h5_file_path"],
+        info_fp=corpus["info_fp"],
+        audio_included=False,
+    )
+    t_build = time.perf_counter() - t0
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    t0 = time.perf_counter()
+    _, hist = train_importance_model(
+        cfg, train_ds, val_ds, state, num_epochs=epochs, verbose=False)
+    t_ours_train = time.perf_counter() - t0
+    t_ours_total = t_build + t_ours_train
+    emit(metric="ours_train", epochs=epochs,
+         backend=jax.default_backend(),
+         seconds=round(t_ours_total, 2),
+         build_seconds=round(t_build, 2),
+         train_seconds=round(t_ours_train, 2),
+         final_train_loss=round(hist["train_loss"][-1], 4))
+
+    emit(metric="reference_ab_speedup", epochs=epochs,
+         value=round(t_ref_total / max(t_ours_total, 1e-9), 2),
+         unit="x (live reference wall / ours wall, same host, same corpus)",
+         corpus_build_seconds=round(t_corpus, 2))
+
+
+if __name__ == "__main__":
+    main()
