@@ -81,7 +81,8 @@ def main() -> None:
     intervals = synthetic_change_points(n_frames, max(4, n_frames // 500), seed=1)
 
     host_pre = os.environ.get("GOALNET_HOST_PREPROCESS") == "1"
-    tdtype = np.float16 if os.environ.get("GOALNET_TRANSFER_DTYPE") == "float16" else None
+    tdtype = {"float16": np.float16, "uint8": np.uint8}.get(
+        os.environ.get("GOALNET_TRANSFER_DTYPE", ""))
 
     # warmup compile on one chunk shape
     warm = np.zeros((256, *HW, 3), np.uint8)
@@ -130,7 +131,7 @@ def main() -> None:
         "metric": "match_stream_end_to_end",
         "mode": mode,
         "host_preprocess": host_pre,
-        "transfer_dtype": "float16" if tdtype else "float32",
+        "transfer_dtype": np.dtype(tdtype).name if tdtype else "float32",
         "value": round(e2e_fps, 1),
         "unit": "frames/s (decode+device+knapsack)" if mode != "ram"
                 else "frames/s (H2D+device+knapsack, RAM-resident)",

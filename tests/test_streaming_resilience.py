@@ -159,6 +159,28 @@ class TestHostPreprocessStream:
         )
         np.testing.assert_allclose(f16, f32, atol=1e-3)
 
+    def test_uint8_transfer_dtype_drift_bounded(self, small_cfg):
+        # round-3: uint8 quantized transfer (4× less H2D than f32) — the
+        # per-pixel error is ≤ 1/510, so scores stay within 2e-2 on [1, 5]
+        import dataclasses
+
+        import jax as _jax
+
+        rng = np.random.default_rng(6)
+        frames = rng.integers(0, 255, (64, 48, 64, 3)).astype(np.uint8)
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False)
+        )
+        params, state = avm_init(_jax.random.PRNGKey(0), cfg.model, cfg.preprocess, cfg.audio)
+        f32, _ = score_video_stream(
+            params, state, _chunks(frames, 32), cfg, chunk_size=32, host_preprocess=True
+        )
+        q8, _ = score_video_stream(
+            params, state, _chunks(frames, 32), cfg, chunk_size=32,
+            host_preprocess=True, transfer_dtype=np.uint8,
+        )
+        np.testing.assert_allclose(q8, f32, atol=2e-2)
+
 
 class TestParallelDecodeStream:
     def test_ordered_chunks_match_sequential(self, tmp_path):
