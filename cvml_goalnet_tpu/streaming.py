@@ -79,6 +79,7 @@ def score_video_stream(
     prefetch_depth: int = 2,
     host_preprocess: bool = False,
     transfer_dtype=None,
+    max_inflight: int = 8,
 ) -> tuple[np.ndarray, StreamStats]:
     """Score a stream of raw frame chunks → (N,) importance scores.
 
@@ -162,6 +163,12 @@ def score_video_stream(
         pending.append((out, k))
         n_total += k
         n_chunks += 1
+        if len(pending) > max_inflight:
+            # bound the async queue: when the producer outruns the device
+            # (RAM-resident inputs), an unbounded dispatch backlog degrades
+            # pathologically through remote-device tunnels (measured:
+            # 59 queued executions + async fetches → ~23 s/chunk drain)
+            pending[len(pending) - max_inflight - 1][0].block_until_ready()
 
     with timer.stage("stage_drain"):
         # start ALL device→host copies before consuming any: sequential
