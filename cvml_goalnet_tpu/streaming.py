@@ -124,7 +124,7 @@ def score_video_stream(
                 chunk = preprocess_frames_host(
                     chunk, cfg.preprocess.frame_size, cfg.preprocess.eps
                 )
-                if transfer_dtype is np.uint8 or transfer_dtype == np.uint8:
+                if transfer_dtype is not None and np.dtype(transfer_dtype) == np.uint8:
                     # quantize the normalized [0, 1] frames to 8 bits: 4×
                     # less H2D than f32 (2× vs f16) on tunnel-constrained
                     # links; the device program rescales by 1/255 (drift
