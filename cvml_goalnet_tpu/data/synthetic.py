@@ -54,6 +54,8 @@ def synthetic_dataset_dir(
     fps_raw: int = 30,
     sr: int = 22050,
     seed: int = 7,
+    length_step: int = 30,
+    write_audio: bool = True,
 ) -> dict:
     """Materialize a mini TVSum-shaped dataset on disk.
 
@@ -77,13 +79,17 @@ def synthetic_dataset_dir(
         grp = mat.create_group("tvsum50")
         video_refs, nframe_refs, anno_refs = [], [], []
         for vi, vid in enumerate(video_ids):
-            n = full_n_frames + vi * 30  # distinct lengths → unique id mapping
+            # distinct raw lengths → unique mat↔h5 id mapping; length_step=1
+            # keeps the CONDENSED length nearly constant for wide corpora
+            # (fewer jit shapes when 50 videos train in one suite run)
+            n = full_n_frames + vi * length_step
             frames = synthetic_video_frames(n, seed=seed + vi)
-            wav = synthetic_waveform(int(n / fps_raw * sr), sr, seed=seed + vi)
             np.savez_compressed(os.path.join(root, f"{vid}.npz"), frames=frames)
-            from cvml_goalnet_tpu.data.audio_io import write_wav
+            if write_audio:
+                from cvml_goalnet_tpu.data.audio_io import write_wav
 
-            write_wav(os.path.join(root, f"{vid}.wav"), wav, sr)
+                wav = synthetic_waveform(int(n / fps_raw * sr), sr, seed=seed + vi)
+                write_wav(os.path.join(root, f"{vid}.wav"), wav, sr)
             meta["video_fps"].append(os.path.join(root, f"{vid}.npz"))
 
             # Annotations: 1..5 grades, (n_annotators, n).

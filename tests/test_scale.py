@@ -48,6 +48,43 @@ class TestDatasetScale:
         assert np.isfinite(hist["train_loss"][-1])
         assert np.isfinite(hist["val_loss"][-1])
 
+    def test_tvsum50_width_build_and_epoch(self, tmp_path_factory, small_cfg):
+        """TVSum50-width: 50 videos through build (incl. 20×50 knapsack
+        ground truths and the mat↔h5 nframes mapping at full width) + one
+        no-audio training epoch over the 40-video train split (round 3)."""
+        import dataclasses as dc
+
+        from cvml_goalnet_tpu.data.dataset import build_datasets
+        from cvml_goalnet_tpu.data.synthetic import synthetic_dataset_dir
+        from cvml_goalnet_tpu.train.loop import train_importance_model
+        from cvml_goalnet_tpu.train.state import create_train_state
+
+        root = tmp_path_factory.mktemp("scale50")
+        ids = tuple(f"v{i:02d}" for i in range(50))
+        meta = synthetic_dataset_dir(
+            str(root), video_ids=ids, full_n_frames=150, n_clips=5,
+            length_step=1, write_audio=False,
+        )
+        cfg = dc.replace(
+            small_cfg, model=dc.replace(small_cfg.model, audio_included=False))
+        train_ds, val_ds = build_datasets(
+            meta["video_fps"], cfg, meta["annotation_fp"],
+            meta["mat_file_path"], meta["h5_file_path"], meta["info_fp"],
+            audio_included=False,
+        )
+        assert len(train_ds) == 40 and len(val_ds) == 10
+        # distinct raw lengths resolved through the mat↔h5 mapping at width
+        assert len({item.full_n_frames for item in train_ds}) == 40
+        for item in list(train_ds) + list(val_ds):
+            assert item.gd_summary_masks.shape == (20, item.full_n_frames)
+            assert item.gd_summary_masks.sum() > 0
+
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        best, hist = train_importance_model(
+            cfg, train_ds, val_ds, state, num_epochs=1, verbose=False)
+        assert np.isfinite(hist["train_loss"][-1])
+        assert np.isfinite(hist["val_loss"][-1])
+
     def test_prefetcher_at_width(self, corpus, small_cfg):
         from cvml_goalnet_tpu.data.dataset import Prefetcher, build_datasets
 
