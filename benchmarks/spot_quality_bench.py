@@ -55,7 +55,7 @@ EPOCHS = int(os.environ.get("GOALNET_SPOTQ_EPOCHS", 250))
 CUE_DIST_LO, CUE_DIST_HI = 24, 96   # precursor lead time (frames)
 RADIUS = 3                           # evidence bump radius
 JITTER = 2                           # label offset vs evidence center
-WINDOWS = (8, 32, 64, 128, 256)     # sweep; 0 = full attention
+WINDOWS = (8, 32, 64, 128, 256, 512)  # sweep; 0 = full attention
 
 
 def make_data(seed: int):
@@ -99,7 +99,7 @@ def make_data(seed: int):
 
 
 TRAIN_SEEDS = (0, 1, 2, 3)
-EVAL_SEEDS = (10, 11, 12)   # HELD OUT: train==eval would let learned
+EVAL_SEEDS = (10, 11, 12, 13, 14)   # HELD OUT: train==eval would let learned
                             # positions memorize event locations (the round-2
                             # benchmark's failure mode — everything aced it)
 

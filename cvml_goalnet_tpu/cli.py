@@ -74,6 +74,8 @@ def _load_trunk(paths: dict, state, args, tags=("opt", "ckp")):
     load errors for an EXISTING checkpoint propagate (callers must fail
     hard rather than fall back to a random trunk).
     """
+    from cvml_goalnet_tpu.train.checkpoint import CheckpointMismatchError
+
     requested = getattr(args, "checkpoint_backend", None)
     backends = [requested] if requested else ["npz", "orbax"]
     for tag in tags:
@@ -81,7 +83,16 @@ def _load_trunk(paths: dict, state, args, tags=("opt", "ckp")):
             if _checkpoint_present(paths["ckp_dir"], tag, backend):
                 if tag != tags[0]:
                     print(f"W: no {tags[0]} checkpoint found, falling back to rolling {tag}")
-                return _load_tag(paths["ckp_dir"], state, tag, backend)
+                try:
+                    return _load_tag(paths["ckp_dir"], state, tag, backend)
+                except FileNotFoundError as e:
+                    # the checkpoint EXISTS but a piece is missing (e.g. the
+                    # orbax manifest was deleted): this must fail hard, not
+                    # read as "no checkpoint" → random-trunk fallback
+                    raise CheckpointMismatchError(
+                        f"{backend} checkpoint '{tag}' under "
+                        f"{paths['ckp_dir']!r} is incomplete ({e})"
+                    ) from e
     raise FileNotFoundError(
         f"no {'/'.join(tags)} checkpoint (npz or orbax) under {paths['ckp_dir']!r}"
     )

@@ -94,8 +94,10 @@ def build_reference_corpus(
         os.makedirs(os.path.join(vdir, d), exist_ok=True)
 
     decoded_counts = []
-    for vid, n in zip(video_ids, n_frames):
-        frames = synthetic_video_frames(n, seed=seed + hash(vid) % 997)
+    for vi, (vid, n) in enumerate(zip(video_ids, n_frames)):
+        # per-video offset must be deterministic across processes (str hash
+        # is salted by PYTHONHASHSEED — code-review finding, round 3)
+        frames = synthetic_video_frames(n, seed=seed + 131 * vi)
         fp = os.path.join(vdir, "video", f"{vid}.mp4")
         h, w = frames.shape[1:3]
         out = cv2.VideoWriter(fp, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))

