@@ -154,6 +154,14 @@ class ModelConfig:
     temporal_chunk: int = 4096
     temporal_halo: int = 256
 
+    # Mixture-of-experts fusion: when > 0 the first fusion hidden layer
+    # (reference utils.py:242-258's 640→512 linear) becomes a top-k gated
+    # mixture of that many linear experts (models/moe.py); experts shard
+    # over the mesh "model" axis for expert parallelism (parallel/ep.py).
+    # 0 = dense (reference-parity default).
+    fusion_moe_experts: int = 0
+    fusion_moe_top_k: int = 2
+
     dtype: str = "float32"         # activations dtype ("bfloat16" on TPU hot path)
     param_dtype: str = "float32"
     # Eval-only: route the MXU-bound visual convs (conv1/conv2, 88% of model

@@ -80,6 +80,13 @@ def avm_init(key, cfg: ModelConfig, pre: PreprocessConfig, aud: AudioConfig, cla
     params["fusion"] = [
         L.linear_init(fk, din, dout) for fk, din, dout in zip(fkeys, dims[:-1], dims[1:])
     ]
+    if cfg.fusion_moe_experts > 0:
+        # MoE variant: the first hidden fusion layer becomes a top-k gated
+        # mixture of linear experts (models/moe.py; EP sharding in
+        # parallel/ep.py).  Dense (experts=0) stays the reference-parity path.
+        from cvml_goalnet_tpu.models.moe import moe_init
+
+        params["fusion"][0] = moe_init(fkeys[0], dims[0], dims[1], cfg.fusion_moe_experts)
     return params, state
 
 
@@ -124,7 +131,12 @@ def avm_apply(
 
     n_hidden = len(cfg.fusion_hidden)
     for i, lp in enumerate(params["fusion"]):
-        x = L.linear_apply(lp, x)
+        if i == 0 and cfg.fusion_moe_experts > 0:
+            from cvml_goalnet_tpu.models.moe import moe_apply
+
+            x = moe_apply(lp, x, cfg.fusion_moe_top_k)
+        else:
+            x = L.linear_apply(lp, x)
         if i < n_hidden:
             x = jax.nn.relu(x)
             x = L.dropout(x, cfg.dropout_rate, train, k_drop[i])

@@ -24,6 +24,11 @@ from cvml_goalnet_tpu.parallel.collectives import (
     reduce_scatter,
 )
 from cvml_goalnet_tpu.parallel.dp import make_dp_train_step
+from cvml_goalnet_tpu.parallel.ep import moe_apply_expert_parallel
+from cvml_goalnet_tpu.parallel.pp import (
+    make_pp_spotting_train_step,
+    pipeline_transformer_apply,
+)
 
 __all__ = [
     "build_mesh",
@@ -39,4 +44,7 @@ __all__ = [
     "psum",
     "reduce_scatter",
     "make_dp_train_step",
+    "moe_apply_expert_parallel",
+    "make_pp_spotting_train_step",
+    "pipeline_transformer_apply",
 ]
