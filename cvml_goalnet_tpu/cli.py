@@ -34,6 +34,12 @@ def _load_cfg(args) -> PipelineConfig:
         # three-modality fusion: per-frame commentary from a
         # `<video>.commentary.jsonl` sidecar (BASELINE.json config 4)
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, text_included=True))
+    if getattr(args, "moe_experts", None):
+        # MoE fusion head (models/moe.py): top-k gated mixture of linear
+        # experts on the first fusion hidden layer; experts shard over the
+        # mesh "model" axis for expert parallelism (parallel/ep.py)
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, fusion_moe_experts=args.moe_experts))
     return cfg
 
 
@@ -580,6 +586,9 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--dp", action="store_true", help="mesh data-parallel training")
     p.add_argument("--global-batch", type=int, default=None)
+    p.add_argument("--moe-experts", type=int, default=None,
+                   help="swap the first fusion hidden layer for a top-k "
+                        "gated mixture of this many experts (models/moe.py)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("infer", help="summarize one video")

@@ -119,6 +119,22 @@ class TestCLI:
         assert "Traceback" not in r.stderr
 
 
+class TestCLIMoE:
+    def test_train_with_moe_fusion(self, cli_env):
+        """--moe-experts swaps the first fusion layer for the gated mixture
+        (models/moe.py); training must run and checkpoint end-to-end."""
+        root = cli_env["root"]
+        r = _run(["train", *_data_args(cli_env), "--workdir", os.path.join(root, "moe"),
+                  "--epochs", "1", "--no-audio", "--moe-experts", "4"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "Operation completed" in r.stdout
+        import numpy as np
+
+        ck = np.load(os.path.join(root, "moe", "models", "importance_no_audio",
+                                  "ckp_state.npz"))
+        assert any("gate" in k for k in ck.files), ck.files[:10]
+
+
 class TestCLICommentary:
     """Round-2 (VERDICT item 5): three-modality CLI runs end-to-end."""
 

@@ -142,6 +142,18 @@ class TestMoeFusionAVM:
             losses.append(float(loss))
         assert losses[-1] < losses[0], losses[::5]
 
+    def test_cli_flag_overrides_config(self, small_cfg, tmp_path):
+        import types
+
+        from cvml_goalnet_tpu.cli import _load_cfg
+
+        fp = str(tmp_path / "cfg.json")
+        small_cfg.save(fp)
+        args = types.SimpleNamespace(config=fp, moe_experts=8)
+        assert _load_cfg(args).model.fusion_moe_experts == 8
+        args = types.SimpleNamespace(config=fp, moe_experts=None)
+        assert _load_cfg(args).model.fusion_moe_experts == 0
+
     def test_config_roundtrip(self, small_cfg):
         import cvml_goalnet_tpu.config as C
 
