@@ -155,61 +155,81 @@ def temporal_transformer_apply(
     return out[:, 0] if out.shape[-1] == 1 else out
 
 
+def _cp_local_body(params, feats_l, *, axis: str, num_heads: int, t: int,
+                   use_flash: bool, flash_interpret: bool, window: int,
+                   n_out: int):
+    """One device's slice of the context-parallel transformer.
+
+    Runs INSIDE a ``shard_map`` over mesh axis ``axis``: ``feats_l`` is the
+    (T/n, D) local shard of the timeline; pointwise ops stay local, attention
+    crosses shards via the ``ppermute`` ring (full) or neighbor halo (banded).
+    All collectives act only over ``axis``, so the body also composes under
+    ``jax.vmap`` for a batch of timelines (DP×CP — the vmapped batch dim maps
+    onto a second mesh axis and the ring collectives batch over it).
+    """
+    import numpy as np
+
+    from cvml_goalnet_tpu.parallel.halo_attention import halo_attention_local
+    from cvml_goalnet_tpu.parallel.ring_attention import ring_attention_local
+
+    me = jax.lax.axis_index(axis)
+    tl = feats_l.shape[0]
+    x = L.linear_apply(params["proj_in"], feats_l)
+    rope_pos = None
+    if "pos" in params:
+        max_len = params["pos"].shape[0]
+        gidx = (me * tl + jnp.arange(tl)) % max_len
+        x = x + params["pos"][gidx]
+    else:  # rotary: rotate q/k by GLOBAL positions so every shard agrees
+        rope_pos = me * tl + jnp.arange(tl)
+    d = x.shape[-1]
+    hd = d // num_heads
+
+    def split(h):  # (Tl, D) → (H, Tl, hd)
+        return h.reshape(tl, num_heads, hd).transpose(1, 0, 2)
+
+    for layer in params["layers"]:
+        h = L.layernorm_apply(layer["ln1"], x)
+        q = split(L.linear_apply(layer["wq"], h))
+        k = split(L.linear_apply(layer["wk"], h))
+        v = split(L.linear_apply(layer["wv"], h))
+        if rope_pos is not None:
+            q = rope_rotate(q, rope_pos)
+            k = rope_rotate(k, rope_pos)
+        if window > 0:
+            # banded CP: one halo hop to each neighbor, no ring
+            attn = halo_attention_local(
+                q, k, v, axis, window, t_valid=t,
+                use_flash=use_flash, flash_interpret=flash_interpret,
+            )
+        else:
+            attn = ring_attention_local(
+                q, k, v, axis, 1.0 / np.sqrt(hd), t_valid=t,
+                use_flash=use_flash, flash_interpret=flash_interpret,
+            )
+        x = x + L.linear_apply(layer["wo"], attn.transpose(1, 0, 2).reshape(tl, d))
+        h = L.layernorm_apply(layer["ln2"], x)
+        x = x + L.linear_apply(
+            layer["mlp_out"], jax.nn.gelu(L.linear_apply(layer["mlp_in"], h))
+        )
+    out = L.linear_apply(params["head"], x)
+    return out[:, 0] if n_out == 1 else out
+
+
 @lru_cache(maxsize=16)
 def _sharded_transformer_fn(mesh, num_heads: int, axis: str, t: int,
                             use_flash: bool = False, flash_interpret: bool = False,
                             window: int = 0, n_out: int = 1):
     """Build + cache the jitted shard_map program for one (mesh, T) shape."""
-    import numpy as np
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from cvml_goalnet_tpu.parallel.halo_attention import halo_attention_local
-    from cvml_goalnet_tpu.parallel.ring_attention import ring_attention_local
-
     def body(params, feats_l):
-        me = jax.lax.axis_index(axis)
-        tl = feats_l.shape[0]
-        x = L.linear_apply(params["proj_in"], feats_l)
-        rope_pos = None
-        if "pos" in params:
-            max_len = params["pos"].shape[0]
-            gidx = (me * tl + jnp.arange(tl)) % max_len
-            x = x + params["pos"][gidx]
-        else:  # rotary: rotate q/k by GLOBAL positions so every shard agrees
-            rope_pos = me * tl + jnp.arange(tl)
-        d = x.shape[-1]
-        hd = d // num_heads
-
-        def split(h):  # (Tl, D) → (H, Tl, hd)
-            return h.reshape(tl, num_heads, hd).transpose(1, 0, 2)
-
-        for layer in params["layers"]:
-            h = L.layernorm_apply(layer["ln1"], x)
-            q = split(L.linear_apply(layer["wq"], h))
-            k = split(L.linear_apply(layer["wk"], h))
-            v = split(L.linear_apply(layer["wv"], h))
-            if rope_pos is not None:
-                q = rope_rotate(q, rope_pos)
-                k = rope_rotate(k, rope_pos)
-            if window > 0:
-                # banded CP: one halo hop to each neighbor, no ring
-                attn = halo_attention_local(
-                    q, k, v, axis, window, t_valid=t,
-                    use_flash=use_flash, flash_interpret=flash_interpret,
-                )
-            else:
-                attn = ring_attention_local(
-                    q, k, v, axis, 1.0 / np.sqrt(hd), t_valid=t,
-                    use_flash=use_flash, flash_interpret=flash_interpret,
-                )
-            x = x + L.linear_apply(layer["wo"], attn.transpose(1, 0, 2).reshape(tl, d))
-            h = L.layernorm_apply(layer["ln2"], x)
-            x = x + L.linear_apply(
-                layer["mlp_out"], jax.nn.gelu(L.linear_apply(layer["mlp_in"], h))
-            )
-        out = L.linear_apply(params["head"], x)
-        return out[:, 0] if n_out == 1 else out
+        return _cp_local_body(
+            params, feats_l, axis=axis, num_heads=num_heads, t=t,
+            use_flash=use_flash, flash_interpret=flash_interpret,
+            window=window, n_out=n_out,
+        )
 
     fn = shard_map(
         body, mesh=mesh,
@@ -218,6 +238,82 @@ def _sharded_transformer_fn(mesh, num_heads: int, axis: str, t: int,
         check_rep=False,
     )
     return jax.jit(fn)
+
+
+@lru_cache(maxsize=16)
+def _dp_cp_transformer_fn(mesh, num_heads: int, data_axis: str, ctx_axis: str,
+                          t: int, use_flash: bool = False,
+                          flash_interpret: bool = False, window: int = 0,
+                          n_out: int = 1):
+    """Jitted DP×CP program: batch over ``data_axis``, time over ``ctx_axis``."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def body(params, feats_l):
+        # feats_l: (B/n_data, T/n_ctx, D) — vmap the CP body over the local
+        # batch; its ring/halo collectives act only over ctx_axis, so they
+        # batch cleanly over the vmapped dim.
+        def per_timeline(f):
+            return _cp_local_body(
+                params, f, axis=ctx_axis, num_heads=num_heads, t=t,
+                use_flash=use_flash, flash_interpret=flash_interpret,
+                window=window, n_out=n_out,
+            )
+
+        return jax.vmap(per_timeline)(feats_l)
+
+    out_spec = (P(data_axis, ctx_axis) if n_out == 1
+                else P(data_axis, ctx_axis, None))
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(data_axis, ctx_axis, None)),
+        out_specs=out_spec,
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def temporal_transformer_dp_cp_apply(
+    params,
+    features: jax.Array,          # (B, T, D): B over data_axis, T over ctx_axis
+    mesh,
+    num_heads: int = 1,
+    data_axis: str = "data",
+    ctx_axis: str = "ctx",
+    use_flash: bool = False,
+    flash_interpret: bool = False,
+    window: int = 0,
+) -> jax.Array:
+    """Composed data × context parallelism over one 2-D mesh.
+
+    A batch of timelines shards over ``data_axis`` while each timeline's time
+    axis shards over ``ctx_axis`` — the production layout for training a
+    spotting head on many full-rate matches at once when a single match
+    already exceeds one chip's HBM.  One ``shard_map`` over both axes; per
+    device the block is (B/n_data, T/n_ctx, D).  Ring/halo attention
+    collectives ride only the ``ctx_axis`` ICI ring; nothing crosses
+    ``data_axis`` in the forward pass (gradients psum over it via the
+    shard_map transpose of the replicated params).  Numerically equal to
+    ``vmap(temporal_transformer_apply)`` (tests/test_composed_parallel.py).
+
+    ``B`` must divide by ``mesh.shape[data_axis]``; ``T`` is padded to a
+    multiple of ``mesh.shape[ctx_axis]`` (padded key columns masked by the
+    true length) and sliced back.
+    """
+    b, t = features.shape[0], features.shape[1]
+    nd = mesh.shape[data_axis]
+    nc = mesh.shape[ctx_axis]
+    if b % nd:
+        raise ValueError(
+            f"batch {b} must divide over data axis {data_axis!r} ({nd} devices)"
+        )
+    t_pad = -(-t // nc) * nc
+    feats = (jnp.pad(features, ((0, 0), (0, t_pad - t), (0, 0)))
+             if t_pad != t else features)
+    n_out = int(params["head"]["w"].shape[-1])
+    fn = _dp_cp_transformer_fn(mesh, num_heads, data_axis, ctx_axis, t,
+                               use_flash, flash_interpret, window, n_out)
+    return fn(params, feats)[:, :t]
 
 
 def temporal_transformer_sharded_apply(

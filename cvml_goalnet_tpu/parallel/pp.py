@@ -78,8 +78,18 @@ def _block_apply(lp, x, num_heads, use_flash, flash_interpret, window, rope_pos)
 
 @lru_cache(maxsize=16)
 def _pp_fn(mesh, axis: str, n_micro: int, num_heads: int, use_flash: bool,
-           flash_interpret: bool, window: int, rotary: bool, n_out: int):
-    """Build + cache the jitted GPipe program for one (mesh, schedule) shape."""
+           flash_interpret: bool, window: int, rotary: bool, n_out: int,
+           data_axis: str | None = None):
+    """Build + cache the jitted GPipe program for one (mesh, schedule) shape.
+
+    ``data_axis`` composes DP with the pipeline (DP×PP): each microbatch's
+    within-batch dim shards over ``data_axis`` of the same mesh, so every
+    data-parallel replica runs its own pipeline over the ``axis`` ring with
+    1/n_data of the batch.  Nothing crosses ``data_axis`` in the forward
+    (stage hops and the result psum ride ``axis`` only); stage params are
+    replicated across it, so their gradient psum over ``data_axis`` comes
+    from the shard_map transpose.
+    """
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -119,8 +129,11 @@ def _pp_fn(mesh, axis: str, n_micro: int, num_heads: int, use_flash: bool,
         valid = jnp.where(me == n_stages - 1, ys[n_stages - 1 :], 0)
         return jax.lax.psum(valid, axis)
 
-    in_specs = (P(axis), P(), P())
-    fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=P(),
+    # xs: (n_micro, mb, T, D) — with DP×PP the within-microbatch dim shards
+    # over data_axis; outputs carry the same batch sharding
+    xs_spec = P(None, data_axis) if data_axis else P()
+    in_specs = (P(axis), xs_spec, P())
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=xs_spec,
                    check_rep=False)
 
     def full(params, feats):  # feats: (B, T, D_in)

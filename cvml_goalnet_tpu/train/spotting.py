@@ -120,6 +120,52 @@ def make_sharded_spotting_train_step(
     return jax.jit(step)
 
 
+@lru_cache(maxsize=8)
+def make_dp_cp_spotting_train_step(
+    mesh,
+    num_heads: int = 1,
+    lr: float = 1e-3,
+    pos_weight: float = 10.0,
+    data_axis: str = "data",
+    ctx_axis: str = "ctx",
+    use_flash: bool = False,
+    flash_interpret: bool = False,
+    window: int = 0,
+):
+    """Composed data × context parallel spotting train step.
+
+    Features are (B, T, D) — a batch of timelines with B sharded over
+    ``data_axis`` and T over ``ctx_axis`` of one 2-D mesh (the production
+    layout: many matches at once, each longer than one chip's HBM).  The
+    forward runs one ``shard_map`` over both axes
+    (``temporal_transformer_dp_cp_apply``); the backward ppermute ring
+    transposes to the reverse ring over ``ctx_axis`` and the replicated
+    params transpose to a psum over BOTH axes, so each device ends the step
+    with the full global gradient — no explicit collective code here.
+    Numerically equal to the monolithic batched step
+    (tests/test_composed_parallel.py).
+    """
+    from cvml_goalnet_tpu.models.temporal_attention import (
+        temporal_transformer_dp_cp_apply,
+    )
+
+    def loss_fn(params, features, labels):
+        logits = temporal_transformer_dp_cp_apply(
+            params, features, mesh, num_heads, data_axis, ctx_axis,
+            use_flash=use_flash, flash_interpret=flash_interpret, window=window,
+        ).reshape(labels.shape)
+        w = jnp.where(labels > 0.5, pos_weight, 1.0)
+        per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        return jnp.sum(w * per) / jnp.sum(w)
+
+    def step(params, opt_state, features, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, features, labels)
+        params, opt_state = adam_update(grads, opt_state, params, lr)
+        return params, opt_state, loss
+
+    return jax.jit(step)
+
+
 def save_spotting_checkpoint(path: str, params) -> None:
     """Atomic npz checkpoint of the temporal scorer params."""
     import os

@@ -1,0 +1,192 @@
+"""Composed parallelism: DP × CP over one 2-D mesh.
+
+Round-3 continuation: every strategy (DP, TP, PP, CP, EP) was validated on a
+solo mesh axis; production training composes them.  These tests pin the
+DP×CP composition — a batch of timelines sharded over a ``data`` axis while
+each timeline's time axis shards over a ``ctx`` axis — against the monolithic
+batched scorer: forward, gradients, and a full train step, for full, banded,
+rotary, and multi-class variants (SURVEY.md §2.3; no reference counterpart —
+the reference is single-device, `main.py:26-298`).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from cvml_goalnet_tpu.models.temporal_attention import (
+    temporal_transformer_apply,
+    temporal_transformer_dp_cp_apply,
+    temporal_transformer_init,
+)
+from cvml_goalnet_tpu.train.spotting import (
+    init_spotting_opt,
+    make_dp_cp_spotting_train_step,
+    make_spotting_train_step,
+)
+
+
+def _mesh(nd=2, nc=4):
+    devs = np.array(jax.devices()[: nd * nc]).reshape(nd, nc)
+    return Mesh(devs, ("data", "ctx"))
+
+
+def _params(key=0, in_dim=12, n_classes=1, pos_encoding="learned"):
+    return temporal_transformer_init(
+        jax.random.PRNGKey(key), in_dim, model_dim=32, num_layers=2,
+        num_heads=2, max_len=64, n_classes=n_classes, pos_encoding=pos_encoding,
+    )
+
+
+def _batch(b=4, t=40, d=12, seed=0):
+    rng = np.random.default_rng(seed)
+    feats = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+    labels = jnp.asarray((rng.random((b, t)) < 0.2).astype(np.float32))
+    return feats, labels
+
+
+class TestDpCpForward:
+    def test_matches_vmapped_monolithic(self):
+        mesh = _mesh()
+        params = _params()
+        feats, _ = _batch()
+        out = temporal_transformer_dp_cp_apply(params, feats, mesh, 2)
+        mono = jax.vmap(lambda f: temporal_transformer_apply(params, f, 2))(feats)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(mono), atol=1e-4)
+
+    def test_time_padding(self):
+        # T=37 not divisible by the 4-wide ctx axis — internal pad columns
+        # must be masked, rows sliced back
+        mesh = _mesh()
+        params = _params()
+        feats, _ = _batch(t=37)
+        out = temporal_transformer_dp_cp_apply(params, feats, mesh, 2)
+        assert out.shape == (4, 37)
+        mono = jax.vmap(lambda f: temporal_transformer_apply(params, f, 2))(feats)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(mono), atol=1e-4)
+
+    def test_banded(self):
+        mesh = _mesh()
+        params = _params()
+        feats, _ = _batch()
+        out = temporal_transformer_dp_cp_apply(params, feats, mesh, 2, window=8)
+        mono = jax.vmap(
+            lambda f: temporal_transformer_apply(params, f, 2, window=8)
+        )(feats)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(mono), atol=1e-4)
+
+    def test_rotary(self):
+        mesh = _mesh()
+        params = _params(pos_encoding="rotary")
+        feats, _ = _batch()
+        out = temporal_transformer_dp_cp_apply(params, feats, mesh, 2)
+        mono = jax.vmap(lambda f: temporal_transformer_apply(params, f, 2))(feats)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(mono), atol=1e-4)
+
+    def test_multiclass(self):
+        mesh = _mesh()
+        params = _params(n_classes=3)
+        feats, _ = _batch()
+        out = temporal_transformer_dp_cp_apply(params, feats, mesh, 2)
+        assert out.shape == (4, 40, 3)
+        mono = jax.vmap(lambda f: temporal_transformer_apply(params, f, 2))(feats)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(mono), atol=1e-4)
+
+    def test_batch_not_divisible_raises(self):
+        mesh = _mesh()
+        params = _params()
+        feats, _ = _batch(b=3)
+        with pytest.raises(ValueError, match="divide over data axis"):
+            temporal_transformer_dp_cp_apply(params, feats, mesh, 2)
+
+    def test_degenerate_axes_match_solo_cp(self):
+        # n_data=1 reduces DP×CP to plain CP over all 8 devices
+        devs = np.array(jax.devices()[:8]).reshape(1, 8)
+        mesh = Mesh(devs, ("data", "ctx"))
+        params = _params()
+        feats, _ = _batch(b=2, t=48)
+        out = temporal_transformer_dp_cp_apply(params, feats, mesh, 2)
+        mono = jax.vmap(lambda f: temporal_transformer_apply(params, f, 2))(feats)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(mono), atol=1e-4)
+
+
+def _mono_loss_fn(params, feats, labels, num_heads=2, pos_weight=10.0, window=0):
+    logits = jax.vmap(
+        lambda f: temporal_transformer_apply(params, f, num_heads, window=window)
+    )(feats).reshape(labels.shape)
+    w = jnp.where(labels > 0.5, pos_weight, 1.0)
+    per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return jnp.sum(w * per) / jnp.sum(w)
+
+
+class TestDpCpTraining:
+    def test_grads_match_monolithic(self):
+        mesh = _mesh()
+        params = _params()
+        feats, labels = _batch()
+
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_dp_cp_apply as dpcp,
+        )
+
+        def sharded_loss(p):
+            logits = dpcp(p, feats, mesh, 2).reshape(labels.shape)
+            w = jnp.where(labels > 0.5, 10.0, 1.0)
+            per = (jnp.maximum(logits, 0) - logits * labels
+                   + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+            return jnp.sum(w * per) / jnp.sum(w)
+
+        gs = jax.grad(sharded_loss)(params)
+        gm = jax.grad(lambda p: _mono_loss_fn(p, feats, labels))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(gs), jax.tree_util.tree_leaves(gm)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    def test_train_step_matches_monolithic(self):
+        mesh = _mesh()
+        params = _params()
+        feats, labels = _batch()
+        step = make_dp_cp_spotting_train_step(mesh, num_heads=2)
+        p1, o1, loss1 = step(params, init_spotting_opt(params), feats, labels)
+        jax.block_until_ready(p1)
+        assert np.isfinite(float(loss1))
+
+        # monolithic reference step: same loss fn, same Adam
+        from cvml_goalnet_tpu.train.optim import adam_update
+
+        def mono_step(p, opt, f, l):
+            loss, grads = jax.value_and_grad(_mono_loss_fn)(p, f, l)
+            p, opt = adam_update(grads, opt, p, 1e-3)
+            return p, opt, loss
+
+        p2, _, loss2 = mono_step(params, init_spotting_opt(params), feats, labels)
+        np.testing.assert_allclose(float(loss1), float(loss2), atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    def test_banded_train_step(self):
+        mesh = _mesh()
+        params = _params()
+        feats, labels = _batch(t=48)
+        step = make_dp_cp_spotting_train_step(mesh, num_heads=2, window=8)
+        p1, _, loss1 = step(params, init_spotting_opt(params), feats, labels)
+        jax.block_until_ready(p1)
+        gm = jax.grad(lambda p: _mono_loss_fn(p, feats, labels, window=8))(params)
+        jax.block_until_ready(gm)
+        assert np.isfinite(float(loss1))
+        loss_mono = float(_mono_loss_fn(params, feats, labels, window=8))
+        np.testing.assert_allclose(float(loss1), loss_mono, atol=1e-5)
+
+    def test_loss_decreases(self):
+        mesh = _mesh()
+        params = _params()
+        feats, labels = _batch(t=48, seed=3)
+        step = make_dp_cp_spotting_train_step(mesh, num_heads=2)
+        opt = init_spotting_opt(params)
+        losses = []
+        for _ in range(8):
+            params, opt, loss = step(params, opt, feats, labels)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
