@@ -511,19 +511,44 @@ def cmd_spot_train(args) -> int:
         if getattr(args, "cp", False):
             # context parallel: each timeline shards over ALL devices; the
             # attention runs as a ppermute ring (or one halo hop per neighbor
-            # when temporal_window > 0) — train/spotting.py
+            # when temporal_window > 0) — train/spotting.py.  --dp-timelines N
+            # composes DP×CP: N timelines batch over a "data" mesh axis while
+            # time shards over the remaining "ctx" axis.
             from jax.sharding import Mesh
 
-            from cvml_goalnet_tpu.train.spotting import make_sharded_spotting_train_step
+            ndp = max(1, int(getattr(args, "dp_timelines", 1) or 1))
+            devs = jax.devices()
+            if ndp > 1:
+                if len(devs) % ndp:
+                    print(f"E: --dp-timelines {ndp} does not divide the "
+                          f"{len(devs)}-device mesh", file=sys.stderr)
+                    return 2
+                from cvml_goalnet_tpu.train.spotting import (
+                    make_dp_cp_spotting_train_step,
+                )
 
-            mesh = Mesh(np.array(jax.devices()), ("data",))
-            print(f"context-parallel over {len(jax.devices())} devices")
-            step = make_sharded_spotting_train_step(
-                mesh, num_heads=cfg.model.temporal_num_heads,
-                lr=args.lr, pos_weight=args.pos_weight,
-                use_flash=jax.default_backend() not in ("cpu",),
-                window=cfg.model.temporal_window,
-            )
+                mesh = Mesh(np.array(devs).reshape(ndp, -1), ("data", "ctx"))
+                print(f"DP×CP: {ndp} timelines × {len(devs) // ndp}-way context "
+                      "parallel")
+                step = make_dp_cp_spotting_train_step(
+                    mesh, num_heads=cfg.model.temporal_num_heads,
+                    lr=args.lr, pos_weight=args.pos_weight,
+                    use_flash=jax.default_backend() not in ("cpu",),
+                    window=cfg.model.temporal_window,
+                )
+            else:
+                from cvml_goalnet_tpu.train.spotting import (
+                    make_sharded_spotting_train_step,
+                )
+
+                mesh = Mesh(np.array(devs), ("data",))
+                print(f"context-parallel over {len(devs)} devices")
+                step = make_sharded_spotting_train_step(
+                    mesh, num_heads=cfg.model.temporal_num_heads,
+                    lr=args.lr, pos_weight=args.pos_weight,
+                    use_flash=jax.default_backend() not in ("cpu",),
+                    window=cfg.model.temporal_window,
+                )
         else:
             step = make_spotting_train_step(
                 0, lr=args.lr, pos_weight=args.pos_weight,
@@ -538,12 +563,38 @@ def cmd_spot_train(args) -> int:
             cfg.model.temporal_hidden, lr=args.lr, pos_weight=args.pos_weight
         )
 
+    ndp_batch = (max(1, int(getattr(args, "dp_timelines", 1) or 1))
+                 if getattr(args, "cp", False) else 1)
+    if ndp_batch > 1:
+        # DP×CP: group timelines into batches of ndp, padded to the longest
+        # (labels -1 on pads → zero loss weight; short groups fill with
+        # fully-masked dummy timelines so the batch axis stays divisible)
+        groups = []
+        for i in range(0, len(pairs), ndp_batch):
+            chunk = pairs[i : i + ndp_batch]
+            tmax = max(int(f.shape[0]) for _, f, _ in chunk)
+            fs, ls = [], []
+            for _, f, l in chunk:
+                pad_t = tmax - int(f.shape[0])
+                fs.append(jnp.pad(f, ((0, pad_t), (0, 0))))
+                lpad = ((0, pad_t),) + ((0, 0),) * (l.ndim - 1)
+                ls.append(jnp.pad(l, lpad, constant_values=-1.0))
+            while len(fs) < ndp_batch:
+                fs.append(jnp.zeros_like(fs[0]))
+                ls.append(jnp.full_like(ls[0], -1.0))
+            groups.append((jnp.stack(fs), jnp.stack(ls)))
+
     opt = init_spotting_opt(tparams)
     for epoch in range(args.epochs):
         losses = []
-        for _, feats, labels in pairs:
-            tparams, opt, loss = step(tparams, opt, feats, labels)
-            losses.append(float(loss))
+        if ndp_batch > 1:
+            for bf, bl in groups:
+                tparams, opt, loss = step(tparams, opt, bf, bl)
+                losses.append(float(loss))
+        else:
+            for _, feats, labels in pairs:
+                tparams, opt, loss = step(tparams, opt, feats, labels)
+                losses.append(float(loss))
         print(f"epoch {epoch}: loss {np.mean(losses):.4f}")
 
     out_fp = args.out or os.path.join(args.workdir, "models", "spotting_head.npz")
@@ -634,6 +685,10 @@ def main(argv=None) -> int:
                    help="context-parallel training: shard each timeline over "
                         "all devices (transformer scorer only; ring attention, "
                         "or halo exchange with --attn-window)")
+    p.add_argument("--dp-timelines", type=int, default=1, metavar="N",
+                   help="with --cp: compose DP×CP — batch N timelines over a "
+                        "'data' mesh axis while time shards over the remaining "
+                        "'ctx' axis (N must divide the device count)")
     p.add_argument("--classes", default=None,
                    help="comma-separated event classes (goal,card,...) — "
                         "trains a multi-class head from labelled sidecars")

@@ -163,24 +163,33 @@ def pipeline_transformer_apply(
     use_flash: bool = False,
     flash_interpret: bool = False,
     window: int = 0,
+    data_axis: str | None = None,
 ) -> jax.Array:
     """GPipe-scheduled scoring of a BATCH of timelines → (B, T) (or (B, T, C)).
 
     Layers shard one-stage-per-device over ``axis``; the batch splits into
     ``n_micro`` microbatches that drain through the stage ring (see module
-    docstring).  Numerically equal to ``vmap(temporal_transformer_apply)``
-    with the same params, and differentiable — ``jax.grad`` derives the
-    reverse pipeline schedule from the forward's AD transpose.
+    docstring).  ``data_axis`` composes DP×PP: each microbatch additionally
+    shards its within-batch dim over that mesh axis, so n_data pipeline
+    replicas each drain 1/n_data of every microbatch.  Numerically equal to
+    ``vmap(temporal_transformer_apply)`` with the same params, and
+    differentiable — ``jax.grad`` derives the reverse pipeline schedule from
+    the forward's AD transpose.
     """
     b = features.shape[0]
     n_stages = mesh.shape[axis]
     m = n_micro or min(b, n_stages)
     if b % m:
         raise ValueError(f"batch {b} not divisible into {m} microbatches")
+    if data_axis is not None and (b // m) % mesh.shape[data_axis]:
+        raise ValueError(
+            f"microbatch size {b // m} must divide over data axis "
+            f"{data_axis!r} ({mesh.shape[data_axis]} devices)"
+        )
     rotary = "pos" not in params
     n_out = int(params["head"]["w"].shape[-1])
     fn = _pp_fn(mesh, axis, m, num_heads, use_flash, flash_interpret,
-                window, rotary, n_out)
+                window, rotary, n_out, data_axis)
     return fn(params, features)
 
 
@@ -195,21 +204,24 @@ def make_pp_spotting_train_step(
     use_flash: bool = False,
     flash_interpret: bool = False,
     window: int = 0,
+    data_axis: str | None = None,
 ):
     """Pipeline-parallel spotting train step over (B, T, D) feature batches.
 
     → jitted ``step(params, opt_state, features (B,T,D), labels (B,T[,C]))
     → (params, opt_state, loss)`` — same weighted-BCE objective as
     ``train/spotting.make_spotting_train_step``, with the scorer forward AND
-    backward running on the GPipe schedule.  Loss/gradients equal the
-    monolithic step's (tests), the schedule is the only difference.
+    backward running on the GPipe schedule.  ``data_axis`` composes DP×PP
+    (n_data pipeline replicas, grads psum'd across them by the shard_map
+    transpose).  Loss/gradients equal the monolithic step's (tests), the
+    schedule is the only difference.
     """
     from cvml_goalnet_tpu.train.optim import adam_update
 
     def loss_fn(params, features, labels):
         logits = pipeline_transformer_apply(
             params, features, mesh, axis, num_heads, n_micro,
-            use_flash, flash_interpret, window,
+            use_flash, flash_interpret, window, data_axis,
         ).reshape(labels.shape)
         w = jnp.where(labels > 0.5, pos_weight, 1.0)
         per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))

@@ -144,6 +144,11 @@ def make_dp_cp_spotting_train_step(
     with the full global gradient — no explicit collective code here.
     Numerically equal to the monolithic batched step
     (tests/test_composed_parallel.py).
+
+    Variable-length timelines batch by padding labels with ``-1``: negative
+    labels get zero loss weight (and zero gradient), so a group of matches
+    padded to the longest timeline trains exactly like the per-timeline
+    steps up to the shared weighted-mean normalizer.
     """
     from cvml_goalnet_tpu.models.temporal_attention import (
         temporal_transformer_dp_cp_apply,
@@ -154,8 +159,9 @@ def make_dp_cp_spotting_train_step(
             params, features, mesh, num_heads, data_axis, ctx_axis,
             use_flash=use_flash, flash_interpret=flash_interpret, window=window,
         ).reshape(labels.shape)
-        w = jnp.where(labels > 0.5, pos_weight, 1.0)
-        per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        w = jnp.where(labels > 0.5, pos_weight, 1.0) * (labels >= 0)
+        lab = jnp.maximum(labels, 0.0)  # keep padded rows finite; w is 0 there
+        per = jnp.maximum(logits, 0) - logits * lab + jnp.log1p(jnp.exp(-jnp.abs(logits)))
         return jnp.sum(w * per) / jnp.sum(w)
 
     def step(params, opt_state, features, labels):

@@ -247,6 +247,36 @@ class TestCLISpotTrainCP:
         assert r.returncode == 2
         assert "transformer" in r.stderr
 
+    def test_spot_train_dp_cp_composed(self, cli_env):
+        # --dp-timelines 2 on the 8-virtual-device mesh → 2 timelines batch
+        # over "data" while time shards 4-way over "ctx"; variable-length
+        # timelines pad with -1 labels (zero loss weight)
+        root = cli_env["root"]
+        for fp in cli_env["video_fps"]:
+            side = fp.rsplit(".", 1)[0] + ".events.json"
+            with open(side, "w") as f:
+                json.dump([0, 60, 150], f)
+        head_fp = os.path.join(root, "models", "spot_head_dpcp.npz")
+        r = _run(["spot-train", *_data_args(cli_env), "--workdir", root,
+                  "--no-audio", "--temporal-model", "transformer",
+                  "--cp", "--dp-timelines", "2", "--epochs", "2",
+                  "--out", head_fp], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "DP×CP: 2 timelines × 4-way context parallel" in r.stdout
+        assert os.path.exists(head_fp)
+
+    def test_dp_timelines_must_divide_mesh(self, cli_env):
+        root = cli_env["root"]
+        for fp in cli_env["video_fps"]:
+            side = fp.rsplit(".", 1)[0] + ".events.json"
+            with open(side, "w") as f:
+                json.dump([0, 60], f)
+        r = _run(["spot-train", *_data_args(cli_env), "--workdir", root,
+                  "--no-audio", "--temporal-model", "transformer",
+                  "--cp", "--dp-timelines", "3", "--epochs", "1"], root)
+        assert r.returncode == 2
+        assert "does not divide" in r.stderr
+
 
 class TestCLIMultiClassSpotting:
     def test_spot_train_and_spot_multiclass(self, cli_env):

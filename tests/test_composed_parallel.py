@@ -179,6 +179,55 @@ class TestDpCpTraining:
         loss_mono = float(_mono_loss_fn(params, feats, labels, window=8))
         np.testing.assert_allclose(float(loss1), loss_mono, atol=1e-5)
 
+    def test_padded_labels_masked(self):
+        # a batch where one timeline is all pad (-1 labels, zero feats) must
+        # produce the same loss and gradients as the same batch with the pad
+        # row's labels flipped arbitrarily — negative labels carry no weight
+        mesh = _mesh()
+        params = _params()
+        feats, labels = _batch(b=4, t=40)
+        feats = feats.at[3].set(0.0)
+        lab_pad = labels.at[3].set(-1.0)
+        # also pad the tail of row 2 (variable-length batching)
+        lab_pad = lab_pad.at[2, 30:].set(-1.0)
+
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_dp_cp_apply as dpcp,
+        )
+
+        def loss(p, lbl):
+            logits = dpcp(p, feats, mesh, 2).reshape(lbl.shape)
+            w = jnp.where(lbl > 0.5, 10.0, 1.0) * (lbl >= 0)
+            l = jnp.maximum(lbl, 0.0)
+            per = (jnp.maximum(logits, 0) - logits * l
+                   + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+            return jnp.sum(w * per) / jnp.sum(w)
+
+        g1 = jax.grad(loss)(params, lab_pad)
+        # zeroing masked labels (what the step's loss_fn does internally via
+        # maximum(labels, 0)) must not change the loss — pads carry no weight
+        lab_zeroed = jnp.maximum(lab_pad, 0.0)
+        w_ref = jnp.where(lab_pad > 0.5, 10.0, 1.0) * (lab_pad >= 0)
+
+        def loss_masked_weights(p):
+            logits = dpcp(p, feats, mesh, 2).reshape(lab_pad.shape)
+            per = (jnp.maximum(logits, 0) - logits * lab_zeroed
+                   + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+            return jnp.sum(w_ref * per) / jnp.sum(w_ref)
+
+        assert float(loss(params, lab_pad)) == pytest.approx(
+            float(loss_masked_weights(params)), abs=1e-7)
+        # masked-vs-unmasked loss differs (mask is doing something)
+        assert float(loss(params, lab_pad)) != pytest.approx(
+            float(loss(params, labels)), abs=1e-6)
+        # gradients match the step's internal loss on the same padded batch
+        step = make_dp_cp_spotting_train_step(mesh, num_heads=2)
+        _, _, step_loss = step(params, init_spotting_opt(params), feats, lab_pad)
+        np.testing.assert_allclose(
+            float(step_loss), float(loss(params, lab_pad)), atol=1e-6)
+        for a in jax.tree_util.tree_leaves(g1):
+            assert np.all(np.isfinite(np.asarray(a)))
+
     def test_loss_decreases(self):
         mesh = _mesh()
         params = _params()
@@ -190,3 +239,80 @@ class TestDpCpTraining:
             params, opt, loss = step(params, opt, feats, labels)
             losses.append(float(loss))
         assert losses[-1] < losses[0]
+
+
+def _pp_mesh(nd=2, ns=4):
+    devs = np.array(jax.devices()[: nd * ns]).reshape(nd, ns)
+    return Mesh(devs, ("data", "pipe"))
+
+
+class TestDpPp:
+    """DP×PP: n_data GPipe replicas over a (data, pipe) mesh, each draining
+    1/n_data of every microbatch; stage grads psum over the data axis."""
+
+    def test_forward_matches_vmapped_monolithic(self):
+        from cvml_goalnet_tpu.parallel.pp import pipeline_transformer_apply
+
+        mesh = _pp_mesh()
+        params = temporal_transformer_init(
+            jax.random.PRNGKey(1), 12, model_dim=32, num_layers=4,
+            num_heads=2, max_len=64,
+        )
+        feats, _ = _batch(b=8, t=24)
+        out = pipeline_transformer_apply(
+            params, feats, mesh, "pipe", 2, data_axis="data")
+        mono = jax.vmap(lambda f: temporal_transformer_apply(params, f, 2))(feats)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(mono), atol=1e-4)
+
+    def test_microbatch_not_divisible_raises(self):
+        from cvml_goalnet_tpu.parallel.pp import pipeline_transformer_apply
+
+        mesh = _pp_mesh()
+        params = temporal_transformer_init(
+            jax.random.PRNGKey(1), 12, model_dim=32, num_layers=4,
+            num_heads=2, max_len=64,
+        )
+        feats, _ = _batch(b=4, t=24)
+        # 4 microbatches of size 1 cannot shard over the 2-wide data axis
+        with pytest.raises(ValueError, match="divide over data axis"):
+            pipeline_transformer_apply(
+                params, feats, mesh, "pipe", 2, n_micro=4, data_axis="data")
+
+    def test_train_step_matches_monolithic(self):
+        from cvml_goalnet_tpu.parallel.pp import make_pp_spotting_train_step
+        from cvml_goalnet_tpu.train.optim import adam_update
+
+        mesh = _pp_mesh()
+        params = temporal_transformer_init(
+            jax.random.PRNGKey(1), 12, model_dim=32, num_layers=4,
+            num_heads=2, max_len=64,
+        )
+        feats, labels = _batch(b=8, t=24, seed=5)
+        step = make_pp_spotting_train_step(
+            mesh, "pipe", num_heads=2, data_axis="data")
+        p1, _, loss1 = step(params, init_spotting_opt(params), feats, labels)
+        jax.block_until_ready(p1)
+
+        def mono_step(p, opt, f, l):
+            loss, grads = jax.value_and_grad(_mono_loss_fn)(p, f, l)
+            p, opt = adam_update(grads, opt, p, 1e-3)
+            return p, opt, loss
+
+        p2, _, loss2 = mono_step(params, init_spotting_opt(params), feats, labels)
+        np.testing.assert_allclose(float(loss1), float(loss2), atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    def test_rotary_forward(self):
+        from cvml_goalnet_tpu.parallel.pp import pipeline_transformer_apply
+
+        mesh = _pp_mesh()
+        params = temporal_transformer_init(
+            jax.random.PRNGKey(2), 12, model_dim=32, num_layers=4,
+            num_heads=2, max_len=64, pos_encoding="rotary",
+        )
+        feats, _ = _batch(b=8, t=24)
+        out = pipeline_transformer_apply(
+            params, feats, mesh, "pipe", 2, data_axis="data")
+        mono = jax.vmap(lambda f: temporal_transformer_apply(params, f, 2))(feats)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(mono), atol=1e-4)
