@@ -55,6 +55,50 @@ def fusion_param_shardings(params, mesh: Mesh):
     return out
 
 
+def transformer_param_shardings(params, mesh: Mesh, model_axis: str = "model"):
+    """Megatron head/MLP-parallel NamedSharding pytree for the temporal
+    transformer scorer (``models/temporal_attention``).
+
+    Per block: ``wq/wk/wv`` split output features over ``model_axis``
+    (column parallel — with ``num_heads % n_model == 0`` each device owns
+    whole heads), ``wo`` splits input features (row parallel), and the MLP
+    pair does the same, so GSPMD inserts exactly one all-reduce per
+    attention and one per MLP — the textbook Megatron layout, expressed as
+    annotations instead of collective code.  ``proj_in``/``pos``/``head``/
+    layernorms stay replicated (negligible FLOPs).  Because the sharding is
+    GSPMD placement (not a different program), the EXISTING jitted train
+    step runs tensor-parallel unchanged and its updates preserve the layout
+    (tests/test_composed_parallel.py::TestTransformerTP).
+    """
+    rep = replicated(mesh)
+    col = {"w": NamedSharding(mesh, P(None, model_axis)),
+           "b": NamedSharding(mesh, P(model_axis))}
+    row = {"w": NamedSharding(mesh, P(model_axis, None)), "b": rep}
+
+    def layer_spec(layer):
+        out = {}
+        for k, v in layer.items():
+            if k in ("wq", "wk", "wv", "mlp_in"):
+                out[k] = {kk: col[kk] for kk in v}
+            elif k in ("wo", "mlp_out"):
+                out[k] = {kk: row[kk] for kk in v}
+            else:  # layernorms
+                out[k] = jax.tree.map(lambda _: rep, v)
+        return out
+
+    out = {k: jax.tree.map(lambda _: rep, v)
+           for k, v in params.items() if k != "layers"}
+    out["layers"] = [layer_spec(l) for l in params["layers"]]
+    return out
+
+
+def place_transformer_params(params, mesh: Mesh, model_axis: str = "model"):
+    """Device-put temporal-transformer params in the Megatron TP layout."""
+    return jax.tree.map(
+        jax.device_put, params, transformer_param_shardings(params, mesh, model_axis)
+    )
+
+
 def place_params(params, mesh: Mesh, tensor_parallel: bool = False):
     """Device-put params replicated (DP) or TP-sharded (fusion over model axis)."""
     shardings = (
