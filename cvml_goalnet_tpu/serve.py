@@ -6,10 +6,15 @@ and re-parsed ground truth per invocation — ``main.py:300-348``).  Here:
 * :class:`Summarizer` loads the checkpoint and compiles the device program
   ONCE, then serves many videos (file path or in-memory frames) with warm
   jit caches — the p50 path is decode + one device dispatch + knapsack.
-* :func:`serve_http` exposes it as a minimal JSON-over-HTTP service
+* :class:`Spotter` is the event-spotting twin (trunk + temporal head loaded
+  once — the serving form of ``goalnet spot``).
+* :func:`serve_http` exposes both as a minimal JSON-over-HTTP service
   (stdlib ``http.server``; zero extra dependencies):
   ``POST /summarize {"video": "/path.mp4"}`` →
-  ``{"mask_frames": ..., "clips": [[a, b], ...], "scores": [...]}``
+  ``{"mask_frames": ..., "clips": [[a, b], ...], "scores": [...]}``;
+  ``POST /spot {"video": ..., "peak_window"?, "peak_threshold"?}`` →
+  ``{"events_condensed_frames": ..., "events_seconds": ..., "summary_clips":
+  ...}`` (per-class dicts when the Spotter has classes).
 """
 
 from __future__ import annotations
@@ -50,6 +55,16 @@ def _load_wav_sidecar(video_fp: str, cfg: PipelineConfig):
 
     waveform, _ = load_waveform(wav_fp, cfg.audio.sample_rate)
     return waveform
+
+
+def _uniform_clip_intervals(cfg: PipelineConfig, full_n: int) -> np.ndarray:
+    """Uniform ~2-second segmentation fallback when no annotation store
+    provides change points — never wider than the knapsack budget (short
+    videos would otherwise have no feasible clip at all)."""
+    budget = max(1, int(cfg.knapsack.summary_ratio * full_n))
+    step = max(1, min(2 * 30, budget))
+    starts = np.arange(0, full_n, step)
+    return np.stack([starts, np.minimum(starts + step, full_n)], 1)
 
 
 class Summarizer:
@@ -104,13 +119,7 @@ class Summarizer:
             if self.store is not None:
                 clip_intervals = np.asarray(self.store.change_points(video_id))
             else:
-                # uniform segmentation fallback: ~2-second clips, but never
-                # wider than the knapsack budget (short videos would
-                # otherwise have no feasible clip at all)
-                budget = max(1, int(cfg.knapsack.summary_ratio * full_n))
-                step = max(1, min(2 * 30, budget))
-                starts = np.arange(0, full_n, step)
-                clip_intervals = np.stack([starts, np.minimum(starts + step, full_n)], 1)
+                clip_intervals = _uniform_clip_intervals(cfg, full_n)
         feats = extract_features(frames, waveform, cfg)
         if cfg.model.audio_included and feats["audio"] is None:
             # serving robustness: no audio track → silent-audio features
@@ -142,6 +151,151 @@ class Summarizer:
         frames, full_n = _load_frames(video_fp, self.cfg.preprocess.skip_frames)
         waveform = _load_wav_sidecar(video_fp, self.cfg)
         return self.summarize_frames(video_id, frames, None, full_n, waveform)
+
+
+@dataclass
+class SpotResponse:
+    video_id: str
+    scores: np.ndarray                 # (T,) single-class or (T, C)
+    events: "np.ndarray | dict[str, np.ndarray]"  # condensed frame indices
+    summary_clips: np.ndarray
+    summary_frames: int
+
+
+class Spotter:
+    """Long-lived event-spotting service: trunk + temporal head loaded once,
+    thread-safe scoring of many timelines (the serving twin of
+    ``goalnet spot`` — cli.py::cmd_spot — the way :class:`Summarizer` twins
+    ``goalnet infer``).
+
+    ``temporal_checkpoint`` is the head ``spot-train`` saved; ``classes``
+    must match its ``--classes`` setting (the checkpoint loader fails hard on
+    structural mismatch rather than scoring with wrong-shaped heads).
+    """
+
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        checkpoint_dir: str | None = None,
+        checkpoint_tag: str = "opt",
+        temporal_checkpoint: str | None = None,
+        classes: "list[str] | None" = None,
+    ):
+        self.cfg = cfg
+        self.classes = list(classes) if classes else None
+        state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
+        if checkpoint_dir is not None:
+            state = load_checkpoint(checkpoint_dir, state, tag=checkpoint_tag)
+        self.state = state
+
+        from cvml_goalnet_tpu.train.spotting import load_spotting_checkpoint
+
+        d = cfg.model.vis_feature_dim + (
+            cfg.model.aud_feature_dim if cfg.model.audio_included else 0
+        )
+        n_classes = len(self.classes) if self.classes else 1
+        if cfg.model.temporal_model == "transformer":
+            from cvml_goalnet_tpu.models.temporal_attention import (
+                temporal_transformer_init,
+            )
+
+            tparams = temporal_transformer_init(
+                jax.random.PRNGKey(1), d,
+                num_heads=cfg.model.temporal_num_heads,
+                max_len=cfg.model.temporal_max_len,
+                n_classes=n_classes,
+                pos_encoding=cfg.model.temporal_pos_encoding,
+            )
+        else:
+            from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
+
+            tparams = temporal_scorer_init(
+                jax.random.PRNGKey(1), d, cfg.model.temporal_hidden,
+                n_classes=n_classes,
+            )
+        if temporal_checkpoint is not None:
+            tparams = load_spotting_checkpoint(temporal_checkpoint, tparams)
+        self.temporal_params = tparams
+        self._lock = threading.Lock()
+
+    def warmup(self, n_frames: int | None = None) -> None:
+        """Compile encode + score for one production timeline length."""
+        n = n_frames or 256
+        h, w = self.cfg.preprocess.serving_raw_hw
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (n, h, w, 3), dtype=np.uint8)
+        self.spot_frames("warmup", frames)
+
+    def spot_frames(
+        self,
+        video_id: str,
+        frames: np.ndarray,
+        full_n_frames: int | None = None,
+        waveform: np.ndarray | None = None,
+        peak_window: int = 5,
+        peak_threshold: float = 0.0,
+    ) -> SpotResponse:
+        from cvml_goalnet_tpu.spotting import (
+            encode_timeline,
+            score_timeline_auto,
+            scores_to_importance,
+            spot_events,
+            spot_events_multi,
+        )
+
+        cfg = self.cfg
+        full_n = full_n_frames or len(frames) * cfg.preprocess.skip_frames
+        feats_in = extract_features(frames, waveform, cfg)
+        if cfg.model.audio_included and feats_in["audio"] is None:
+            from cvml_goalnet_tpu.models.audio import audio_feature_channels
+
+            feats_in["audio"] = np.zeros(
+                (len(frames), cfg.audio.bin_length, audio_feature_channels(cfg.audio)),
+                np.float32,
+            )
+        import jax.numpy as jnp
+
+        with self._lock:
+            feats = encode_timeline(
+                self.state.params, self.state.model_state,
+                jnp.asarray(feats_in["visual"]),
+                jnp.asarray(feats_in["audio"]) if feats_in["audio"] is not None else None,
+                cfg,
+            )
+            scores = np.asarray(
+                score_timeline_auto(self.temporal_params, feats, cfg))
+
+        if self.classes:
+            if scores.ndim == 1:
+                scores = scores[:, None]
+            per_class = spot_events_multi(scores, peak_window, peak_threshold)
+            events = {c: ev for c, ev in zip(self.classes, per_class)}
+            eventness = scores.max(axis=1)
+        else:
+            events = spot_events(scores, peak_window, peak_threshold)
+            eventness = scores
+
+        res = summarize(
+            scores_to_importance(eventness),
+            _uniform_clip_intervals(cfg, full_n),
+            cfg.preprocess.skip_frames, full_n, cfg.knapsack,
+            knapsack_engine="native-full",
+        )
+        return SpotResponse(
+            video_id=video_id, scores=scores, events=events,
+            summary_clips=np.asarray(res.clip_intervals),
+            summary_frames=int(res.frame_mask.sum()),
+        )
+
+    def spot_path(self, video_fp: str, **kw) -> SpotResponse:
+        import os
+
+        from cvml_goalnet_tpu.data.dataset import _load_frames
+
+        video_id = os.path.basename(video_fp).rsplit(".", 1)[0]
+        frames, full_n = _load_frames(video_fp, self.cfg.preprocess.skip_frames)
+        waveform = _load_wav_sidecar(video_fp, self.cfg)
+        return self.spot_frames(video_id, frames, full_n, waveform, **kw)
 
 
 class DynamicBatcher:
@@ -295,10 +449,7 @@ class DynamicBatcher:
                 off += n
                 full = full_n or n * cfg.preprocess.skip_frames
                 if clip_intervals is None:
-                    budget = max(1, int(cfg.knapsack.summary_ratio * full))
-                    step = max(1, min(2 * 30, budget))
-                    starts = np.arange(0, full, step)
-                    clip_intervals = np.stack([starts, np.minimum(starts + step, full)], 1)
+                    clip_intervals = _uniform_clip_intervals(cfg, full)
                 res = summarize(s, clip_intervals, cfg.preprocess.skip_frames, full,
                                 cfg.knapsack, knapsack_engine="native-full")
                 fut.set_result(SummarizeResponse(
@@ -317,6 +468,7 @@ def serve_http(
     port: int = 8765,
     media_root: str | None = None,
     batcher: "DynamicBatcher | None" = None,
+    spotter: "Spotter | None" = None,
 ):
     """Blocking JSON-over-HTTP server; returns the server object when
     started with ``threading=True`` via :func:`start_http_background`.
@@ -363,6 +515,9 @@ def serve_http(
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
+            if self.path == "/spot":
+                self._do_spot()
+                return
             if self.path != "/summarize":
                 self._reply(404, {"error": "unknown path"})
                 return
@@ -399,11 +554,52 @@ def serve_http(
             except Exception as e:  # surface as 500 with message
                 self._reply(500, {"error": repr(e)})
 
+        def _do_spot(self):
+            """POST /spot {"video": ..., "peak_window"?, "peak_threshold"?} →
+            event frames (per class when the Spotter has classes) + the
+            eventness-driven knapsack summary — `goalnet spot` over HTTP."""
+            if spotter is None:
+                self._reply(404, {"error": "spotting not enabled on this server"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                path = resolve(req["video"])
+                resp = spotter.spot_path(
+                    path,
+                    peak_window=int(req.get("peak_window", 5)),
+                    peak_threshold=float(req.get("peak_threshold", 0.0)),
+                )
+                skip = spotter.cfg.preprocess.skip_frames
+                if isinstance(resp.events, dict):
+                    events = {c: ev.tolist() for c, ev in resp.events.items()}
+                    seconds = {
+                        c: [round(float(e * skip) / 30.0, 2) for e in ev]
+                        for c, ev in resp.events.items()
+                    }
+                else:
+                    events = resp.events.tolist()
+                    seconds = [round(float(e * skip) / 30.0, 2) for e in resp.events]
+                self._reply(200, {
+                    "video_id": resp.video_id,
+                    "classes": spotter.classes,
+                    "events_condensed_frames": events,
+                    "events_seconds": seconds,
+                    "summary_clips": resp.summary_clips.tolist(),
+                    "summary_frames": resp.summary_frames,
+                })
+            except PermissionError as e:
+                self._reply(403, {"error": str(e)})
+            except FileNotFoundError as e:
+                self._reply(404, {"error": f"video not found: {e}"})
+            except Exception as e:
+                self._reply(500, {"error": repr(e)})
+
     return ThreadingHTTPServer((host, port), Handler)
 
 
-def start_http_background(summarizer: Summarizer, host="127.0.0.1", port=8765, media_root=None, batcher=None):
-    server = serve_http(summarizer, host, port, media_root, batcher)
+def start_http_background(summarizer: Summarizer, host="127.0.0.1", port=8765, media_root=None, batcher=None, spotter=None):
+    server = serve_http(summarizer, host, port, media_root, batcher, spotter)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server

@@ -129,6 +129,114 @@ class TestSummarizer:
             server.shutdown()
 
 
+class TestSpotter:
+    """Round-3: event spotting as a served capability (Spotter + POST /spot),
+    the serving twin of `goalnet spot`."""
+
+    @pytest.fixture(scope="class")
+    def no_audio_cfg(self, small_cfg):
+        import dataclasses
+
+        return dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False)
+        )
+
+    def test_spot_frames_single_class(self, no_audio_cfg):
+        from cvml_goalnet_tpu.serve import Spotter
+
+        s = Spotter(no_audio_cfg)
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (20, 32, 32, 3), dtype=np.uint8)
+        resp = s.spot_frames("vid", frames)
+        assert resp.scores.shape == (20,)
+        assert isinstance(resp.events, np.ndarray)
+        assert resp.summary_frames > 0
+        assert resp.summary_clips.ndim == 2
+
+    def test_spot_frames_multiclass(self, no_audio_cfg):
+        from cvml_goalnet_tpu.serve import Spotter
+
+        s = Spotter(no_audio_cfg, classes=["goal", "card"])
+        rng = np.random.default_rng(1)
+        frames = rng.integers(0, 255, (16, 32, 32, 3), dtype=np.uint8)
+        resp = s.spot_frames("vid", frames)
+        assert resp.scores.shape == (16, 2)
+        assert set(resp.events) == {"goal", "card"}
+
+    def test_loads_spot_train_head(self, no_audio_cfg, tmp_path):
+        # the head spot-train saves restores into the Spotter (and a
+        # structurally different head fails hard, not silently)
+        import jax
+
+        from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
+        from cvml_goalnet_tpu.serve import Spotter
+        from cvml_goalnet_tpu.train.spotting import save_spotting_checkpoint
+
+        cfg = no_audio_cfg
+        head = temporal_scorer_init(
+            jax.random.PRNGKey(3), cfg.model.vis_feature_dim,
+            cfg.model.temporal_hidden)
+        fp = str(tmp_path / "head.npz")
+        save_spotting_checkpoint(fp, head)
+        s = Spotter(cfg, temporal_checkpoint=fp)
+        got = jax.tree_util.tree_leaves(s.temporal_params)
+        want = jax.tree_util.tree_leaves(head)
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        wrong = temporal_scorer_init(
+            jax.random.PRNGKey(3), cfg.model.vis_feature_dim,
+            cfg.model.temporal_hidden, n_classes=3)
+        fp2 = str(tmp_path / "head3.npz")
+        save_spotting_checkpoint(fp2, wrong)
+        with pytest.raises(ValueError, match="does not match"):
+            Spotter(cfg, temporal_checkpoint=fp2)
+
+    def test_http_spot_endpoint(self, no_audio_cfg, tmp_path):
+        from cvml_goalnet_tpu.serve import Spotter, Summarizer
+
+        s = Summarizer(no_audio_cfg)
+        spotter = Spotter(no_audio_cfg, classes=["goal", "card"])
+        server = start_http_background(s, port=0, spotter=spotter)
+        port = server.server_address[1]
+        try:
+            rng = np.random.default_rng(2)
+            fp = str(tmp_path / "m.npz")
+            np.savez_compressed(
+                fp, frames=rng.integers(0, 255, (90, 32, 32, 3), dtype=np.uint8))
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/spot",
+                data=json.dumps({"video": fp, "peak_window": 3}).encode(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                payload = json.load(r)
+            assert payload["video_id"] == "m"
+            assert payload["classes"] == ["goal", "card"]
+            assert set(payload["events_condensed_frames"]) == {"goal", "card"}
+            assert set(payload["events_seconds"]) == {"goal", "card"}
+            assert payload["summary_frames"] > 0
+        finally:
+            server.shutdown()
+
+    def test_http_spot_disabled(self, no_audio_cfg):
+        from cvml_goalnet_tpu.serve import Summarizer
+
+        server = start_http_background(Summarizer(no_audio_cfg), port=0)
+        port = server.server_address[1]
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/spot",
+                data=json.dumps({"video": "x.npz"}).encode(),
+                method="POST",
+            )
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req)
+            assert e.value.code == 404
+        finally:
+            server.shutdown()
+
+
 class TestServeHardening:
     """Round-2: production-shape warmup + media-root confinement."""
 
