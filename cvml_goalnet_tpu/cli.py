@@ -604,6 +604,79 @@ def cmd_spot_train(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Launch the long-lived HTTP service (serve.py): /summarize, /healthz,
+    and — with ``--spot`` — /spot.  The trunk checkpoint loads ONCE
+    (npz/orbax auto-detected like infer/spot); jit caches stay warm across
+    requests; ``--batch`` adds cross-request dynamic batching.
+    """
+    import jax
+
+    from cvml_goalnet_tpu.serve import DynamicBatcher, Spotter, Summarizer, serve_http
+    from cvml_goalnet_tpu.train.checkpoint import CheckpointMismatchError
+    from cvml_goalnet_tpu.train.state import create_train_state
+
+    cfg = _apply_temporal_overrides(_load_cfg(args), args)
+    paths = _artifact_paths(args.workdir, cfg.model.audio_included)
+    state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
+    try:
+        state = _load_trunk(paths, state, args, tags=("opt", "ckp"))
+    except FileNotFoundError:
+        print("W: no trained importance checkpoint; serving a random-init trunk")
+    except CheckpointMismatchError as e:
+        print(f"E: {e}", file=sys.stderr)
+        return 2
+
+    summarizer = Summarizer(cfg, state=state)
+    batcher = DynamicBatcher(summarizer) if args.batch else None
+    spotter = None
+    if args.spot:
+        classes = args.classes.split(",") if getattr(args, "classes", None) else None
+        if not args.temporal_checkpoint:
+            print("W: /spot will use a random-init temporal head "
+                  "(pass --temporal-checkpoint)")
+        try:
+            spotter = Spotter(
+                cfg, state=state,
+                temporal_checkpoint=args.temporal_checkpoint, classes=classes,
+            )
+        except ValueError as e:
+            print(f"E: {e}", file=sys.stderr)
+            return 2
+
+    if args.warmup:
+        summarizer.warmup()
+        if batcher is not None:
+            batcher.warmup()
+        if spotter is not None:
+            spotter.warmup()
+
+    try:
+        server = serve_http(summarizer, args.host, args.port,
+                            media_root=args.media_root, batcher=batcher,
+                            spotter=spotter)
+    except ValueError as e:  # non-loopback host without media_root
+        print(f"E: {e}", file=sys.stderr)
+        return 2
+    print(f"serving on http://{args.host}:{server.server_address[1]}"
+          f" (spot={'on' if spotter else 'off'},"
+          f" batch={'on' if batcher else 'off'})", flush=True)
+    if args.max_requests:
+        # handle_request() returns right after DISPATCHING to a handler
+        # thread; ThreadingHTTPServer marks handlers daemon, and daemon
+        # threads are excluded from the server's join-on-close registry —
+        # the process would exit mid-response on the final request.  Non-
+        # daemon handlers are tracked, so server_close() joins them and the
+        # last response is written before we return.
+        server.daemon_threads = False
+        for _ in range(args.max_requests):
+            server.handle_request()
+        server.server_close()
+    else:  # pragma: no cover - interactive mode
+        server.serve_forever()
+    return 0
+
+
 def cmd_baseline(args) -> int:
     from cvml_goalnet_tpu.baseline import run_random_baseline
 
@@ -699,6 +772,34 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint-backend", choices=["npz", "orbax"], default=None,
                    help="pin the trunk checkpoint layout (default: auto-detect)")
     p.set_defaults(fn=cmd_spot_train)
+
+    p = sub.add_parser("serve", help="HTTP serving: /summarize, /healthz (+ /spot)")
+    p.add_argument("--config", default=None, help="PipelineConfig JSON path")
+    p.add_argument("--workdir", default=".", help="artifact root with models/")
+    p.add_argument("--no-audio", action="store_true")
+    p.add_argument("--commentary", action="store_true")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8765, help="0 = OS-assigned")
+    p.add_argument("--media-root", default=None,
+                   help="confine requested video paths to this directory "
+                        "(REQUIRED for non-loopback --host)")
+    p.add_argument("--batch", action="store_true",
+                   help="cross-request dynamic batching (serve.DynamicBatcher)")
+    p.add_argument("--spot", action="store_true",
+                   help="also serve POST /spot (event spotting)")
+    p.add_argument("--temporal-checkpoint", default=None,
+                   help="spot-train head npz for /spot")
+    p.add_argument("--temporal-model", choices=["gru", "transformer"], default=None)
+    p.add_argument("--attn-window", type=int, default=None)
+    p.add_argument("--classes", default=None,
+                   help="comma-separated event classes for /spot")
+    p.add_argument("--checkpoint-backend", choices=["npz", "orbax"], default=None,
+                   help="pin the trunk checkpoint layout (default: auto-detect)")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile production shapes before accepting requests")
+    p.add_argument("--max-requests", type=int, default=0,
+                   help="serve N requests then exit (0 = forever)")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("baseline", help="random-init chance baseline")
     _add_data_args(p)

@@ -76,12 +76,14 @@ class Summarizer:
         checkpoint_dir: str | None = None,
         checkpoint_tag: str = "opt",
         store: AnnotationStore | None = None,
+        state=None,
     ):
         self.cfg = cfg
         self.store = store
-        state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
-        if checkpoint_dir is not None:
-            state = load_checkpoint(checkpoint_dir, state, tag=checkpoint_tag)
+        if state is None:
+            state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
+            if checkpoint_dir is not None:
+                state = load_checkpoint(checkpoint_dir, state, tag=checkpoint_tag)
         self.state = state
         self._lock = threading.Lock()
 
@@ -180,12 +182,14 @@ class Spotter:
         checkpoint_tag: str = "opt",
         temporal_checkpoint: str | None = None,
         classes: "list[str] | None" = None,
+        state=None,
     ):
         self.cfg = cfg
         self.classes = list(classes) if classes else None
-        state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
-        if checkpoint_dir is not None:
-            state = load_checkpoint(checkpoint_dir, state, tag=checkpoint_tag)
+        if state is None:
+            state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
+            if checkpoint_dir is not None:
+                state = load_checkpoint(checkpoint_dir, state, tag=checkpoint_tag)
         self.state = state
 
         from cvml_goalnet_tpu.train.spotting import load_spotting_checkpoint

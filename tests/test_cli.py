@@ -375,3 +375,66 @@ class TestCLIOrbaxBackend:
                   "--workdir", wd], root)
         assert r.returncode == 2, (r.stdout[-1000:], r.stderr[-1000:])
         assert "re-train with the current flags" in r.stderr
+
+
+class TestCLIServe:
+    def test_serve_verb_end_to_end(self, cli_env):
+        """goalnet serve: spawn, wait for the port line, drive /healthz,
+        /summarize, and /spot over HTTP, exit cleanly via --max-requests."""
+        import json as _json
+        import urllib.request
+
+        root = cli_env["root"]
+        env = dict(os.environ)
+        env["GOALNET_PLATFORM"] = "cpu"
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "cvml_goalnet_tpu.cli", "serve",
+             "--config", cli_env["cfg"], "--workdir", root, "--no-audio",
+             "--port", "0", "--media-root", os.path.dirname(cli_env["video_fps"][0]),
+             "--spot", "--classes", "goal,card", "--max-requests", "3"],
+            cwd=root, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        try:
+            line = ""
+            for _ in range(120):
+                line = proc.stdout.readline()
+                if "serving on" in line:
+                    break
+            assert "serving on" in line, line
+            assert "spot=on" in line
+            port = int(line.split("http://127.0.0.1:")[1].split(" ")[0])
+
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=60) as r:
+                assert _json.load(r)["status"] == "ok"
+
+            vid = os.path.basename(cli_env["video_fps"][0])
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/summarize",
+                data=_json.dumps({"video": vid}).encode(), method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                payload = _json.load(r)
+            assert payload["mask_frames"] > 0
+
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/spot",
+                data=_json.dumps({"video": vid}).encode(), method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                payload = _json.load(r)
+            assert payload["classes"] == ["goal", "card"]
+            assert set(payload["events_condensed_frames"]) == {"goal", "card"}
+
+            assert proc.wait(timeout=120) == 0
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+
+    def test_serve_non_loopback_requires_media_root(self, cli_env):
+        root = cli_env["root"]
+        r = _run(["serve", "--config", cli_env["cfg"], "--workdir", root,
+                  "--no-audio", "--host", "0.0.0.0", "--port", "0",
+                  "--max-requests", "1"], root)
+        assert r.returncode == 2
+        assert "media_root" in r.stderr or "media root" in r.stderr
