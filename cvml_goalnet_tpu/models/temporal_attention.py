@@ -273,6 +273,201 @@ def _dp_cp_transformer_fn(mesh, num_heads: int, data_axis: str, ctx_axis: str,
     return jax.jit(fn)
 
 
+def _tp_cp_local_body(params, feats_l, *, model_axis: str, ctx_axis: str,
+                      num_heads: int, t: int, use_flash: bool,
+                      flash_interpret: bool, window: int, n_out: int):
+    """One device's slice of the TENSOR × CONTEXT parallel transformer.
+
+    Runs INSIDE a ``shard_map`` over both axes: ``feats_l`` is the (T/n_ctx,
+    D) local time shard (replicated over ``model_axis``).  Per block, each
+    device computes ``H/n_model`` heads — wq/wk/wv columns and wo rows are
+    sliced by ``model_axis`` index (Megatron column/row split, head-aligned
+    because D/n_model = (H/n_model)·hd) — and its heads' attention runs
+    ring/halo context-parallel over ``ctx_axis``.  One psum over
+    ``model_axis`` merges the attention output, one more merges the MLP
+    (row-split mlp_out), exactly Megatron's two all-reduces per layer;
+    nothing else crosses ``model_axis``.  LN/positions/head run replicated
+    (negligible FLOPs).  Params enter replicated and are sliced in-body:
+    the split here is of COMPUTE and activations (each device holds
+    O(T_local · D/n_model) attention state), the standard trade at this
+    model scale.
+    """
+    import numpy as np
+
+    from cvml_goalnet_tpu.parallel.halo_attention import halo_attention_local
+    from cvml_goalnet_tpu.parallel.ring_attention import ring_attention_local
+
+    me_c = jax.lax.axis_index(ctx_axis)
+    me_m = jax.lax.axis_index(model_axis)
+    nm = jax.lax.axis_size(model_axis)
+    tl = feats_l.shape[0]
+    x = L.linear_apply(params["proj_in"], feats_l)
+    rope_pos = None
+    if "pos" in params:
+        max_len = params["pos"].shape[0]
+        gidx = (me_c * tl + jnp.arange(tl)) % max_len
+        x = x + params["pos"][gidx]
+    else:
+        rope_pos = me_c * tl + jnp.arange(tl)
+    d = x.shape[-1]
+    hd = d // num_heads
+    h_loc = num_heads // nm
+    d_loc = d // nm
+
+    def col_slice(w, width):   # (in, out) → this device's output columns
+        return jax.lax.dynamic_slice_in_dim(w, me_m * width, width, axis=1)
+
+    def row_slice(w, width):   # (in, out) → this device's input rows
+        return jax.lax.dynamic_slice_in_dim(w, me_m * width, width, axis=0)
+
+    def vec_slice(b, width):
+        return jax.lax.dynamic_slice_in_dim(b, me_m * width, width, axis=0)
+
+    for layer in params["layers"]:
+        h = L.layernorm_apply(layer["ln1"], x)
+
+        def qkv(lin):  # (Tl, D) → this device's heads (h_loc, Tl, hd)
+            y = h @ col_slice(lin["w"], d_loc) + vec_slice(lin["b"], d_loc)
+            return y.reshape(tl, h_loc, hd).transpose(1, 0, 2)
+
+        q, k, v = qkv(layer["wq"]), qkv(layer["wk"]), qkv(layer["wv"])
+        if rope_pos is not None:
+            q = rope_rotate(q, rope_pos)
+            k = rope_rotate(k, rope_pos)
+        if window > 0:
+            attn = halo_attention_local(
+                q, k, v, ctx_axis, window, t_valid=t,
+                use_flash=use_flash, flash_interpret=flash_interpret,
+            )
+        else:
+            attn = ring_attention_local(
+                q, k, v, ctx_axis, 1.0 / np.sqrt(hd), t_valid=t,
+                use_flash=use_flash, flash_interpret=flash_interpret,
+            )
+        partial = attn.transpose(1, 0, 2).reshape(tl, d_loc) @ row_slice(
+            layer["wo"]["w"], d_loc)
+        x = x + jax.lax.psum(partial, model_axis) + layer["wo"]["b"]
+
+        h = L.layernorm_apply(layer["ln2"], x)
+        m_loc = layer["mlp_in"]["w"].shape[1] // nm
+        hin = h @ col_slice(layer["mlp_in"]["w"], m_loc) + vec_slice(
+            layer["mlp_in"]["b"], m_loc)
+        partial = jax.nn.gelu(hin) @ row_slice(layer["mlp_out"]["w"], m_loc)
+        x = x + jax.lax.psum(partial, model_axis) + layer["mlp_out"]["b"]
+
+    out = L.linear_apply(params["head"], x)
+    return out[:, 0] if n_out == 1 else out
+
+
+@lru_cache(maxsize=16)
+def _tp_cp_transformer_fn(mesh, num_heads: int, model_axis: str, ctx_axis: str,
+                          t: int, use_flash: bool = False,
+                          flash_interpret: bool = False, window: int = 0,
+                          n_out: int = 1, data_axis: str | None = None):
+    """Jitted TP×CP program; with ``data_axis`` the full 3-D DP×TP×CP."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def one(params, f):
+        return _tp_cp_local_body(
+            params, f, model_axis=model_axis, ctx_axis=ctx_axis,
+            num_heads=num_heads, t=t, use_flash=use_flash,
+            flash_interpret=flash_interpret, window=window, n_out=n_out,
+        )
+
+    if data_axis is None:
+        body = one
+        in_spec = P(ctx_axis, None)
+        out_spec = P(ctx_axis) if n_out == 1 else P(ctx_axis, None)
+    else:
+        def body(params, feats_l):  # (B/n_data, T/n_ctx, D)
+            return jax.vmap(lambda f: one(params, f))(feats_l)
+
+        in_spec = P(data_axis, ctx_axis, None)
+        out_spec = (P(data_axis, ctx_axis) if n_out == 1
+                    else P(data_axis, ctx_axis, None))
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), in_spec),
+        out_specs=out_spec,
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def _check_tp_divisibility(params, num_heads: int, nm: int):
+    d = params["proj_in"]["w"].shape[1]
+    m = params["layers"][0]["mlp_in"]["w"].shape[1] if params["layers"] else nm
+    if num_heads % nm or d % nm or m % nm:
+        raise ValueError(
+            f"tensor-parallel axis width {nm} must divide num_heads "
+            f"({num_heads}), model_dim ({d}), and the MLP hidden ({m})"
+        )
+
+
+def temporal_transformer_tp_cp_apply(
+    params,
+    features: jax.Array,          # (T, D): T over ctx_axis; heads over model_axis
+    mesh,
+    num_heads: int = 1,
+    model_axis: str = "model",
+    ctx_axis: str = "ctx",
+    use_flash: bool = False,
+    flash_interpret: bool = False,
+    window: int = 0,
+) -> jax.Array:
+    """Composed tensor × context parallelism over one 2-D mesh: each device
+    holds H/n_model heads of T/n_ctx timeline — the layout for a single
+    timeline too long for a chip AND blocks too wide for a chip.  Numerically
+    equal to the monolithic scorer (tests/test_composed_parallel.py)."""
+    t = features.shape[0]
+    nc = mesh.shape[ctx_axis]
+    _check_tp_divisibility(params, num_heads, mesh.shape[model_axis])
+    t_pad = -(-t // nc) * nc
+    feats = jnp.pad(features, ((0, t_pad - t), (0, 0))) if t_pad != t else features
+    n_out = int(params["head"]["w"].shape[-1])
+    fn = _tp_cp_transformer_fn(mesh, num_heads, model_axis, ctx_axis, t,
+                               use_flash, flash_interpret, window, n_out)
+    return fn(params, feats)[:t]
+
+
+def temporal_transformer_3d_apply(
+    params,
+    features: jax.Array,          # (B, T, D) over (data, ctx); heads over model
+    mesh,
+    num_heads: int = 1,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    ctx_axis: str = "ctx",
+    use_flash: bool = False,
+    flash_interpret: bool = False,
+    window: int = 0,
+) -> jax.Array:
+    """Full 3-D parallelism — DP × TP × CP in ONE shard_map: a batch of
+    timelines shards over ``data_axis``, every timeline's time axis over
+    ``ctx_axis``, and every block's heads over ``model_axis``.  Ring/halo
+    collectives ride ``ctx_axis``, the two Megatron all-reduces ride
+    ``model_axis``, and parameter gradients psum over all three axes via the
+    shard_map transpose.  Numerically equal to
+    ``vmap(temporal_transformer_apply)``."""
+    b, t = features.shape[0], features.shape[1]
+    nd = mesh.shape[data_axis]
+    nc = mesh.shape[ctx_axis]
+    _check_tp_divisibility(params, num_heads, mesh.shape[model_axis])
+    if b % nd:
+        raise ValueError(
+            f"batch {b} must divide over data axis {data_axis!r} ({nd} devices)"
+        )
+    t_pad = -(-t // nc) * nc
+    feats = (jnp.pad(features, ((0, 0), (0, t_pad - t), (0, 0)))
+             if t_pad != t else features)
+    n_out = int(params["head"]["w"].shape[-1])
+    fn = _tp_cp_transformer_fn(mesh, num_heads, model_axis, ctx_axis, t,
+                               use_flash, flash_interpret, window, n_out,
+                               data_axis)
+    return fn(params, feats)[:, :t]
+
+
 def temporal_transformer_dp_cp_apply(
     params,
     features: jax.Array,          # (B, T, D): B over data_axis, T over ctx_axis

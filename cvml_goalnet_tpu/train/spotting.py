@@ -172,6 +172,49 @@ def make_dp_cp_spotting_train_step(
     return jax.jit(step)
 
 
+@lru_cache(maxsize=8)
+def make_3d_spotting_train_step(
+    mesh,
+    num_heads: int = 1,
+    lr: float = 1e-3,
+    pos_weight: float = 10.0,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    ctx_axis: str = "ctx",
+    use_flash: bool = False,
+    flash_interpret: bool = False,
+    window: int = 0,
+):
+    """Full 3-D (DP × TP × CP) spotting train step: batch over ``data_axis``,
+    time over ``ctx_axis``, heads over ``model_axis`` — one shard_map, with
+    ring/halo hops on the ctx ring, Megatron's two all-reduces per layer on
+    the model axis, and gradient psums over all three axes derived by the
+    shard_map transpose.  Same −1-label padding contract as the DP×CP step.
+    Numerically equal to the monolithic batched step
+    (tests/test_composed_parallel.py::Test3DParallel).
+    """
+    from cvml_goalnet_tpu.models.temporal_attention import (
+        temporal_transformer_3d_apply,
+    )
+
+    def loss_fn(params, features, labels):
+        logits = temporal_transformer_3d_apply(
+            params, features, mesh, num_heads, data_axis, model_axis, ctx_axis,
+            use_flash=use_flash, flash_interpret=flash_interpret, window=window,
+        ).reshape(labels.shape)
+        w = jnp.where(labels > 0.5, pos_weight, 1.0) * (labels >= 0)
+        lab = jnp.maximum(labels, 0.0)
+        per = jnp.maximum(logits, 0) - logits * lab + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        return jnp.sum(w * per) / jnp.sum(w)
+
+    def step(params, opt_state, features, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(params, features, labels)
+        params, opt_state = adam_update(grads, opt_state, params, lr)
+        return params, opt_state, loss
+
+    return jax.jit(step)
+
+
 def save_spotting_checkpoint(path: str, params) -> None:
     """Atomic npz checkpoint of the temporal scorer params."""
     import os

@@ -387,3 +387,136 @@ class TestDpPp:
             params, feats, mesh, "pipe", 2, data_axis="data")
         mono = jax.vmap(lambda f: temporal_transformer_apply(params, f, 2))(feats)
         np.testing.assert_allclose(np.asarray(out), np.asarray(mono), atol=1e-4)
+
+
+class TestTpCp:
+    """Explicit Megatron TP × ring/halo CP in one shard_map: each device holds
+    H/n_model heads of T/n_ctx timeline."""
+
+    def _mesh(self, nm=2, nc=4):
+        devs = np.array(jax.devices()[: nm * nc]).reshape(nm, nc)
+        return Mesh(devs, ("model", "ctx"))
+
+    def test_forward_matches_monolithic(self):
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_tp_cp_apply,
+        )
+
+        mesh = self._mesh()
+        params = _params()  # num_heads=2, model_dim=32, mlp 128 — all % 2
+        feats, _ = _batch(b=1, t=40)
+        out = temporal_transformer_tp_cp_apply(params, feats[0], mesh, 2)
+        mono = temporal_transformer_apply(params, feats[0], 2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(mono), atol=1e-4)
+
+    def test_banded_and_padded(self):
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_tp_cp_apply,
+        )
+
+        mesh = self._mesh()
+        params = _params()
+        feats, _ = _batch(b=1, t=37)  # pads to 40 over the 4-wide ctx axis
+        out = temporal_transformer_tp_cp_apply(params, feats[0], mesh, 2, window=6)
+        mono = temporal_transformer_apply(params, feats[0], 2, window=6)
+        assert out.shape == (37,)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(mono), atol=1e-4)
+
+    def test_rotary(self):
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_tp_cp_apply,
+        )
+
+        mesh = self._mesh()
+        params = _params(pos_encoding="rotary")
+        feats, _ = _batch(b=1, t=40)
+        out = temporal_transformer_tp_cp_apply(params, feats[0], mesh, 2)
+        mono = temporal_transformer_apply(params, feats[0], 2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(mono), atol=1e-4)
+
+    def test_indivisible_heads_raise(self):
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_tp_cp_apply,
+        )
+
+        devs = np.array(jax.devices()[:8]).reshape(4, 2)
+        mesh = Mesh(devs, ("model", "ctx"))
+        params = _params()  # 2 heads cannot split over 4 model devices
+        feats, _ = _batch(b=1)
+        with pytest.raises(ValueError, match="must divide num_heads"):
+            temporal_transformer_tp_cp_apply(params, feats[0], mesh, 2)
+
+
+class Test3DParallel:
+    """DP × TP × CP — all three in one shard_map over a 3-D mesh."""
+
+    def _mesh(self):
+        devs = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+        return Mesh(devs, ("data", "model", "ctx"))
+
+    def test_forward_matches_vmapped_monolithic(self):
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_3d_apply,
+        )
+
+        mesh = self._mesh()
+        params = _params()
+        feats, _ = _batch(b=4, t=24)
+        out = temporal_transformer_3d_apply(params, feats, mesh, 2)
+        mono = jax.vmap(lambda f: temporal_transformer_apply(params, f, 2))(feats)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(mono), atol=1e-4)
+
+    def test_grads_match_monolithic(self):
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_3d_apply,
+        )
+
+        mesh = self._mesh()
+        params = _params()
+        feats, labels = _batch(b=4, t=24)
+
+        def sharded_loss(p):
+            logits = temporal_transformer_3d_apply(p, feats, mesh, 2).reshape(
+                labels.shape)
+            w = jnp.where(labels > 0.5, 10.0, 1.0)
+            per = (jnp.maximum(logits, 0) - logits * labels
+                   + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+            return jnp.sum(w * per) / jnp.sum(w)
+
+        gs = jax.grad(sharded_loss)(params)
+        gm = jax.grad(lambda p: _mono_loss_fn(p, feats, labels))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(gs), jax.tree_util.tree_leaves(gm)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    def test_train_step_matches_monolithic(self):
+        from cvml_goalnet_tpu.train.optim import adam_update
+        from cvml_goalnet_tpu.train.spotting import make_3d_spotting_train_step
+
+        mesh = self._mesh()
+        params = _params()
+        feats, labels = _batch(b=4, t=24, seed=9)
+        step = make_3d_spotting_train_step(mesh, num_heads=2)
+        p1, _, loss1 = step(params, init_spotting_opt(params), feats, labels)
+        jax.block_until_ready(p1)
+
+        def mono_step(p, opt, f, l):
+            loss, grads = jax.value_and_grad(_mono_loss_fn)(p, f, l)
+            p, opt = adam_update(grads, opt, p, 1e-3)
+            return p, opt, loss
+
+        p2, _, loss2 = mono_step(params, init_spotting_opt(params), feats, labels)
+        np.testing.assert_allclose(float(loss1), float(loss2), atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+    def test_banded_3d_train_step(self):
+        from cvml_goalnet_tpu.train.spotting import make_3d_spotting_train_step
+
+        mesh = self._mesh()
+        params = _params()
+        feats, labels = _batch(b=4, t=24, seed=4)
+        step = make_3d_spotting_train_step(mesh, num_heads=2, window=6)
+        p1, _, loss1 = step(params, init_spotting_opt(params), feats, labels)
+        jax.block_until_ready(p1)
+        loss_mono = float(_mono_loss_fn(params, feats, labels, window=6))
+        np.testing.assert_allclose(float(loss1), loss_mono, atol=1e-5)
