@@ -258,7 +258,7 @@ def cmd_infer(args) -> int:
 
 
 def _apply_temporal_overrides(cfg, args):
-    """Fold --temporal-model / --attn-window into the config."""
+    """Fold --temporal-model / --attn-window / --heads into the config."""
     if getattr(args, "temporal_model", None):
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, temporal_model=args.temporal_model)
@@ -266,6 +266,10 @@ def _apply_temporal_overrides(cfg, args):
     if getattr(args, "attn_window", None) is not None:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, temporal_window=args.attn_window)
+        )
+    if getattr(args, "heads", None) is not None:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, temporal_num_heads=args.heads)
         )
     return cfg
 
@@ -517,8 +521,37 @@ def cmd_spot_train(args) -> int:
             from jax.sharding import Mesh
 
             ndp = max(1, int(getattr(args, "dp_timelines", 1) or 1))
+            ntp = max(1, int(getattr(args, "tp", 1) or 1))
             devs = jax.devices()
-            if ndp > 1:
+            if ntp > 1:
+                # 3-D: heads split Megatron-style over a "model" axis on top
+                # of the DP×CP layout (models/temporal_attention.py
+                # ::temporal_transformer_3d_apply).
+                if len(devs) % (ndp * ntp):
+                    print(f"E: --dp-timelines {ndp} × --tp {ntp} does not "
+                          f"divide the {len(devs)}-device mesh", file=sys.stderr)
+                    return 2
+                if cfg.model.temporal_num_heads % ntp:
+                    print(f"E: --tp {ntp} must divide the head count "
+                          f"({cfg.model.temporal_num_heads}); pass --heads",
+                          file=sys.stderr)
+                    return 2
+                from cvml_goalnet_tpu.train.spotting import (
+                    make_3d_spotting_train_step,
+                )
+
+                nctx = len(devs) // (ndp * ntp)
+                mesh = Mesh(np.array(devs).reshape(ndp, ntp, nctx),
+                            ("data", "model", "ctx"))
+                print(f"DP×TP×CP: {ndp} timelines × {ntp}-way tensor × "
+                      f"{nctx}-way context parallel")
+                step = make_3d_spotting_train_step(
+                    mesh, num_heads=cfg.model.temporal_num_heads,
+                    lr=args.lr, pos_weight=args.pos_weight,
+                    use_flash=jax.default_backend() not in ("cpu",),
+                    window=cfg.model.temporal_window,
+                )
+            elif ndp > 1:
                 if len(devs) % ndp:
                     print(f"E: --dp-timelines {ndp} does not divide the "
                           f"{len(devs)}-device mesh", file=sys.stderr)
@@ -565,7 +598,10 @@ def cmd_spot_train(args) -> int:
 
     ndp_batch = (max(1, int(getattr(args, "dp_timelines", 1) or 1))
                  if getattr(args, "cp", False) else 1)
-    if ndp_batch > 1:
+    # the 3-D (--tp) step consumes batched (B, T, D) input even at B=1
+    batched = ndp_batch > 1 or (getattr(args, "cp", False)
+                                and max(1, int(getattr(args, "tp", 1) or 1)) > 1)
+    if batched:
         # DP×CP: group timelines into batches of ndp, padded to the longest
         # (labels -1 on pads → zero loss weight; short groups fill with
         # fully-masked dummy timelines so the batch axis stays divisible)
@@ -587,7 +623,7 @@ def cmd_spot_train(args) -> int:
     opt = init_spotting_opt(tparams)
     for epoch in range(args.epochs):
         losses = []
-        if ndp_batch > 1:
+        if batched:
             for bf, bl in groups:
                 tparams, opt, loss = step(tparams, opt, bf, bl)
                 losses.append(float(loss))
@@ -734,6 +770,8 @@ def main(argv=None) -> int:
     p.add_argument("--attn-window", type=int, default=None,
                    help="transformer attention band radius in condensed frames "
                         "(sliding-window flash kernel; 0/default = full attention)")
+    p.add_argument("--heads", type=int, default=None,
+                   help="override temporal_num_heads (must match the trained head)")
     p.add_argument("--classes", default=None,
                    help="comma-separated event classes (goal,card,...) for "
                         "multi-class spotting; requires a head trained with "
@@ -762,6 +800,14 @@ def main(argv=None) -> int:
                    help="with --cp: compose DP×CP — batch N timelines over a "
                         "'data' mesh axis while time shards over the remaining "
                         "'ctx' axis (N must divide the device count)")
+    p.add_argument("--tp", type=int, default=1, metavar="N",
+                   help="with --cp: split attention heads + MLP N-way over a "
+                        "'model' mesh axis (Megatron column/row) on top of "
+                        "DP×CP — the full 3-D DP×TP×CP layout; N must divide "
+                        "the head count (--heads) and, with --dp-timelines, "
+                        "the device count")
+    p.add_argument("--heads", type=int, default=None,
+                   help="override temporal_num_heads for the transformer scorer")
     p.add_argument("--classes", default=None,
                    help="comma-separated event classes (goal,card,...) — "
                         "trains a multi-class head from labelled sidecars")

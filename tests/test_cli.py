@@ -277,6 +277,51 @@ class TestCLISpotTrainCP:
         assert r.returncode == 2
         assert "does not divide" in r.stderr
 
+    def test_spot_train_3d_composed(self, cli_env):
+        # --tp 2 on top of --dp-timelines 2 over the 8-virtual-device mesh →
+        # (2, 2, 2) DP×TP×CP: heads split Megatron-style over "model" while
+        # batch rides "data" and time rides "ctx" (one shard_map).
+        root = cli_env["root"]
+        for fp in cli_env["video_fps"]:
+            side = fp.rsplit(".", 1)[0] + ".events.json"
+            with open(side, "w") as f:
+                json.dump([0, 60, 150], f)
+        head_fp = os.path.join(root, "models", "spot_head_3d.npz")
+        r = _run(["spot-train", *_data_args(cli_env), "--workdir", root,
+                  "--no-audio", "--temporal-model", "transformer",
+                  "--cp", "--dp-timelines", "2", "--tp", "2", "--heads", "2",
+                  "--epochs", "2", "--out", head_fp], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "DP×TP×CP: 2 timelines × 2-way tensor × 2-way context parallel" \
+            in r.stdout
+        assert os.path.exists(head_fp)
+
+    def test_tp_only_composes_with_cp_at_batch_one(self, cli_env):
+        # --tp without --dp-timelines still runs: (1, 2, 4) mesh, B=1 groups
+        root = cli_env["root"]
+        for fp in cli_env["video_fps"]:
+            side = fp.rsplit(".", 1)[0] + ".events.json"
+            with open(side, "w") as f:
+                json.dump([0, 90], f)
+        r = _run(["spot-train", *_data_args(cli_env), "--workdir", root,
+                  "--no-audio", "--temporal-model", "transformer",
+                  "--cp", "--tp", "2", "--heads", "2", "--epochs", "1"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "DP×TP×CP: 1 timelines × 2-way tensor × 4-way context parallel" \
+            in r.stdout
+
+    def test_tp_must_divide_heads(self, cli_env):
+        root = cli_env["root"]
+        for fp in cli_env["video_fps"]:
+            side = fp.rsplit(".", 1)[0] + ".events.json"
+            with open(side, "w") as f:
+                json.dump([0, 60], f)
+        r = _run(["spot-train", *_data_args(cli_env), "--workdir", root,
+                  "--no-audio", "--temporal-model", "transformer",
+                  "--cp", "--tp", "2", "--epochs", "1"], root)  # default 1 head
+        assert r.returncode == 2
+        assert "must divide the head count" in r.stderr
+
 
 class TestCLIMultiClassSpotting:
     def test_spot_train_and_spot_multiclass(self, cli_env):
