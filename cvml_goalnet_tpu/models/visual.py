@@ -141,9 +141,18 @@ def _visual_encoder_apply_folded(params, state, x, quant: bool = False):
     s_flat = jnp.tile(s_prev, hw)
     t_flat = jnp.tile(t_prev, hw)
     w = params["head"]["w"].astype(jnp.float32)
-    head = {
-        "w": (w * s_flat[:, None]).astype(x.dtype),
-        "b": (params["head"]["b"].astype(jnp.float32) + t_flat @ w).astype(x.dtype),
-    }
-    x = x.reshape(x.shape[0], -1)
-    return jax.nn.relu(L.linear_apply(head, x))
+    w_folded = (w * s_flat[:, None]).astype(x.dtype)
+    b_folded = (params["head"]["b"].astype(jnp.float32) + t_flat @ w).astype(x.dtype)
+    # The flatten+GEMM (K=H·W·C, N=feature_dim) tiles poorly on the MXU
+    # (~25–36% of bf16 peak); the SAME contraction expressed as an H×W VALID
+    # convolution hits 65% — XLA's conv tiler K-splits spatially where its
+    # GEMM tiler cannot (measured: 9.88→5.47 ms at B=16384,
+    # benchmarks/head_explore.py; docs/BENCHMARKS.md).  Row-major flatten of
+    # NHWC means w.reshape(H, W, C, out) IS the HWIO kernel — bit-identical
+    # results (max_err 0.0 at bf16 on TPU).
+    w_hwio = w_folded.reshape(x.shape[1], x.shape[2], x.shape[3], -1)
+    y = jax.lax.conv_general_dilated(
+        x, w_hwio, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return jax.nn.relu(y.reshape(x.shape[0], -1) + b_folded)

@@ -70,3 +70,46 @@ class TestFusedConvPoolStage:
         want = np.asarray(reference_stage(x, wt, b))
         got = np.asarray(fused_conv_pool_stage(x, wt, b, 8, True))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestHeadMatmul:
+    """K-streamed tiled matmul for the flatten→linear head
+    (ops/pallas/matmul.py) — interpret-mode parity vs the XLA chain,
+    including the K-accumulator reset across M tiles, batch padding, and
+    the no-ReLU epilogue."""
+
+    @pytest.mark.parametrize("m,k,n,bm,bk", [
+        (100, 4608, 512, 64, 2304),   # padded batch, 2 K steps
+        (64, 4608, 128, 64, 1536),    # 3 K steps, single M tile
+        (130, 2304, 256, 32, 2304),   # single K step (epilogue == init step)
+    ])
+    def test_matches_xla_gemm(self, m, k, n, bm, bk):
+        from cvml_goalnet_tpu.ops.pallas.matmul import head_matmul_pallas
+
+        rng = np.random.default_rng(m + k)
+        x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32) * 0.1)
+        w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.02)
+        b = jnp.asarray(rng.standard_normal((n,)).astype(np.float32))
+        got = np.asarray(head_matmul_pallas(x, w, b, True, bm, bk, True))
+        want = np.asarray(jnp.maximum(x @ w + b, 0.0))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_no_relu(self):
+        from cvml_goalnet_tpu.ops.pallas.matmul import head_matmul_pallas
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((32, 2304)).astype(np.float32) * 0.1)
+        w = jnp.asarray(rng.standard_normal((2304, 128)).astype(np.float32) * 0.02)
+        b = jnp.asarray(rng.standard_normal((128,)).astype(np.float32))
+        got = np.asarray(head_matmul_pallas(x, w, b, False, 32, 1152, True))
+        want = np.asarray(x @ w + b)
+        assert (want < 0).any()  # ReLU-off actually observable
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_indivisible_block_k_raises(self):
+        from cvml_goalnet_tpu.ops.pallas.matmul import head_matmul_pallas
+
+        x = jnp.zeros((8, 1000), jnp.float32)
+        w = jnp.zeros((1000, 64), jnp.float32)
+        with pytest.raises(ValueError, match="must divide K"):
+            head_matmul_pallas(x, w, jnp.zeros((64,)), True, 8, 512, True)
