@@ -213,3 +213,39 @@ class TestFoldedBatchnormEval:
         got, _ = visual_encoder_apply(
             params, state, x, train=False, rng=jax.random.PRNGKey(0), dropout_rate=0.2)
         np.testing.assert_allclose(np.asarray(got), ref, atol=5e-5)
+
+    def test_folded_rectangular_frames(self):
+        """The conv-formulated head (round 3: flatten+GEMM re-expressed as an
+        H×W VALID conv) must reshape the folded weight H-major for ANY
+        spatial trace, not just the square 40×40 one."""
+        from cvml_goalnet_tpu.config import ModelConfig, PreprocessConfig
+        from cvml_goalnet_tpu.models import layers as L
+        from cvml_goalnet_tpu.models.visual import (
+            _STAGE_GEOM, visual_encoder_apply, visual_encoder_init)
+
+        cfg = ModelConfig(vis_channels=(8, 16, 16), vis_feature_dim=24)
+        pre = PreprocessConfig(frame_size=(40, 28))
+        params, state = visual_encoder_init(jax.random.PRNGKey(1), cfg, pre)
+        rng = np.random.default_rng(1)
+        for i in range(3):
+            c = params[f"conv{i}"]["b"].shape[0]
+            state[f"bn{i}"]["mean"] = jnp.asarray(rng.normal(0, 0.5, c).astype(np.float32))
+            state[f"bn{i}"]["var"] = jnp.asarray((rng.random(c) * 2 + 0.1).astype(np.float32))
+
+        x = jnp.asarray(rng.random((3, 40, 28, 3)).astype(np.float32))
+
+        def unfolded(params, state, x):
+            for i in range(3):
+                _, s, p = _STAGE_GEOM[i]
+                x = L.conv2d_apply(params[f"conv{i}"], x, stride=s, padding=p)
+                x = jax.nn.relu(x)
+                x = L.maxpool2d(x, 3, 1)
+                x, _ = L.batchnorm_apply(params[f"bn{i}"], state[f"bn{i}"], x, train=False)
+            x = x.reshape(x.shape[0], -1)
+            return jax.nn.relu(L.linear_apply(params["head"], x))
+
+        ref = np.asarray(unfolded(params, state, x))
+        got, _ = visual_encoder_apply(
+            params, state, x, train=False, rng=jax.random.PRNGKey(0), dropout_rate=0.2)
+        assert got.shape == (3, 24)
+        np.testing.assert_allclose(np.asarray(got), ref, atol=5e-5)
