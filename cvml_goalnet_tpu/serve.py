@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -466,6 +467,60 @@ class DynamicBatcher:
                     fut.set_exception(e)
 
 
+class ServerMetrics:
+    """Thread-safe per-endpoint request counters + latency quantiles.
+
+    Production observability for the serving path (the reference had none —
+    SURVEY.md §5 lists metrics/logging as a subsystem the rebuild owns):
+    each endpoint records count, error count, and wall latencies into a
+    bounded ring (last ``window`` samples) from which /metrics reports
+    p50/p95/max.  Lock-guarded; the GET handler snapshots under the lock.
+    """
+
+    def __init__(self, window: int = 512):
+        from collections import deque
+
+        self._lock = threading.Lock()
+        self._window = window
+        self._lat: dict[str, "object"] = {}
+        self._counts: dict[str, int] = {}
+        self._errors: dict[str, int] = {}
+        self._deque = deque
+        self.started = time.time()
+
+    def observe(self, endpoint: str, seconds: float, error: bool) -> None:
+        with self._lock:
+            self._counts[endpoint] = self._counts.get(endpoint, 0) + 1
+            if error:
+                self._errors[endpoint] = self._errors.get(endpoint, 0) + 1
+            ring = self._lat.setdefault(endpoint, self._deque(maxlen=self._window))
+            ring.append(seconds)
+
+    def snapshot(self, batcher: "DynamicBatcher | None" = None) -> dict:
+        with self._lock:
+            out: dict = {"uptime_s": round(time.time() - self.started, 3),
+                         "endpoints": {}}
+            for ep, count in self._counts.items():
+                lats = sorted(self._lat.get(ep, ()))
+                entry = {"requests": count, "errors": self._errors.get(ep, 0)}
+                if lats:
+                    entry["latency_ms"] = {
+                        "p50": round(1e3 * lats[len(lats) // 2], 3),
+                        "p95": round(1e3 * lats[min(len(lats) - 1,
+                                                    int(len(lats) * 0.95))], 3),
+                        "max": round(1e3 * lats[-1], 3),
+                        "window": len(lats),
+                    }
+                out["endpoints"][ep] = entry
+        if batcher is not None:
+            st = dict(batcher.stats)
+            if st.get("batches"):
+                st["mean_batch_frames"] = round(
+                    st["batched_frames"] / st["batches"], 1)
+            out["batcher"] = st
+        return out
+
+
 def serve_http(
     summarizer: Summarizer,
     host: str = "127.0.0.1",
@@ -491,6 +546,7 @@ def serve_http(
             "pass media_root to confine which files requests may read"
         )
     root = os.path.realpath(media_root) if media_root is not None else None
+    metrics = ServerMetrics()
 
     def resolve(requested: str) -> str:
         if root is None:
@@ -511,20 +567,31 @@ def serve_http(
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+            self._status = code
 
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok"})
+            elif self.path == "/metrics":
+                self._reply(200, metrics.snapshot(batcher))
             else:
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path == "/spot":
-                self._do_spot()
-                return
-            if self.path != "/summarize":
-                self._reply(404, {"error": "unknown path"})
-                return
+            t0 = time.perf_counter()
+            self._status = 500
+            try:
+                if self.path == "/spot":
+                    self._do_spot()
+                elif self.path == "/summarize":
+                    self._do_summarize()
+                else:
+                    self._reply(404, {"error": "unknown path"})
+            finally:
+                metrics.observe(self.path, time.perf_counter() - t0,
+                                self._status >= 400)
+
+        def _do_summarize(self):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")

@@ -125,6 +125,16 @@ class TestSummarizer:
             with pytest.raises(urllib.error.HTTPError) as e:
                 urllib.request.urlopen(req)
             assert e.value.code in (404, 500)
+
+            # /metrics aggregates both requests: 2 observed, 1 error, with
+            # latency quantiles from the bounded ring (ServerMetrics)
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+                m = json.load(r)
+            assert m["uptime_s"] >= 0
+            ep = m["endpoints"]["/summarize"]
+            assert ep["requests"] == 2 and ep["errors"] == 1
+            lat = ep["latency_ms"]
+            assert lat["window"] == 2 and 0 < lat["p50"] <= lat["max"]
         finally:
             server.shutdown()
 
