@@ -199,7 +199,7 @@ class TestSpotter:
             cfg.model.temporal_hidden, n_classes=3)
         fp2 = str(tmp_path / "head3.npz")
         save_spotting_checkpoint(fp2, wrong)
-        with pytest.raises(ValueError, match="does not match"):
+        with pytest.raises(ValueError, match="does not match|shape mismatch"):
             Spotter(cfg, temporal_checkpoint=fp2)
 
     def test_http_spot_endpoint(self, no_audio_cfg, tmp_path):
