@@ -87,22 +87,28 @@ def main() -> None:
                     ).astype(jnp.bfloat16)
     w27 = w.reshape(27, 64)                           # (kh, kw, cin) row-major
 
+    # Every variant ends in the production ReLU (conv0 feeds relu+pool in
+    # the real stack).  The nonlinearity also defeats scan-level algebraic
+    # simplification of the chained timing loop: a purely linear body lets
+    # the compiler collapse mean(f(x + c)) across iterations — the first run
+    # of this script measured a physically impossible 0.005 ms for a linear
+    # variant at B=16384 (1262% of peak) before this guard.
     def conv_ref(x):
         y = jax.lax.conv_general_dilated(
             x, w, window_strides=(3, 3), padding=((3, 3), (3, 3)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y + b
+        return jax.nn.relu(y + b)
 
     def s2d_gemm(x):
         xs = _s2d(x)
-        y = jnp.dot(xs.reshape(-1, 27), w27) + b
+        y = jax.nn.relu(jnp.dot(xs.reshape(-1, 27), w27) + b)
         return y.reshape(x.shape[0], 15, 15, 64)
 
     w32 = jnp.pad(w27, ((0, 5), (0, 0)))
 
     def s2d_gemm_k32(x):
         xs = jnp.pad(_s2d(x), ((0, 0), (0, 0), (0, 0), (0, 5)))
-        y = jnp.dot(xs.reshape(-1, 32), w32) + b
+        y = jax.nn.relu(jnp.dot(xs.reshape(-1, 32), w32) + b)
         return y.reshape(x.shape[0], 15, 15, 64)
 
     w_1x1 = w27.reshape(1, 1, 27, 64)
@@ -112,13 +118,13 @@ def main() -> None:
         y = jax.lax.conv_general_dilated(
             xs, w_1x1, window_strides=(1, 1), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y + b
+        return jax.nn.relu(y + b)
 
     w128 = jnp.pad(w27, ((0, 5), (0, 64)))
 
     def s2d_gemm_n128(x):
         xs = jnp.pad(_s2d(x), ((0, 0), (0, 0), (0, 0), (0, 5)))
-        y = jnp.dot(xs.reshape(-1, 32), w128)[:, :64] + b
+        y = jax.nn.relu(jnp.dot(xs.reshape(-1, 32), w128)[:, :64] + b)
         return y.reshape(x.shape[0], 15, 15, 64)
 
     variants = [("conv_ref", conv_ref), ("s2d_gemm", s2d_gemm),
