@@ -155,7 +155,7 @@ def temporal_transformer_apply(
     return out[:, 0] if out.shape[-1] == 1 else out
 
 
-def _cp_local_body(params, feats_l, *, axis: str, num_heads: int, t: int,
+def _cp_local_body(params, feats_l, *, axis: str, num_heads: int, t,
                    use_flash: bool, flash_interpret: bool, window: int,
                    n_out: int):
     """One device's slice of the context-parallel transformer.
@@ -166,6 +166,12 @@ def _cp_local_body(params, feats_l, *, axis: str, num_heads: int, t: int,
     All collectives act only over ``axis``, so the body also composes under
     ``jax.vmap`` for a batch of timelines (DP×CP — the vmapped batch dim maps
     onto a second mesh axis and the ring collectives batch over it).
+
+    ``t`` is the timeline's true length — a static int for the single-timeline
+    path, or a TRACED scalar under the batched (vmapped) paths so each
+    timeline in a padded group masks its own pad columns out of attention
+    (pad rows would otherwise act as valid keys and contaminate real frames'
+    logits; only traced arithmetic consumes it in the ring/halo kernels).
     """
     import numpy as np
 
@@ -249,24 +255,26 @@ def _dp_cp_transformer_fn(mesh, num_heads: int, data_axis: str, ctx_axis: str,
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    def body(params, feats_l):
+    def body(params, feats_l, len_l):
         # feats_l: (B/n_data, T/n_ctx, D) — vmap the CP body over the local
         # batch; its ring/halo collectives act only over ctx_axis, so they
-        # batch cleanly over the vmapped dim.
-        def per_timeline(f):
+        # batch cleanly over the vmapped dim.  len_l is each timeline's TRUE
+        # length (B/n_data,): per-timeline pad columns must not act as
+        # attention keys in a group padded to the longest member.
+        def per_timeline(f, tv):
             return _cp_local_body(
-                params, f, axis=ctx_axis, num_heads=num_heads, t=t,
+                params, f, axis=ctx_axis, num_heads=num_heads, t=tv,
                 use_flash=use_flash, flash_interpret=flash_interpret,
                 window=window, n_out=n_out,
             )
 
-        return jax.vmap(per_timeline)(feats_l)
+        return jax.vmap(per_timeline)(feats_l, len_l)
 
     out_spec = (P(data_axis, ctx_axis) if n_out == 1
                 else P(data_axis, ctx_axis, None))
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(data_axis, ctx_axis, None)),
+        in_specs=(P(), P(data_axis, ctx_axis, None), P(data_axis)),
         out_specs=out_spec,
         check_rep=False,
     )
@@ -274,7 +282,7 @@ def _dp_cp_transformer_fn(mesh, num_heads: int, data_axis: str, ctx_axis: str,
 
 
 def _tp_cp_local_body(params, feats_l, *, model_axis: str, ctx_axis: str,
-                      num_heads: int, t: int, use_flash: bool,
+                      num_heads: int, t, use_flash: bool,
                       flash_interpret: bool, window: int, n_out: int):
     """One device's slice of the TENSOR × CONTEXT parallel transformer.
 
@@ -368,27 +376,31 @@ def _tp_cp_transformer_fn(mesh, num_heads: int, model_axis: str, ctx_axis: str,
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    def one(params, f):
+    def one(params, f, tv):
         return _tp_cp_local_body(
             params, f, model_axis=model_axis, ctx_axis=ctx_axis,
-            num_heads=num_heads, t=t, use_flash=use_flash,
+            num_heads=num_heads, t=tv, use_flash=use_flash,
             flash_interpret=flash_interpret, window=window, n_out=n_out,
         )
 
     if data_axis is None:
-        body = one
-        in_spec = P(ctx_axis, None)
+        def body(params, feats_l):
+            return one(params, feats_l, t)
+
+        in_specs = (P(), P(ctx_axis, None))
         out_spec = P(ctx_axis) if n_out == 1 else P(ctx_axis, None)
     else:
-        def body(params, feats_l):  # (B/n_data, T/n_ctx, D)
-            return jax.vmap(lambda f: one(params, f))(feats_l)
+        def body(params, feats_l, len_l):  # (B/n_data, T/n_ctx, D), (B/n_data,)
+            # per-timeline true lengths: pad columns of shorter group members
+            # must not act as attention keys (see _dp_cp_transformer_fn)
+            return jax.vmap(lambda f, tv: one(params, f, tv))(feats_l, len_l)
 
-        in_spec = P(data_axis, ctx_axis, None)
+        in_specs = (P(), P(data_axis, ctx_axis, None), P(data_axis))
         out_spec = (P(data_axis, ctx_axis) if n_out == 1
                     else P(data_axis, ctx_axis, None))
     fn = shard_map(
         body, mesh=mesh,
-        in_specs=(P(), in_spec),
+        in_specs=in_specs,
         out_specs=out_spec,
         check_rep=False,
     )
@@ -442,6 +454,7 @@ def temporal_transformer_3d_apply(
     use_flash: bool = False,
     flash_interpret: bool = False,
     window: int = 0,
+    lengths: jax.Array | None = None,
 ) -> jax.Array:
     """Full 3-D parallelism — DP × TP × CP in ONE shard_map: a batch of
     timelines shards over ``data_axis``, every timeline's time axis over
@@ -449,7 +462,12 @@ def temporal_transformer_3d_apply(
     collectives ride ``ctx_axis``, the two Megatron all-reduces ride
     ``model_axis``, and parameter gradients psum over all three axes via the
     shard_map transpose.  Numerically equal to
-    ``vmap(temporal_transformer_apply)``."""
+    ``vmap(temporal_transformer_apply)``.
+
+    ``lengths`` (B,) gives each timeline's TRUE length when the group was
+    padded to its longest member: rows past a timeline's own length are
+    excluded from attention (they would otherwise act as valid keys).  None
+    means every timeline genuinely spans T."""
     b, t = features.shape[0], features.shape[1]
     nd = mesh.shape[data_axis]
     nc = mesh.shape[ctx_axis]
@@ -462,10 +480,15 @@ def temporal_transformer_3d_apply(
     feats = (jnp.pad(features, ((0, 0), (0, t_pad - t), (0, 0)))
              if t_pad != t else features)
     n_out = int(params["head"]["w"].shape[-1])
+    # length 0 (an all-pad dummy timeline) would make every attention column
+    # invalid; clamp to 1 so the math stays trivially finite — those rows are
+    # loss-masked anyway
+    lens = (jnp.full((b,), t, jnp.int32) if lengths is None
+            else jnp.maximum(jnp.asarray(lengths, jnp.int32), 1))
     fn = _tp_cp_transformer_fn(mesh, num_heads, model_axis, ctx_axis, t,
                                use_flash, flash_interpret, window, n_out,
                                data_axis)
-    return fn(params, feats)[:, :t]
+    return fn(params, feats, lens)[:, :t]
 
 
 def temporal_transformer_dp_cp_apply(
@@ -478,6 +501,7 @@ def temporal_transformer_dp_cp_apply(
     use_flash: bool = False,
     flash_interpret: bool = False,
     window: int = 0,
+    lengths: jax.Array | None = None,
 ) -> jax.Array:
     """Composed data × context parallelism over one 2-D mesh.
 
@@ -494,6 +518,12 @@ def temporal_transformer_dp_cp_apply(
     ``B`` must divide by ``mesh.shape[data_axis]``; ``T`` is padded to a
     multiple of ``mesh.shape[ctx_axis]`` (padded key columns masked by the
     true length) and sliced back.
+
+    ``lengths`` (B,) gives each timeline's TRUE length when the group was
+    padded to its longest member: rows past a timeline's own length are
+    excluded from attention (they would otherwise act as valid keys and
+    contaminate the real frames' logits).  None means every timeline
+    genuinely spans T.
     """
     b, t = features.shape[0], features.shape[1]
     nd = mesh.shape[data_axis]
@@ -506,9 +536,12 @@ def temporal_transformer_dp_cp_apply(
     feats = (jnp.pad(features, ((0, 0), (0, t_pad - t), (0, 0)))
              if t_pad != t else features)
     n_out = int(params["head"]["w"].shape[-1])
+    # clamp all-pad dummy timelines to length 1 (rows are loss-masked anyway)
+    lens = (jnp.full((b,), t, jnp.int32) if lengths is None
+            else jnp.maximum(jnp.asarray(lengths, jnp.int32), 1))
     fn = _dp_cp_transformer_fn(mesh, num_heads, data_axis, ctx_axis, t,
                                use_flash, flash_interpret, window, n_out)
-    return fn(params, feats)[:, :t]
+    return fn(params, feats, lens)[:, :t]
 
 
 def temporal_transformer_sharded_apply(

@@ -215,17 +215,22 @@ def make_pp_spotting_train_step(
     (n_data pipeline replicas, grads psum'd across them by the shard_map
     transpose).  Loss/gradients equal the monolithic step's (tests), the
     schedule is the only difference.
+
+    Labels < 0 carry zero loss weight (the −1 padding contract shared by
+    every spotting step via ``weighted_bce``).  Note: unlike the DP×CP/3-D
+    steps, PP batches do NOT mask pad rows out of attention — feed it
+    equal-length timelines (the CLI only routes padded variable-length
+    groups to the CP-family steps).
     """
     from cvml_goalnet_tpu.train.optim import adam_update
+    from cvml_goalnet_tpu.train.spotting import weighted_bce
 
     def loss_fn(params, features, labels):
         logits = pipeline_transformer_apply(
             params, features, mesh, axis, num_heads, n_micro,
             use_flash, flash_interpret, window, data_axis,
         ).reshape(labels.shape)
-        w = jnp.where(labels > 0.5, pos_weight, 1.0)
-        per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-        return jnp.sum(w * per) / jnp.sum(w)
+        return weighted_bce(logits, labels, pos_weight)
 
     def step(params, opt_state, features, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, features, labels)

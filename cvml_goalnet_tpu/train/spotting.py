@@ -16,6 +16,34 @@ import jax.numpy as jnp
 from cvml_goalnet_tpu.train.optim import adam_init, adam_update
 
 
+def weighted_bce(logits: jax.Array, labels: jax.Array,
+                 pos_weight: float) -> jax.Array:
+    """Weighted binary cross-entropy on logits, the ONE loss every spotting
+    train step shares (single-timeline, CP, DP×CP, 3-D, and PP — a drifted
+    copy of this body is how the PP step once trained on pad rows).
+
+    Labels < 0 mark padding (the variable-length batching contract) and get
+    zero weight; real labels get ``pos_weight`` on the positive class.  For
+    unpadded labels the mask is identically 1, so the two cases share one
+    formula.
+    """
+    w = jnp.where(labels > 0.5, pos_weight, 1.0) * (labels >= 0)
+    lab = jnp.maximum(labels, 0.0)  # keep padded rows finite; w is 0 there
+    per = (jnp.maximum(logits, 0) - logits * lab
+           + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    return jnp.sum(w * per) / jnp.sum(w)
+
+
+def timeline_lengths(labels: jax.Array) -> jax.Array:
+    """True length of each timeline in a (B, T[, C]) label batch padded with
+    −1 at the tail: attention must not treat pad rows as keys, so batched CP
+    steps pass this to the apply's ``lengths``."""
+    valid = labels >= 0
+    if valid.ndim == 3:
+        valid = jnp.any(valid, axis=-1)
+    return jnp.sum(valid.astype(jnp.int32), axis=1)
+
+
 @lru_cache(maxsize=8)
 def make_spotting_train_step(
     hidden: int,
@@ -61,9 +89,7 @@ def make_spotting_train_step(
         # to the labels' layout so a (T, 1)-labelled single-class run can
         # never silently broadcast to a (T, T) loss
         logits = scorer_fn(params, features, hidden).reshape(labels.shape)
-        w = jnp.where(labels > 0.5, pos_weight, 1.0)
-        per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-        return jnp.sum(w * per) / jnp.sum(w)
+        return weighted_bce(logits, labels, pos_weight)
 
     def step(params, opt_state, features, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, features, labels)
@@ -108,9 +134,7 @@ def make_sharded_spotting_train_step(
             params, features, mesh, num_heads, axis,
             use_flash=use_flash, flash_interpret=flash_interpret, window=window,
         ).reshape(labels.shape)
-        w = jnp.where(labels > 0.5, pos_weight, 1.0)
-        per = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-        return jnp.sum(w * per) / jnp.sum(w)
+        return weighted_bce(logits, labels, pos_weight)
 
     def step(params, opt_state, features, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, features, labels)
@@ -146,7 +170,10 @@ def make_dp_cp_spotting_train_step(
     (tests/test_composed_parallel.py).
 
     Variable-length timelines batch by padding labels with ``-1``: negative
-    labels get zero loss weight (and zero gradient), so a group of matches
+    labels get zero loss weight (and zero gradient), AND each timeline's pad
+    rows are excluded from attention (``lengths`` derived from the labels —
+    without that, pad rows of shorter group members act as valid attention
+    keys and contaminate the real frames' logits), so a group of matches
     padded to the longest timeline trains exactly like the per-timeline
     steps up to the shared weighted-mean normalizer.
     """
@@ -158,11 +185,9 @@ def make_dp_cp_spotting_train_step(
         logits = temporal_transformer_dp_cp_apply(
             params, features, mesh, num_heads, data_axis, ctx_axis,
             use_flash=use_flash, flash_interpret=flash_interpret, window=window,
+            lengths=timeline_lengths(labels),
         ).reshape(labels.shape)
-        w = jnp.where(labels > 0.5, pos_weight, 1.0) * (labels >= 0)
-        lab = jnp.maximum(labels, 0.0)  # keep padded rows finite; w is 0 there
-        per = jnp.maximum(logits, 0) - logits * lab + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-        return jnp.sum(w * per) / jnp.sum(w)
+        return weighted_bce(logits, labels, pos_weight)
 
     def step(params, opt_state, features, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, features, labels)
@@ -201,11 +226,9 @@ def make_3d_spotting_train_step(
         logits = temporal_transformer_3d_apply(
             params, features, mesh, num_heads, data_axis, model_axis, ctx_axis,
             use_flash=use_flash, flash_interpret=flash_interpret, window=window,
+            lengths=timeline_lengths(labels),
         ).reshape(labels.shape)
-        w = jnp.where(labels > 0.5, pos_weight, 1.0) * (labels >= 0)
-        lab = jnp.maximum(labels, 0.0)
-        per = jnp.maximum(logits, 0) - logits * lab + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-        return jnp.sum(w * per) / jnp.sum(w)
+        return weighted_bce(logits, labels, pos_weight)
 
     def step(params, opt_state, features, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, features, labels)

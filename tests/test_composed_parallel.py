@@ -179,54 +179,83 @@ class TestDpCpTraining:
         loss_mono = float(_mono_loss_fn(params, feats, labels, window=8))
         np.testing.assert_allclose(float(loss1), loss_mono, atol=1e-5)
 
-    def test_padded_labels_masked(self):
-        # a batch where one timeline is all pad (-1 labels, zero feats) must
-        # produce the same loss and gradients as the same batch with the pad
-        # row's labels flipped arbitrarily — negative labels carry no weight
+    def test_padded_group_matches_per_timeline(self):
+        # THE variable-length batching property: a group padded to its
+        # longest member scores every timeline EXACTLY as the monolithic
+        # scorer does on the unpadded timeline — pad rows are excluded from
+        # ATTENTION (via lengths), not just from the loss.  Pad features are
+        # poisoned so any leak into attention breaks the parity loudly.
+        from cvml_goalnet_tpu.train.spotting import timeline_lengths
+
         mesh = _mesh()
         params = _params()
         feats, labels = _batch(b=4, t=40)
-        feats = feats.at[3].set(0.0)
-        lab_pad = labels.at[3].set(-1.0)
-        # also pad the tail of row 2 (variable-length batching)
-        lab_pad = lab_pad.at[2, 30:].set(-1.0)
+        lens = [40, 40, 30, 25]
+        lab_pad = labels
+        fpois = feats
+        for i, n in enumerate(lens):
+            lab_pad = lab_pad.at[i, n:].set(-1.0)
+            fpois = fpois.at[i, n:].set(37.0)  # poison pad rows
 
-        from cvml_goalnet_tpu.models.temporal_attention import (
-            temporal_transformer_dp_cp_apply as dpcp,
-        )
+        out = temporal_transformer_dp_cp_apply(
+            params, fpois, mesh, 2, lengths=timeline_lengths(lab_pad))
+        for i, n in enumerate(lens):
+            mono = temporal_transformer_apply(params, feats[i, :n], 2)
+            np.testing.assert_allclose(
+                np.asarray(out[i, :n]), np.asarray(mono), atol=1e-4)
 
-        def loss(p, lbl):
-            logits = dpcp(p, feats, mesh, 2).reshape(lbl.shape)
-            w = jnp.where(lbl > 0.5, 10.0, 1.0) * (lbl >= 0)
-            l = jnp.maximum(lbl, 0.0)
-            per = (jnp.maximum(logits, 0) - logits * l
-                   + jnp.log1p(jnp.exp(-jnp.abs(logits))))
-            return jnp.sum(w * per) / jnp.sum(w)
-
-        g1 = jax.grad(loss)(params, lab_pad)
-        # zeroing masked labels (what the step's loss_fn does internally via
-        # maximum(labels, 0)) must not change the loss — pads carry no weight
-        lab_zeroed = jnp.maximum(lab_pad, 0.0)
-        w_ref = jnp.where(lab_pad > 0.5, 10.0, 1.0) * (lab_pad >= 0)
-
-        def loss_masked_weights(p):
-            logits = dpcp(p, feats, mesh, 2).reshape(lab_pad.shape)
-            per = (jnp.maximum(logits, 0) - logits * lab_zeroed
-                   + jnp.log1p(jnp.exp(-jnp.abs(logits))))
-            return jnp.sum(w_ref * per) / jnp.sum(w_ref)
-
-        assert float(loss(params, lab_pad)) == pytest.approx(
-            float(loss_masked_weights(params)), abs=1e-7)
-        # masked-vs-unmasked loss differs (mask is doing something)
-        assert float(loss(params, lab_pad)) != pytest.approx(
-            float(loss(params, labels)), abs=1e-6)
-        # gradients match the step's internal loss on the same padded batch
+        # the train step's loss equals the shared-normalizer combination of
+        # per-timeline MONOLITHIC losses on the unpadded timelines
         step = make_dp_cp_spotting_train_step(mesh, num_heads=2)
-        _, _, step_loss = step(params, init_spotting_opt(params), feats, lab_pad)
-        np.testing.assert_allclose(
-            float(step_loss), float(loss(params, lab_pad)), atol=1e-6)
-        for a in jax.tree_util.tree_leaves(g1):
+        _, _, step_loss = step(params, init_spotting_opt(params), fpois, lab_pad)
+        num = den = 0.0
+        for i, n in enumerate(lens):
+            logits = temporal_transformer_apply(params, feats[i, :n], 2)
+            lab = labels[i, :n]
+            w = jnp.where(lab > 0.5, 10.0, 1.0)
+            per = (jnp.maximum(logits, 0) - logits * lab
+                   + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+            num += float(jnp.sum(w * per))
+            den += float(jnp.sum(w))
+        np.testing.assert_allclose(float(step_loss), num / den, rtol=1e-5)
+
+    def test_all_pad_dummy_timeline_inert(self):
+        # short groups fill with fully-masked dummy timelines (the CLI's
+        # batching); a dummy must contribute nothing: changing its features
+        # must not change the loss, and all gradients stay finite
+        mesh = _mesh()
+        params = _params()
+        feats, labels = _batch(b=4, t=40)
+        lab_pad = labels.at[3].set(-1.0)
+        step = make_dp_cp_spotting_train_step(mesh, num_heads=2)
+        _, _, loss_a = step(params, init_spotting_opt(params),
+                            feats.at[3].set(0.0), lab_pad)
+        p1, _, loss_b = step(params, init_spotting_opt(params),
+                             feats.at[3].set(99.0), lab_pad)
+        np.testing.assert_allclose(float(loss_a), float(loss_b), atol=1e-6)
+        for a in jax.tree_util.tree_leaves(p1):
             assert np.all(np.isfinite(np.asarray(a)))
+
+    def test_padded_banded_matches_per_timeline(self):
+        # same no-leak property through the halo (banded) CP path
+        from cvml_goalnet_tpu.train.spotting import timeline_lengths
+
+        mesh = _mesh()
+        params = _params()
+        feats, labels = _batch(b=4, t=48)
+        lens = [48, 36, 48, 29]
+        lab_pad = labels
+        fpois = feats
+        for i, n in enumerate(lens):
+            lab_pad = lab_pad.at[i, n:].set(-1.0)
+            fpois = fpois.at[i, n:].set(-41.0)
+        out = temporal_transformer_dp_cp_apply(
+            params, fpois, mesh, 2, window=8,
+            lengths=timeline_lengths(lab_pad))
+        for i, n in enumerate(lens):
+            mono = temporal_transformer_apply(params, feats[i, :n], 2, window=8)
+            np.testing.assert_allclose(
+                np.asarray(out[i, :n]), np.asarray(mono), atol=1e-4)
 
     def test_loss_decreases(self):
         mesh = _mesh()
@@ -520,3 +549,27 @@ class Test3DParallel:
         jax.block_until_ready(p1)
         loss_mono = float(_mono_loss_fn(params, feats, labels, window=6))
         np.testing.assert_allclose(float(loss1), loss_mono, atol=1e-5)
+
+    def test_padded_group_matches_per_timeline(self):
+        # variable-length batching through the 3-D path: poisoned pad rows
+        # must not leak into attention (lengths mask them as keys)
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_3d_apply,
+        )
+        from cvml_goalnet_tpu.train.spotting import timeline_lengths
+
+        mesh = self._mesh()
+        params = _params()
+        feats, labels = _batch(b=4, t=24)
+        lens = [24, 17, 24, 11]
+        lab_pad = labels
+        fpois = feats
+        for i, n in enumerate(lens):
+            lab_pad = lab_pad.at[i, n:].set(-1.0)
+            fpois = fpois.at[i, n:].set(53.0)
+        out = temporal_transformer_3d_apply(
+            params, fpois, mesh, 2, lengths=timeline_lengths(lab_pad))
+        for i, n in enumerate(lens):
+            mono = temporal_transformer_apply(params, feats[i, :n], 2)
+            np.testing.assert_allclose(
+                np.asarray(out[i, :n]), np.asarray(mono), atol=1e-4)
