@@ -43,7 +43,13 @@ def _payload(state: TrainState):
 def _recover_interrupted_swap(path: str) -> None:
     """If a crash landed between 'old renamed away' and 'new renamed in',
     the previous finalized checkpoint survives at ``<path>.old`` — put it
-    back so there is never a window with no valid checkpoint."""
+    back so there is never a window with no valid checkpoint.
+
+    Called ONLY by the saver (which owns the swap).  Loaders must never
+    rename: a load running concurrently with a live save would otherwise
+    resurrect ``.old`` over the path mid-swap and make the saver's final
+    rename crash with ENOTEMPTY — loads fall back to READING ``.old``
+    instead (see ``load_checkpoint_orbax``)."""
     if not os.path.isdir(path) and os.path.isdir(path + ".old"):
         os.rename(path + ".old", path)
 
@@ -57,8 +63,9 @@ def save_checkpoint_orbax(
     Atomicity (same contract as the npz backend's tmp+``os.replace``): the
     new payload is finalized at a side path ``<tag>_orbax.new`` first, then
     swapped in via two renames; the previous checkpoint stays valid (at its
-    own path or at ``.old``) throughout, and the loader recovers a
-    mid-swap ``.old`` automatically.
+    own path or at ``.old``) throughout.  A mid-swap crash is recovered by
+    the NEXT save (rename ``.old`` back); concurrent loaders read ``.old``
+    directly without renaming so they can never race a live swap.
     """
     import shutil
 
@@ -105,7 +112,13 @@ def load_checkpoint_orbax(
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(directory, f"{tag}_orbax"))
-    _recover_interrupted_swap(path)
+    # read-only mid-swap fallback: if a saver crashed between its two renames
+    # the finalized previous checkpoint sits at .old — READ it from there.
+    # Renaming it back here (as the saver does) would race a LIVE concurrent
+    # save (serve/infer loading while train saves the same tag) and crash the
+    # saver's final rename with ENOTEMPTY; the next save restores the name.
+    if not os.path.isdir(path) and os.path.isdir(path + ".old"):
+        path = path + ".old"
     if not os.path.isdir(path):
         raise FileNotFoundError(path)
     with open(os.path.join(directory, f"{tag}_orbax_manifest.json")) as f:

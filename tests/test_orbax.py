@@ -80,8 +80,9 @@ class TestOrbaxCheckpoint:
 class TestOrbaxAtomicity:
     """The rolling 'ckp' must never have a window with no valid checkpoint
     (advisor finding, round 2): saves go to a side path and swap in by
-    rename; a crash mid-swap leaves the previous checkpoint at `.old`,
-    which save AND load both recover."""
+    rename; a crash mid-swap leaves the previous checkpoint at `.old`.
+    The next SAVE renames it back; loads READ it in place (a load that
+    renamed would race a live concurrent save's swap — round-3 review)."""
 
     def test_overwrite_keeps_latest(self, small_cfg, tmp_path):
         st = create_train_state(jax.random.PRNGKey(0), small_cfg)
@@ -106,6 +107,11 @@ class TestOrbaxAtomicity:
         st2 = load_checkpoint_orbax(str(tmp_path), tpl)
         assert st2.epoch == 5
         _leaves_equal(st.params, st2.params)
+        # the load must be READ-ONLY: renaming .old back here would race a
+        # live concurrent save's two-rename swap (its final rename would hit
+        # an existing dir → ENOTEMPTY and kill the trainer mid-checkpoint)
+        assert not os.path.isdir(str(tmp_path / "ckp_orbax"))
+        assert os.path.isdir(str(tmp_path / "ckp_orbax.old"))
 
     def test_save_recovers_interrupted_swap(self, small_cfg, tmp_path):
         import os
