@@ -99,7 +99,7 @@ def main() -> None:
     from cvml_goalnet_tpu.data.video import resolve_decode_workers
 
     decode_workers = resolve_decode_workers(
-        os.environ.get("GOALNET_DECODE_WORKERS", "auto"), clip_fp, 1
+        os.environ.get("GOALNET_DECODE_WORKERS", "auto"), clip_fp
     )
     # Modes (GOALNET_BENCH_MODE):
     #   stream (default) — real decode in the producer thread: the honest

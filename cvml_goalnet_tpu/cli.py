@@ -19,6 +19,7 @@ import argparse
 import glob
 import os
 import sys
+import zipfile
 
 import numpy as np
 
@@ -234,7 +235,7 @@ def cmd_infer(args) -> int:
         state = _load_trunk(paths, state, args)
     except CheckpointMismatchError as e:
         print(f"E: {e}\nE: re-train with the current flags or pass the matching "
-              "--config/--no-audio/--commentary combination", file=sys.stderr)
+              "--config/--no-audio/--commentary/--moe-experts combination", file=sys.stderr)
         return 2
 
     scores = fuse(
@@ -307,7 +308,7 @@ def cmd_spot(args) -> int:
         # a checkpoint EXISTS but doesn't fit the flags — scoring with a
         # random trunk would be silently meaningless, so fail hard
         print(f"E: {e}\nE: re-train with the current flags or pass the matching "
-              "--config/--no-audio/--commentary combination", file=sys.stderr)
+              "--config/--no-audio/--commentary/--moe-experts combination", file=sys.stderr)
         return 2
 
     cfg = _apply_temporal_overrides(cfg, args)
@@ -474,7 +475,7 @@ def cmd_spot_train(args) -> int:
         print("W: no trained importance checkpoint; encoding with a random-init trunk")
     except CheckpointMismatchError as e:
         print(f"E: {e}\nE: re-train with the current flags or pass the matching "
-              "--config/--no-audio/--commentary combination", file=sys.stderr)
+              "--config/--no-audio/--commentary/--moe-experts combination", file=sys.stderr)
         return 2
 
     classes = args.classes.split(",") if getattr(args, "classes", None) else None
@@ -676,7 +677,9 @@ def cmd_serve(args) -> int:
                 cfg, state=state,
                 temporal_checkpoint=args.temporal_checkpoint, classes=classes,
             )
-        except ValueError as e:
+        except (ValueError, OSError, zipfile.BadZipFile) as e:
+            # OSError covers a missing/unreadable --temporal-checkpoint path,
+            # BadZipFile a corrupt npz — config errors, not tracebacks
             print(f"E: {e}", file=sys.stderr)
             return 2
 
@@ -759,6 +762,8 @@ def main(argv=None) -> int:
                    help="enable the text branch (reads <video>.commentary.jsonl sidecars)")
     p.add_argument("--checkpoint-backend", choices=["npz", "orbax"], default=None,
                    help="pin the checkpoint layout (default: auto-detect)")
+    p.add_argument("--moe-experts", type=int, default=None,
+                   help="match a trunk trained with --moe-experts N")
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("spot", help="temporal event spotting over one video")
@@ -784,6 +789,8 @@ def main(argv=None) -> int:
                    help="matching tolerance in condensed frames")
     p.add_argument("--checkpoint-backend", choices=["npz", "orbax"], default=None,
                    help="pin the trunk checkpoint layout (default: auto-detect)")
+    p.add_argument("--moe-experts", type=int, default=None,
+                   help="match a trunk trained with --moe-experts N")
     p.set_defaults(fn=cmd_spot)
 
     p = sub.add_parser("spot-train", help="train the temporal spotting head on event labels")
@@ -817,6 +824,8 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None, help="output npz for the temporal head")
     p.add_argument("--checkpoint-backend", choices=["npz", "orbax"], default=None,
                    help="pin the trunk checkpoint layout (default: auto-detect)")
+    p.add_argument("--moe-experts", type=int, default=None,
+                   help="match a trunk trained with --moe-experts N")
     p.set_defaults(fn=cmd_spot_train)
 
     p = sub.add_parser("serve", help="HTTP serving: /summarize, /healthz (+ /spot)")
@@ -845,6 +854,8 @@ def main(argv=None) -> int:
                    help="compile production shapes before accepting requests")
     p.add_argument("--max-requests", type=int, default=0,
                    help="serve N requests then exit (0 = forever)")
+    p.add_argument("--moe-experts", type=int, default=None,
+                   help="match a trunk trained with --moe-experts N")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("baseline", help="random-init chance baseline")

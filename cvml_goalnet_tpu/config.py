@@ -161,6 +161,11 @@ class ModelConfig:
     # 0 = dense (reference-parity default).
     fusion_moe_experts: int = 0
     fusion_moe_top_k: int = 2
+    # Switch-style load-balance auxiliary loss weight (models/moe.py:
+    # moe_load_balance_loss), added to the training objective whenever the
+    # MoE head is enabled — without it the top-k gate can collapse onto one
+    # expert and the mixture silently degenerates to a dense layer.
+    fusion_moe_aux_weight: float = 0.01
 
     dtype: str = "float32"         # activations dtype ("bfloat16" on TPU hot path)
     param_dtype: str = "float32"

@@ -70,7 +70,7 @@ def _load_frames(path: str, skip_frames: int) -> tuple[np.ndarray, int]:
     from cvml_goalnet_tpu.data.video import resolve_decode_workers
 
     workers = resolve_decode_workers(
-        os.environ.get("GOALNET_DECODE_WORKERS", "1"), path, skip_frames)
+        os.environ.get("GOALNET_DECODE_WORKERS", "1"), path)
     if workers > 1:
         from cvml_goalnet_tpu.data.video import decode_condensed_frames_parallel
 

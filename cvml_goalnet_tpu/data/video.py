@@ -323,11 +323,18 @@ def _probe_decode_fps(path: str, workers: int, probe_seconds: float, total: int)
     return sum(counts) / max(time.perf_counter() - t0, 1e-6)
 
 
+# auto-probe results, one per candidate set: decode throughput is a HOST
+# property (cores, codec lib), so the first probed video's answer serves the
+# whole process — without this every _load_frames call (each HTTP /summarize,
+# every video in a training scan) would pay the multi-second probe again
+_auto_workers_cache: dict[tuple[int, ...], int] = {}
+
+
 def pick_decode_workers(
     path: str,
-    skip_frames: int = 1,
     candidates: tuple[int, ...] = (1, 2, 4, 8),
     probe_seconds: float = 0.75,
+    use_cache: bool = True,
 ) -> int:
     """Probe decode throughput briefly per candidate and return the fastest.
 
@@ -337,10 +344,14 @@ def pick_decode_workers(
     cpu-count heuristic is unreliable.  This measures ~``probe_seconds`` of
     real concurrent decode at each candidate (a few seconds total, amortized
     over a 90-minute match) and picks the empirical argmax.  Candidates
-    above the host's core count are skipped.
+    above the host's core count are skipped.  The result is cached for the
+    process (``use_cache=False`` re-probes): short clips must not pay a
+    probe that costs more than their own decode.
     """
     import cv2
 
+    if use_cache and candidates in _auto_workers_cache:
+        return _auto_workers_cache[candidates]
     ncpu = os.cpu_count() or 1
     cands = [c for c in candidates if c <= max(ncpu, 1)] or [1]
     if len(cands) == 1:
@@ -357,13 +368,15 @@ def pick_decode_workers(
         fps = _probe_decode_fps(path, w, probe_seconds, total)
         if fps > best_fps:
             best, best_fps = w, fps
+    if use_cache:
+        _auto_workers_cache[candidates] = best
     return best
 
 
-def resolve_decode_workers(value: "str | int | None", path: str, skip_frames: int = 1) -> int:
+def resolve_decode_workers(value: "str | int | None", path: str) -> int:
     """'auto'/None → probe (:func:`pick_decode_workers`); else int(value)."""
     if value is None or value == "" or str(value).lower() == "auto":
-        return pick_decode_workers(path, skip_frames)
+        return pick_decode_workers(path)
     return int(value)
 
 

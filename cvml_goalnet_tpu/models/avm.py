@@ -101,10 +101,15 @@ def avm_apply(
     train: bool = False,
     rng=None,
     classifier: bool = False,
+    return_moe_probs: bool = False,
 ):
     """Forward pass → ((N, 1) importance scores in [lo, hi], new_state).
 
     In ``classifier`` mode returns (N, 5) logits instead (CAVM/CVM variant).
+    ``return_moe_probs=True`` (requires ``cfg.fusion_moe_experts > 0``)
+    appends the MoE gate's (N, E) combine weights to the return tuple so the
+    training loop can add the load-balance auxiliary loss without a second
+    gate pass.
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -130,11 +135,13 @@ def avm_apply(
     x = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
 
     n_hidden = len(cfg.fusion_hidden)
+    moe_probs = None
     for i, lp in enumerate(params["fusion"]):
         if i == 0 and cfg.fusion_moe_experts > 0:
-            from cvml_goalnet_tpu.models.moe import moe_apply
+            from cvml_goalnet_tpu.models.moe import moe_apply, moe_gate_probs
 
-            x = moe_apply(lp, x, cfg.fusion_moe_top_k)
+            moe_probs = moe_gate_probs(lp, x, cfg.fusion_moe_top_k)
+            x = moe_apply(lp, x, cfg.fusion_moe_top_k, probs=moe_probs)
         else:
             x = L.linear_apply(lp, x)
         if i < n_hidden:
@@ -144,4 +151,9 @@ def avm_apply(
         out = x  # (N, 5) logits; argmax+1 recovers the grade (main.py:97)
     else:
         out = (cfg.out_hi - cfg.out_lo) * jax.nn.sigmoid(x) + cfg.out_lo
-    return out, {**state, "visual": new_state}
+    new_full_state = {**state, "visual": new_state}
+    if return_moe_probs:
+        if moe_probs is None:
+            raise ValueError("return_moe_probs requires fusion_moe_experts > 0")
+        return out, new_full_state, moe_probs
+    return out, new_full_state

@@ -59,9 +59,16 @@ def moe_gate_probs(params, x: jax.Array, top_k: int) -> jax.Array:
     return jax.nn.softmax(logits, axis=-1)
 
 
-def moe_apply(params, x: jax.Array, top_k: int = 2) -> jax.Array:
-    """(N, in_dim) → (N, out_dim): gated sum of expert outputs."""
-    probs = moe_gate_probs(params, x, top_k)                      # (N, E)
+def moe_apply(params, x: jax.Array, top_k: int = 2,
+              probs: jax.Array | None = None) -> jax.Array:
+    """(N, in_dim) → (N, out_dim): gated sum of expert outputs.
+
+    Pass precomputed ``probs`` (from :func:`moe_gate_probs`) to reuse them —
+    the training loop computes them once for both the combine and the
+    load-balance auxiliary loss.
+    """
+    if probs is None:
+        probs = moe_gate_probs(params, x, top_k)                  # (N, E)
     ew, eb = params["experts"]["w"], params["experts"]["b"]       # (E,in,out),(E,out)
     y = jnp.einsum("nd,edo->eno", x, ew) + eb[:, None, :]         # (E, N, out)
     return jnp.einsum("eno,ne->no", y, probs)

@@ -48,10 +48,19 @@ def fusion_param_shardings(params, mesh: Mesh):
     if isinstance(params, dict) and "fusion" in params:
         n_layers = len(params["fusion"])
         out = dict(out)
-        out["fusion"] = [
-            {k: spec_for_fusion(i, n_layers, k) for k in layer}
-            for i, layer in enumerate(params["fusion"])
-        ]
+        fusion_specs = []
+        for i, layer in enumerate(params["fusion"]):
+            if "experts" in layer:
+                # MoE layer ({gate, experts} sub-dicts, models/moe.py): TP
+                # does not split it — expert parallelism (parallel/ep.py)
+                # is its sharding story — so it stays replicated, with a
+                # spec tree CONGRUENT to the params (a flat {w, b} spec here
+                # would crash jax.tree.map at placement)
+                fusion_specs.append(jax.tree.map(lambda _: rep, layer))
+            else:
+                fusion_specs.append(
+                    {k: spec_for_fusion(i, n_layers, k) for k in layer})
+        out["fusion"] = fusion_specs
     return out
 
 

@@ -580,6 +580,10 @@ def serve_http(
         def do_POST(self):
             t0 = time.perf_counter()
             self._status = 500
+            # metrics key on the KNOWN endpoint set only: raw self.path would
+            # let a client mint unbounded counter/ring entries (one deque per
+            # unique 404 path → memory growth on an exposed host)
+            endpoint = self.path if self.path in ("/spot", "/summarize") else "(other)"
             try:
                 if self.path == "/spot":
                     self._do_spot()
@@ -588,7 +592,7 @@ def serve_http(
                 else:
                     self._reply(404, {"error": "unknown path"})
             finally:
-                metrics.observe(self.path, time.perf_counter() - t0,
+                metrics.observe(endpoint, time.perf_counter() - t0,
                                 self._status >= 400)
 
         def _do_summarize(self):

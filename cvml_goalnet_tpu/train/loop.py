@@ -86,16 +86,26 @@ def make_train_video_fn(cfg: PipelineConfig, classifier: bool = False):
             def loss_of(p):
                 # mixed precision: bf16 forward/backward, f32 master params +
                 # loss; grads land back in f32 through the cast's vjp
-                preds, new_ms = avm_apply(
+                moe = mc.fusion_moe_experts > 0 and mc.fusion_moe_aux_weight > 0
+                fwd = avm_apply(
                     cast(p, dtype), cast(model_state, dtype),
                     cast(vis, dtype), cast(aud, dtype), txt,
                     cfg=mc, train=True, rng=step_rng, classifier=classifier,
+                    return_moe_probs=moe,
                 )
+                preds, new_ms = fwd[0], fwd[1]
                 loss = _loss_fn(
                     preds.astype(jnp.float32), lab, msk,
                     broadcast_compat=tc.broadcast_loss_compat,
                     classifier=classifier,
                 )
+                if moe:
+                    # Switch-style load-balance penalty: without it the
+                    # top-k gate can collapse onto one expert (models/moe.py)
+                    from cvml_goalnet_tpu.models.moe import moe_load_balance_loss
+
+                    loss = loss + mc.fusion_moe_aux_weight * moe_load_balance_loss(
+                        fwd[2].astype(jnp.float32))
                 return loss, (preds.astype(jnp.float32), cast(new_ms, jnp.float32))
 
             (loss, (preds, new_ms)), grads = jax.value_and_grad(loss_of, has_aux=True)(params)

@@ -135,6 +135,22 @@ class TestSummarizer:
             assert ep["requests"] == 2 and ep["errors"] == 1
             lat = ep["latency_ms"]
             assert lat["window"] == 2 and 0 < lat["p50"] <= lat["max"]
+
+            # unknown POST paths must not mint per-path metric entries (a
+            # client could otherwise grow the counters/rings without bound):
+            # they all fold into one "(other)" bucket
+            for i in range(3):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/attack{i}", data=b"{}",
+                    method="POST")
+                with pytest.raises(urllib.error.HTTPError) as e:
+                    urllib.request.urlopen(req)
+                assert e.value.code == 404
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+                m = json.load(r)
+            assert set(m["endpoints"]) <= {"/summarize", "/spot", "(other)"}
+            assert m["endpoints"]["(other)"]["requests"] == 3
+            assert m["endpoints"]["(other)"]["errors"] == 3
         finally:
             server.shutdown()
 

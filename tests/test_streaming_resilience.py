@@ -221,11 +221,42 @@ class TestAutoDecodeWorkers:
             out.write(f[..., ::-1].copy())
         out.release()
 
-        w = pick_decode_workers(fp, 1, candidates=(1, 2), probe_seconds=0.1)
+        w = pick_decode_workers(fp, candidates=(1, 2), probe_seconds=0.1)
         assert w in (1, 2)
-        assert resolve_decode_workers("auto", fp, 1) >= 1
-        assert resolve_decode_workers(4, fp, 1) == 4
-        assert resolve_decode_workers("2", fp, 1) == 2
+        assert resolve_decode_workers("auto", fp) >= 1
+        assert resolve_decode_workers(4, fp) == 4
+        assert resolve_decode_workers("2", fp) == 2
+
+    def test_probe_result_cached_per_process(self, tmp_path, monkeypatch):
+        # the multi-second probe must run ONCE per process, not per request:
+        # a short clip's probe would otherwise cost more than its decode
+        pytest.importorskip("cv2")
+        from cvml_goalnet_tpu.data import video as V
+
+        monkeypatch.setattr(V, "_auto_workers_cache", {})
+        calls = []
+        real = V._probe_decode_fps
+
+        def counting(*a, **k):
+            calls.append(a)
+            return real(*a, **k)
+
+        monkeypatch.setattr(V, "_probe_decode_fps", counting)
+        monkeypatch.setattr(V.os, "cpu_count", lambda: 8)
+        fp = str(tmp_path / "clip.mp4")
+        import cv2
+
+        from cvml_goalnet_tpu.data.synthetic import synthetic_video_frames
+        out = cv2.VideoWriter(fp, cv2.VideoWriter_fourcc(*"mp4v"), 25, (64, 48))
+        for f in synthetic_video_frames(60, 48, 64):
+            out.write(f[..., ::-1].copy())
+        out.release()
+        w1 = V.pick_decode_workers(fp, candidates=(1, 2), probe_seconds=0.05)
+        n_after_first = len(calls)
+        assert n_after_first == 2  # probed each candidate once
+        w2 = V.pick_decode_workers(fp, candidates=(1, 2), probe_seconds=0.05)
+        assert w2 == w1
+        assert len(calls) == n_after_first  # second call served from cache
 
     def test_candidates_capped_by_cpu_count(self, tmp_path, monkeypatch):
         cv2 = pytest.importorskip("cv2")
@@ -240,7 +271,7 @@ class TestAutoDecodeWorkers:
         out.release()
 
         monkeypatch.setattr(V.os, "cpu_count", lambda: 1)
-        assert V.pick_decode_workers(fp, 1, probe_seconds=0.05) == 1
+        assert V.pick_decode_workers(fp, probe_seconds=0.05, use_cache=False) == 1
 
 
 class TestDecodeMetadataMismatch:
