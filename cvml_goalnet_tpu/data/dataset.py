@@ -206,31 +206,76 @@ def build_datasets(
 
 
 class Prefetcher:
-    """Background-thread prefetch: host assembles item i+1 while caller works on i."""
+    """Background-thread prefetch: host assembles item i+1 while caller works on i.
+
+    Abandoning the iteration early (consumer exception, generator GC) closes
+    the prefetcher: the worker would otherwise block forever in ``q.put``,
+    leaking the thread, ``depth`` buffered items, and the source iterator
+    (e.g. an open ``VideoCapture``) — fatal in a long-lived serving process
+    where each failed stream would leak permanently (round-3 review).
+    """
 
     _SENTINEL = object()
 
     def __init__(self, iterable, depth: int = 2):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._err: BaseException | None = None
+        self._stop = threading.Event()
 
         def worker():
             try:
-                for item in iterable:
-                    self._q.put(item)
+                it = iter(iterable)
+                while not self._stop.is_set():
+                    try:
+                        item = next(it)
+                    except StopIteration:
+                        break
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            pass
             except BaseException as e:  # re-raise in consumer
                 self._err = e
             finally:
-                self._q.put(self._SENTINEL)
+                close = getattr(iterable, "close", None)
+                if close is not None:
+                    try:
+                        close()  # release the source (decoder handles etc.)
+                    except Exception:
+                        pass
+                while True:  # deliver the sentinel unless the consumer left
+                    try:
+                        self._q.put(self._SENTINEL, timeout=0.2)
+                        break
+                    except queue.Full:
+                        if self._stop.is_set():
+                            break
 
         self._t = threading.Thread(target=worker, daemon=True)
         self._t.start()
 
-    def __iter__(self):
+    def close(self) -> None:
+        """Stop the worker, release buffered items, and close the source."""
+        self._stop.set()
+        self._t.join(timeout=5.0)
         while True:
-            item = self._q.get()
-            if item is self._SENTINEL:
-                if self._err is not None:
-                    raise self._err
-                return
-            yield item
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+
+    def __iter__(self):
+        try:
+            while True:
+                item = self._q.get()
+                if item is self._SENTINEL:
+                    if self._err is not None:
+                        raise self._err
+                    return
+                yield item
+        finally:
+            # normal exhaustion: joins an already-finished thread (cheap);
+            # early abandonment: unblocks and reaps the worker
+            self.close()

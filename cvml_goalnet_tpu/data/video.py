@@ -161,6 +161,21 @@ def decode_condensed_frames_parallel(
                 got += 1
                 if idx % skip_frames == 0:
                     kept.append(img)
+            if w == workers - 1 and got == end - start:
+                # metadata frame counts UNDERSTATE real content for some
+                # VFR/estimated-duration files: the sequential decoder reads
+                # those trailing frames, so the last worker must too (it is
+                # already positioned at `end` — no extra seek) or the two
+                # decoders diverge on frames AND full_n_frames
+                idx = end
+                while True:
+                    ok, img = c.read()
+                    if not ok:
+                        break
+                    got += 1
+                    if idx % skip_frames == 0:
+                        kept.append(img)
+                    idx += 1
             c.release()
             decoded[w] = got
             results[w] = kept
@@ -172,17 +187,21 @@ def decode_condensed_frames_parallel(
         t.start()
     for t in threads:
         t.join()
-    # Contract check: every worker must have decoded its FULL range.  A short
-    # segment (mid-read failure, VFR metadata mismatch, inaccurate seek) would
-    # silently drop frames AND make the metadata `total` diverge from the
-    # actually-decodable count — which changes `full_n_frames` and therefore
-    # the knapsack capacity downstream.  Fall back to the sequential decoder,
-    # whose frame count is ground truth, whenever reality ≠ metadata.
+    # Contract check: every worker must have decoded its FULL range (the last
+    # may exceed it — the metadata tail above).  A short segment (mid-read
+    # failure, VFR metadata mismatch, inaccurate seek) would silently drop
+    # frames AND make the metadata `total` diverge from the actually-decodable
+    # count — which changes `full_n_frames` and therefore the knapsack
+    # capacity downstream.  Fall back to the sequential decoder, whose frame
+    # count is ground truth, whenever reality ≠ metadata.
     expected = [int(bounds[w + 1]) - int(bounds[w]) for w in range(workers)]
-    if errors or any(r is None for r in results) or decoded != expected:
+    short = (errors or any(r is None for r in results)
+             or decoded[:-1] != expected[:-1] or decoded[-1] < expected[-1])
+    if short:
         return decode_condensed_frames(path, skip_frames)
     frames = [f for seg in results for f in seg]
-    return np.stack(frames), total
+    # actual decodable count, not the metadata estimate
+    return np.stack(frames), int(bounds[workers - 1]) + decoded[-1]
 
 
 def stream_condensed_frames_parallel(
@@ -233,8 +252,20 @@ def stream_condensed_frames_parallel(
             got += 1
             if idx % skip_frames == 0:
                 kept.append(img)
+        if end >= total and got == end - start:
+            # final segment: read past the metadata count to EOF — header
+            # frame counts can UNDERSTATE real content (VFR files), and the
+            # sequential streamer would have yielded those trailing frames
+            idx = end
+            while True:
+                ok, img = c.read()
+                if not ok:
+                    break
+                if idx % skip_frames == 0:
+                    kept.append(img)
+                idx += 1
         c.release()
-        return kept, got == end - start
+        return kept, got >= end - start
 
     def resume_sequential(raw_start: int):
         """Re-decode from frame 0 (reads are reliable; seeks are not) and
@@ -348,7 +379,12 @@ def pick_decode_workers(
     process (``use_cache=False`` re-probes): short clips must not pay a
     probe that costs more than their own decode.
     """
-    import cv2
+    try:
+        import cv2  # noqa: F401 — the probe needs cv2's threaded decode
+    except ImportError:
+        # imageio-only host: the sequential decoder handles it; parallel
+        # decode (and therefore the probe) is a cv2 feature
+        return 1
 
     if use_cache and candidates in _auto_workers_cache:
         return _auto_workers_cache[candidates]

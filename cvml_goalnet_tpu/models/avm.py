@@ -102,6 +102,7 @@ def avm_apply(
     rng=None,
     classifier: bool = False,
     return_moe_probs: bool = False,
+    valid=None,
 ):
     """Forward pass → ((N, 1) importance scores in [lo, hi], new_state).
 
@@ -109,7 +110,10 @@ def avm_apply(
     ``return_moe_probs=True`` (requires ``cfg.fusion_moe_experts > 0``)
     appends the MoE gate's (N, E) combine weights to the return tuple so the
     training loop can add the load-balance auxiliary loss without a second
-    gate pass.
+    gate pass.  ``valid`` (N,) marks real frames in a zero-padded batch:
+    train-mode batchnorm statistics then count only real frames, matching
+    the reference's unpadded short-batch semantics (``main.py:177-196``
+    processes the final short sub-batch as-is).
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -122,6 +126,8 @@ def avm_apply(
             _warn_resnet_quant_ignored()   # float path; no int8 for resnet
         else:
             vis_kw["quant"] = True   # int8 MXU path for the dominant convs
+    if train and valid is not None:
+        vis_kw["mask"] = valid
     feats, new_state = vis_apply(
         params["visual"], state["visual"], visual,
         train=train, rng=k_vis, dropout_rate=cfg.dropout_rate, **vis_kw,

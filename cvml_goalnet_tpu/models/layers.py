@@ -120,19 +120,35 @@ def batchnorm_init(num_features: int, dtype=jnp.float32):
     return params, state
 
 
-def batchnorm_apply(params, state, x, train: bool, momentum: float = 0.1, eps: float = 1e-5):
+def batchnorm_apply(params, state, x, train: bool, momentum: float = 0.1, eps: float = 1e-5,
+                    mask=None):
     """BatchNorm over all axes but the last (channel) — NHWC/NWC friendly.
 
     PyTorch semantics (reference ``nn.LazyBatchNorm2d``, ``utils.py:154``):
     train mode normalizes by biased batch stats and updates running stats with
     the UNBIASED batch variance; eval mode normalizes by running stats.
+
+    ``mask`` (N,) marks VALID leading-batch entries: train-mode statistics
+    count only valid frames, so a sub-batch zero-padded to a fixed scan shape
+    normalizes its real frames with exactly the statistics the reference
+    computes on the unpadded short batch (padding would otherwise skew
+    mean/var AND the running stats every later eval uses).  Padded rows still
+    get normalized outputs (callers mask their loss).
     """
     axes = tuple(range(x.ndim - 1))
     if train:
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.var(x, axis=axes)
-        count = x.size // x.shape[-1]
-        unbiased = var * count / max(count - 1, 1)
+        if mask is None:
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.var(x, axis=axes)
+            count = x.size // x.shape[-1]
+            unbiased = var * count / max(count - 1, 1)
+        else:
+            m = mask.reshape(mask.shape[:1] + (1,) * (x.ndim - 1)).astype(x.dtype)
+            per_frame = x.size // x.shape[-1] // x.shape[0]
+            count = jnp.sum(mask.astype(jnp.float32)) * per_frame  # traced
+            mean = jnp.sum(x * m, axis=axes) / count.astype(x.dtype)
+            var = jnp.sum(m * jnp.square(x - mean), axis=axes) / count.astype(x.dtype)
+            unbiased = var * (count / jnp.maximum(count - 1.0, 1.0)).astype(x.dtype)
         new_state = {
             "mean": (1 - momentum) * state["mean"] + momentum * mean,
             "var": (1 - momentum) * state["var"] + momentum * unbiased,

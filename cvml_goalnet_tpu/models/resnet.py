@@ -38,16 +38,17 @@ def _block_init(key, cin, cout, stride):
     return params, state
 
 
-def _block_apply(params, state, x, stride, train):
+def _block_apply(params, state, x, stride, train, mask=None):
     new_state = {}
     y = L.conv2d_apply(params["conv1"], x, stride=stride, padding=1)
-    y, new_state["bn1"] = L.batchnorm_apply(params["bn1"], state["bn1"], y, train)
+    y, new_state["bn1"] = L.batchnorm_apply(params["bn1"], state["bn1"], y, train, mask=mask)
     y = jax.nn.relu(y)
     y = L.conv2d_apply(params["conv2"], y, stride=1, padding=1)
-    y, new_state["bn2"] = L.batchnorm_apply(params["bn2"], state["bn2"], y, train)
+    y, new_state["bn2"] = L.batchnorm_apply(params["bn2"], state["bn2"], y, train, mask=mask)
     if "proj" in params:
         x = L.conv2d_apply(params["proj"], x, stride=stride, padding=0)
-        x, new_state["bn_proj"] = L.batchnorm_apply(params["bn_proj"], state["bn_proj"], x, train)
+        x, new_state["bn_proj"] = L.batchnorm_apply(
+            params["bn_proj"], state["bn_proj"], x, train, mask=mask)
     return jax.nn.relu(x + y), new_state
 
 
@@ -72,18 +73,21 @@ def resnet_encoder_init(key, cfg: ModelConfig, pre: PreprocessConfig):
     return params, state
 
 
-def resnet_encoder_apply(params, state, x, *, train: bool, rng, dropout_rate: float):
+def resnet_encoder_apply(params, state, x, *, train: bool, rng, dropout_rate: float,
+                         mask=None):
     """x: (N, H, W, C) → (N, vis_feature_dim)."""
     new_state = {}
     x = L.conv2d_apply(params["stem"], x, stride=1, padding=1)
-    x, new_state["bn_stem"] = L.batchnorm_apply(params["bn_stem"], state["bn_stem"], x, train)
+    x, new_state["bn_stem"] = L.batchnorm_apply(
+        params["bn_stem"], state["bn_stem"], x, train, mask=mask)
     x = jax.nn.relu(x)
     si = 0
     while f"s{si}b0" in params:
         for bi in range(2):
             stride = 2 if (bi == 0 and si > 0) else 1
             x, new_state[f"s{si}b{bi}"] = _block_apply(
-                params[f"s{si}b{bi}"], state[f"s{si}b{bi}"], x, stride, train
+                params[f"s{si}b{bi}"], state[f"s{si}b{bi}"], x, stride, train,
+                mask=mask,
             )
         si += 1
     x = jnp.mean(x, axis=(1, 2))  # global average pool

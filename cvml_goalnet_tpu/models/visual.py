@@ -55,7 +55,7 @@ def visual_encoder_init(key, cfg: ModelConfig, pre: PreprocessConfig):
 
 
 def visual_encoder_apply(params, state, x, *, train: bool, rng, dropout_rate: float,
-                         quant: bool = False):
+                         quant: bool = False, mask=None):
     """x: (N, H, W, C) normalized frames → (N, vis_feature_dim).
 
     Eval mode folds each batchnorm (affine per channel, ``y = s·x + t``) into
@@ -82,7 +82,8 @@ def visual_encoder_apply(params, state, x, *, train: bool, rng, dropout_rate: fl
         x = L.conv2d_apply(params[name], x, stride=s, padding=p)
         x = jax.nn.relu(x)
         x = L.maxpool2d(x, *_POOL)
-        x, new_state[f"bn{i}"] = L.batchnorm_apply(params[f"bn{i}"], state[f"bn{i}"], x, train)
+        x, new_state[f"bn{i}"] = L.batchnorm_apply(
+            params[f"bn{i}"], state[f"bn{i}"], x, train, mask=mask)
     x = x.reshape(x.shape[0], -1)
     x = jax.nn.relu(L.linear_apply(params["head"], x))
     x = L.dropout(x, dropout_rate, train, rng)

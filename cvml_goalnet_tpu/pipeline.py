@@ -67,12 +67,12 @@ def extract_features(
 
 @lru_cache(maxsize=8)
 def _jitted_fuse(cfg_model):
+    from cvml_goalnet_tpu.utils import tree_cast
+
     dtype = jnp.bfloat16 if cfg_model.dtype == "bfloat16" else jnp.float32
 
     def cast(tree):
-        return jax.tree.map(
-            lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
-        )
+        return tree_cast(tree, dtype)
 
     def fwd(params, state, visual, audio, text):
         out, _ = avm_apply(
@@ -95,8 +95,23 @@ def fuse(params, state, features: dict, cfg: PipelineConfig, text=None) -> np.nd
     """
     fn = _jitted_fuse(cfg.model)
     visual = jnp.asarray(features["visual"])
-    audio = jnp.asarray(features["audio"]) if cfg.model.audio_included else None
-    if text is None and cfg.model.text_included and features.get("text") is not None:
+    audio = None
+    if cfg.model.audio_included:
+        if features.get("audio") is None:
+            raise ValueError(
+                "cfg.model.audio_included=True but features['audio'] is None — "
+                "pass a waveform to extract_features, or substitute silent-"
+                "audio features (zeros of (N, bin_length, n_mfcc)) as "
+                "serve.Summarizer does"
+            )
+        audio = jnp.asarray(features["audio"])
+    if text is None and cfg.model.text_included:
+        if features.get("text") is None:
+            raise ValueError(
+                "cfg.model.text_included=True but features['text'] is None — "
+                "pass commentary to extract_features (the model's text branch "
+                "cannot run on a missing modality)"
+            )
         text = jnp.asarray(features["text"])
     return np.asarray(fn(params, state, visual, audio, text))
 
@@ -109,13 +124,25 @@ def fuse_many(params, state, features_list: list[dict], cfg: PipelineConfig) -> 
     """
     if not features_list:
         return []
+
+    def stack(key):
+        vals = [f.get(key) for f in features_list]
+        missing = [i for i, v in enumerate(vals) if v is None]
+        if missing:
+            # same contract as fuse(): an enabled modality must be present
+            # for EVERY video — np.concatenate over a None would otherwise
+            # throw an opaque dtype error (round-3 review)
+            raise ValueError(
+                f"cfg.model.{key}_included=True but features_list"
+                f"[{missing[0]}]['{key}'] is None — every batched video "
+                f"needs the {key} modality (substitute silence/empty "
+                "commentary explicitly if intended)"
+            )
+        return np.concatenate(vals)
+
     visual = np.concatenate([f["visual"] for f in features_list])
-    audio = None
-    if cfg.model.audio_included:
-        audio = np.concatenate([f["audio"] for f in features_list])
-    text = None
-    if cfg.model.text_included:
-        text = np.concatenate([f["text"] for f in features_list])
+    audio = stack("audio") if cfg.model.audio_included else None
+    text = stack("text") if cfg.model.text_included else None
     scores = fuse(params, state, {"visual": visual, "audio": audio, "text": text}, cfg)
     sizes = [len(f["visual"]) for f in features_list]
     out, off = [], 0

@@ -34,12 +34,12 @@ from cvml_goalnet_tpu.utils.profiling import StageTimer
 
 @lru_cache(maxsize=8)
 def _jitted_chunk_scorer(cfg: PipelineConfig, preprocessed: bool = False):
+    from cvml_goalnet_tpu.utils import tree_cast
+
     dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
 
     def cast(tree):
-        return jax.tree.map(
-            lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
-        )
+        return tree_cast(tree, dtype)
 
     def score(params, state, frames, audio):
         if preprocessed:
@@ -137,7 +137,24 @@ def score_video_stream(
                 chunk = np.concatenate([chunk, pad])
             audio = None
             if audio_iter is not None:
-                a = next(audio_iter)
+                try:
+                    a = next(audio_iter)
+                except StopIteration:
+                    # PEP 479 would otherwise surface this as an opaque
+                    # "generator raised StopIteration" RuntimeError from the
+                    # prefetch thread
+                    raise ValueError(
+                        "audio_chunks exhausted before frame_chunks — the "
+                        "audio stream must yield one chunk per frame chunk"
+                    ) from None
+                if len(a) != k:
+                    # a mismatched chunking boundary would silently pair
+                    # frames with the wrong MFCC rows downstream
+                    raise ValueError(
+                        f"audio chunk has {len(a)} rows but the frame chunk "
+                        f"has {k} — audio_chunks must be chunked on the same "
+                        "boundaries as frame_chunks"
+                    )
                 if len(a) < chunk_size:
                     a = np.concatenate(
                         [a, np.zeros((chunk_size - len(a),) + a.shape[1:], a.dtype)]

@@ -58,15 +58,12 @@ def make_train_video_fn(cfg: PipelineConfig, classifier: bool = False):
     multiple of ``subbatch_size`` → ``(params, model_state, opt_state,
     preds (N,), mean_subbatch_loss)``.
     """
+    from cvml_goalnet_tpu.utils import tree_cast as cast
+
     tc = cfg.train
     mc = cfg.model
     S = tc.subbatch_size
     dtype = jnp.bfloat16 if tc.compute_dtype == "bfloat16" else jnp.float32
-
-    def cast(tree, d):
-        return jax.tree.map(
-            lambda x: x.astype(d) if jnp.issubdtype(x.dtype, jnp.floating) else x, tree
-        )
 
     def fn(params, model_state, opt_state, visual, audio, labels, valid, rng, text=None):
         n = visual.shape[0]
@@ -92,6 +89,9 @@ def make_train_video_fn(cfg: PipelineConfig, classifier: bool = False):
                     cast(vis, dtype), cast(aud, dtype), txt,
                     cfg=mc, train=True, rng=step_rng, classifier=classifier,
                     return_moe_probs=moe,
+                    # padded rows must not skew batchnorm statistics — the
+                    # reference trains its final SHORT sub-batch unpadded
+                    valid=msk,
                 )
                 preds, new_ms = fwd[0], fwd[1]
                 loss = _loss_fn(
@@ -130,10 +130,13 @@ def _make_eval_fn(cfg: PipelineConfig, classifier: bool = False):
 
     def fn(params, model_state, visual, audio, labels, valid, text=None):
         # eval_train_mode_compat: the reference evaluates without .eval()
-        # (train-mode BN — main.py:93-118); new batchnorm state is discarded
+        # (train-mode BN — main.py:93-118); new batchnorm state is discarded.
+        # The valid mask keeps zero-padding out of those train-mode BN stats
+        # (the reference sees the whole UNPADDED video as one BN batch).
         preds, _ = avm_apply(
             params, model_state, visual, audio, text,
             cfg=mc, train=tc.eval_train_mode_compat, classifier=classifier,
+            valid=valid,
         )
         loss = _loss_fn(
             preds, labels, valid,
@@ -235,6 +238,24 @@ def train_importance_model(
 
     if len(train_ds) == 0:
         raise ValueError("train_ds is empty — nothing to train on")
+    for ds_name, ds in (("train_ds", train_ds), ("val_ds", val_ds)):
+        for item in ds:
+            # fail loudly up front: _pad_video's zero-label fallback exists
+            # for label-free INFERENCE batches (reference dataloader with
+            # labels=None, utils.py:16-76) — training on it would silently
+            # optimize toward predicting 0, and a missing annotator mask
+            # set would crash mid-eval with an opaque 0-d-iteration error
+            if item.labels is None:
+                raise ValueError(
+                    f"{ds_name} item {item.video_id!r} has no labels — build "
+                    "the dataset with annotation_fp so training has targets"
+                )
+            if item.gd_summary_masks is None:
+                raise ValueError(
+                    f"{ds_name} item {item.video_id!r} has no annotator "
+                    "ground-truth masks — F-score evaluation needs the "
+                    "mat/h5 annotation files"
+                )
 
     def evaluate(ds):
         # Empty val sets (e.g. a one-video dataset under train_ratio=0.8)

@@ -6,6 +6,22 @@ from cvml_goalnet_tpu.utils.logging import Color, log_epoch_header, log_metrics,
 from cvml_goalnet_tpu.utils.profiling import StageTimer, trace_annotation
 
 
+def tree_cast(tree, dtype):
+    """Cast every FLOAT leaf of a pytree to ``dtype``; non-floats pass through.
+
+    The one mixed-precision cast shared by the jitted fuse/stream/train
+    programs (params and activations go bf16 on the hot path while integer
+    leaves — token ids, masks, int8 quantized weights — keep their dtypes).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
 def apply_platform_override() -> None:
     """Honor ``GOALNET_PLATFORM`` (e.g. ``cpu``) before any backend initializes.
 
@@ -51,4 +67,5 @@ __all__ = [
     "log_val_delta",
     "StageTimer",
     "trace_annotation",
+    "tree_cast",
 ]

@@ -115,6 +115,28 @@ class TestDatasetBuild:
         with pytest.raises(ValueError):
             list(Prefetcher(boom()))
 
+    def test_prefetcher_abandoned_consumer_reaps_worker(self):
+        # A consumer that stops iterating early (exception, GC) must not
+        # leave the worker blocked in q.put holding buffered chunks and an
+        # open source — fatal leak in a long-lived serving process
+        closed = []
+
+        def src():
+            try:
+                for i in range(10_000):
+                    yield i
+            finally:
+                closed.append(True)
+
+        p = Prefetcher(src(), depth=2)
+        it = iter(p)
+        assert next(it) == 0
+        assert next(it) == 1
+        it.close()  # what generator GC / a raised exception does
+        p._t.join(timeout=5.0)
+        assert not p._t.is_alive()
+        assert closed == [True]  # source generator was closed too
+
 
 class TestCommentaryIngestion:
     """Round-2: commentary sidecar → per-frame tokens in VideoItem."""

@@ -165,6 +165,29 @@ class TestFuseMany:
             np.testing.assert_allclose(fuse(params, state, f, small_cfg), o, atol=1e-5)
         assert fuse_many(params, state, [], small_cfg) == []
 
+    def test_missing_modality_raises_clearly(self, small_cfg):
+        # np.concatenate over a None used to throw an opaque dtype error in
+        # the batched path while fuse() guarded only text (round-3 review)
+        from cvml_goalnet_tpu.pipeline import fuse, fuse_many
+
+        rng = np.random.default_rng(1)
+        params, state = avm_init(
+            jax.random.PRNGKey(0), small_cfg.model, small_cfg.preprocess, small_cfg.audio
+        )
+
+        def feats(n, with_audio=True):
+            f = {"visual": rng.random(
+                (n, *small_cfg.preprocess.frame_size, 3)).astype(np.float32)}
+            f["audio"] = (rng.random(
+                (n, small_cfg.audio.bin_length, small_cfg.audio.n_mfcc)
+            ).astype(np.float32) if with_audio else None)
+            return f
+
+        with pytest.raises(ValueError, match=r"features_list\[1\]\['audio'\]"):
+            fuse_many(params, state, [feats(4), feats(3, with_audio=False)], small_cfg)
+        with pytest.raises(ValueError, match="audio_included"):
+            fuse(params, state, feats(4, with_audio=False), small_cfg)
+
 
 class TestNativeFullSummarize:
     """Round-2: the all-C++ postprocess (round→expand→clip stats→knapsack→

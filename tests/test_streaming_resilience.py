@@ -45,6 +45,22 @@ class TestStreaming:
         want = fuse(params, state, feats, small_cfg)
         np.testing.assert_allclose(scores, want, atol=1e-4)
 
+    def test_short_audio_stream_raises_clearly(self, setup, small_cfg):
+        # a shorter audio iterator used to surface as an opaque PEP-479
+        # "generator raised StopIteration" RuntimeError from the prefetch
+        # thread; mismatched chunk boundaries silently misaligned modalities
+        frames, audio, params, state = setup
+        with pytest.raises(ValueError, match="audio_chunks exhausted"):
+            score_video_stream(
+                params, state, _chunks(frames, 32), small_cfg, chunk_size=32,
+                audio_chunks=_chunks(audio[:32], 32),  # one chunk short
+            )
+        with pytest.raises(ValueError, match="same boundaries"):
+            score_video_stream(
+                params, state, _chunks(frames, 32), small_cfg, chunk_size=32,
+                audio_chunks=_chunks(audio, 16),  # wrong chunking boundary
+            )
+
     def test_stream_no_audio(self, setup, small_cfg):
         import dataclasses
 
@@ -327,6 +343,51 @@ class TestDecodeMetadataMismatch:
             return val
 
         monkeypatch.setattr(cv2.VideoCapture, "get", lying_get)
+        par = np.concatenate(list(V.stream_condensed_frames_parallel(fp, 2, chunk=16, workers=4)))
+        np.testing.assert_array_equal(par, seq)
+
+    def test_parallel_decode_reads_past_undercounting_metadata(self, tmp_path, monkeypatch):
+        # The inverse lie: header frame count UNDERSTATES real content (VFR,
+        # estimated duration×fps).  Every worker completes its range, so the
+        # old contract check passed while trailing real frames were silently
+        # dropped and full_n was the too-small metadata value (round-3
+        # review) — the last worker must read to EOF like the sequential
+        # decoder does.
+        cv2 = pytest.importorskip("cv2")
+        from cvml_goalnet_tpu.data import video as V
+
+        fp = self._write_clip(tmp_path)
+        seq_frames, seq_full_n = V.decode_condensed_frames(fp, 3)
+
+        real_get = cv2.VideoCapture.get
+
+        def undercounting_get(self, prop):
+            val = real_get(self, prop)
+            if prop == cv2.CAP_PROP_FRAME_COUNT:
+                return max(val - 30, 8)
+            return val
+
+        monkeypatch.setattr(cv2.VideoCapture, "get", undercounting_get)
+        par_frames, par_full_n = V.decode_condensed_frames_parallel(fp, 3, workers=4)
+        assert par_full_n == seq_full_n          # actual count, not metadata
+        np.testing.assert_array_equal(par_frames, seq_frames)
+
+    def test_parallel_stream_reads_past_undercounting_metadata(self, tmp_path, monkeypatch):
+        cv2 = pytest.importorskip("cv2")
+        from cvml_goalnet_tpu.data import video as V
+
+        fp = self._write_clip(tmp_path)
+        seq = np.concatenate(list(V.stream_condensed_frames(fp, 2, chunk=16)))
+
+        real_get = cv2.VideoCapture.get
+
+        def undercounting_get(self, prop):
+            val = real_get(self, prop)
+            if prop == cv2.CAP_PROP_FRAME_COUNT:
+                return max(val - 40, 8)
+            return val
+
+        monkeypatch.setattr(cv2.VideoCapture, "get", undercounting_get)
         par = np.concatenate(list(V.stream_condensed_frames_parallel(fp, 2, chunk=16, workers=4)))
         np.testing.assert_array_equal(par, seq)
 

@@ -105,6 +105,72 @@ class TestTrainStep:
         assert preds.shape == (7,)
         assert np.isfinite(loss)
 
+    def test_padding_kept_out_of_batchnorm_stats(self, small_cfg):
+        # The reference trains its final SHORT sub-batch unpadded
+        # (main.py:177-196), so its train-mode BN statistics see only real
+        # frames.  Our fixed-shape scan pads — the valid mask must keep
+        # those zero frames out of the batch statistics or predictions,
+        # gradients, AND running stats silently diverge (round-3 review).
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from cvml_goalnet_tpu.models.avm import avm_apply, avm_init
+
+        cfg = dataclasses.replace(
+            small_cfg,
+            model=dataclasses.replace(
+                small_cfg.model, dropout_rate=0.0, audio_included=False),
+        )
+        params, state = avm_init(
+            jax.random.PRNGKey(0), cfg.model, cfg.preprocess, cfg.audio)
+        rng = np.random.default_rng(0)
+        h, w = cfg.preprocess.frame_size
+        real = jnp.asarray(rng.random((7, h, w, 3)).astype(np.float32))
+
+        # unpadded short batch == what the reference computes
+        want, want_state = avm_apply(
+            params, state, real, cfg=cfg.model, train=True,
+            rng=jax.random.PRNGKey(1))
+
+        # padded to 10 with a validity mask: real rows must match exactly
+        padded = jnp.concatenate([real, jnp.zeros((3, h, w, 3))])
+        valid = jnp.asarray([1.0] * 7 + [0.0] * 3)
+        got, got_state = avm_apply(
+            params, state, padded, cfg=cfg.model, train=True,
+            rng=jax.random.PRNGKey(1), valid=valid)
+        np.testing.assert_allclose(
+            np.asarray(got[:7]), np.asarray(want), atol=1e-5)
+        # running BN stats must match the unpadded run's too
+        for a, b in zip(jax.tree_util.tree_leaves(got_state),
+                        jax.tree_util.tree_leaves(want_state)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        # and WITHOUT the mask the padding visibly skews the result
+        # (guards against the mask silently becoming a no-op)
+        unmasked, _ = avm_apply(
+            params, state, padded, cfg=cfg.model, train=True,
+            rng=jax.random.PRNGKey(1))
+        assert float(jnp.max(jnp.abs(unmasked[:7] - want))) > 1e-4
+
+    def test_training_requires_labels_and_masks(self, small_cfg):
+        # labels=None used to silently train toward 0 via the zero-label
+        # fallback; gd_summary_masks=None crashed mid-eval with an opaque
+        # 0-d-iteration TypeError (round-3 review)
+        import dataclasses
+
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        good = _make_item(small_cfg, n=10)
+        no_labels = dataclasses.replace(good, labels=None)
+        with pytest.raises(ValueError, match="has no labels"):
+            train_importance_model(
+                small_cfg, VideoDataset([no_labels]), VideoDataset([]),
+                state, num_epochs=1, verbose=False)
+        no_masks = dataclasses.replace(good, gd_summary_masks=None)
+        with pytest.raises(ValueError, match="ground-truth masks"):
+            train_importance_model(
+                small_cfg, VideoDataset([no_masks]), VideoDataset([]),
+                state, num_epochs=1, verbose=False)
+
 
 class TestTrainLoop:
     @pytest.fixture(scope="class")
