@@ -74,11 +74,13 @@ def build_reference_corpus(
     absent moviepy — is skipped by its own existence check.
 
     Annotations are a slow importance wave + per-annotator noise so labels
-    span 1..5 and the knapsack ground truths are non-degenerate; frame counts
-    are chosen so N condensed frames is a multiple of the reference's
-    ``subbatch_size=10`` (``main.py:50``) — otherwise its final short
-    sub-batch and our masked padded sub-batch would see different batchnorm
-    batch statistics.
+    span 1..5 and the knapsack ground truths are non-degenerate.  The default
+    frame counts make N condensed frames a multiple of the reference's
+    ``subbatch_size=10`` (``main.py:50``); non-divisible counts — where the
+    reference trains its final sub-batch SHORT while our scan pads to a
+    fixed shape — are covered separately
+    (tests/test_reference_ab.py::TestShortSubbatchBatchnormParityLive), made
+    equal by masked batchnorm statistics (``batchnorm_apply(mask=)``).
     """
     import cv2
     import h5py

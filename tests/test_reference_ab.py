@@ -190,6 +190,81 @@ class TestTrainingTrajectoryLive:
         assert max(reference_run["metrics"]["train_f_avg"]) > 0
 
 
+class TestShortSubbatchBatchnormParityLive:
+    """Non-divisible condensed counts vs the LIVE reference.
+
+    The reference trains its final sub-batch SHORT (``main.py:177-196``: 11
+    condensed frames → batches of 10 and 1; 9 frames → one batch of 9) while
+    our scan pads every sub-batch to a fixed shape — masked batchnorm
+    statistics (round-3 second review pass, finding 1) are what make the two
+    numerically equal.  ``build_reference_corpus``'s default corpus
+    deliberately side-stepped this case; this one forces it.
+    """
+
+    N_EPOCHS = 2
+
+    @pytest.fixture(scope="class")
+    def short_corpus(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("ref_ab_short")
+        # 330/270 raw frames → 11/9 condensed at skip 30: one short final
+        # sub-batch (size 1) and one whole-video short batch (size 9)
+        return build_reference_corpus(str(root), n_frames=(330, 270))
+
+    @pytest.fixture(scope="class")
+    def short_reference_run(self, short_corpus):
+        return run_reference_training(short_corpus["root"], epochs=self.N_EPOCHS)
+
+    def test_loss_trajectories_match_with_short_subbatches(
+        self, short_corpus, ab_cfg, short_reference_run
+    ):
+        from cvml_goalnet_tpu.compat.torch_import import import_reference_state_dict
+        from cvml_goalnet_tpu.data.dataset import build_datasets
+        from cvml_goalnet_tpu.train.loop import train_importance_model
+        from cvml_goalnet_tpu.train.optim import adam_init
+        from cvml_goalnet_tpu.train.state import TrainState
+
+        cfg = dc.replace(
+            ab_cfg, train=dc.replace(ab_cfg.train, num_epochs=self.N_EPOCHS)
+        )
+        train_ds, val_ds = build_datasets(
+            short_corpus["video_fps"], cfg,
+            annotation_fp=short_corpus["annotation_fp"],
+            mat_file_path=short_corpus["mat_file_path"],
+            h5_file_path=short_corpus["h5_file_path"],
+            info_fp=short_corpus["info_fp"],
+            audio_included=False,
+        )
+        # the corpus really does force short sub-batches
+        assert any(
+            len(item.visual) % cfg.train.subbatch_size != 0 for item in train_ds
+        )
+        params, model_state = import_reference_state_dict(
+            short_reference_run["init_state_dict"], cfg.model, cfg.preprocess,
+            cfg.audio,
+        )
+        state = TrainState(
+            params=params, model_state=model_state,
+            opt_state=adam_init(params), epoch=0,
+        )
+        _, hist = train_importance_model(
+            cfg, train_ds, val_ds, state, num_epochs=self.N_EPOCHS, verbose=False
+        )
+        ref = short_reference_run["metrics"]
+        for e in range(self.N_EPOCHS + 1):
+            # epoch 0 (pre-training eval) is EXACT — the semantic proof that
+            # masked-BN == the reference's short-batch BN.  Later epochs
+            # carry 2× the main test's fp budget: a size-1 BN batch has
+            # near-zero variance, so rsqrt amplifies the ordinary torch-vs-
+            # XLA reduction-order drift (measured 1.2e-4 at epoch 1).
+            tol = 2e-5 * (10 ** e) if e else 1e-6
+            assert abs(hist["train_loss"][e] - ref["train_loss"][e]) < tol, (
+                e, hist["train_loss"], ref["train_loss"])
+            assert abs(hist["val_loss"][e] - ref["val_loss"][e]) < tol * 5, (
+                e, hist["val_loss"], ref["val_loss"])
+        for key in ("train_f_avg", "train_f_max", "val_f_avg", "val_f_max"):
+            np.testing.assert_allclose(hist[key], ref[key], atol=1e-12, err_msg=key)
+
+
 class TestCheckpointEndToEndLock:
     """VERDICT r2 item 7: the reference's own trained ``.pt`` imported via
     ``compat.torch_import`` must reproduce the reference's inference-time
