@@ -236,6 +236,52 @@ class TestDpCpTraining:
         for a in jax.tree_util.tree_leaves(p1):
             assert np.all(np.isfinite(np.asarray(a)))
 
+    def test_padded_flash_ring_matches_per_timeline(self):
+        # the PRODUCTION TPU path: spot-train --cp --dp-timelines sets
+        # use_flash on accelerators, so the ring hops become vmapped Pallas
+        # kernels with BATCHED per-timeline valid lengths — exercise that
+        # batching (interpret mode) against per-timeline monolithic scoring
+        from cvml_goalnet_tpu.train.spotting import timeline_lengths
+
+        mesh = _mesh()
+        params = _params()
+        feats, labels = _batch(b=4, t=40)
+        lens = [40, 30, 40, 25]
+        lab_pad = labels
+        fpois = feats
+        for i, n in enumerate(lens):
+            lab_pad = lab_pad.at[i, n:].set(-1.0)
+            fpois = fpois.at[i, n:].set(9.0)
+        out = temporal_transformer_dp_cp_apply(
+            params, fpois, mesh, 2, use_flash=True, flash_interpret=True,
+            lengths=timeline_lengths(lab_pad))
+        for i, n in enumerate(lens):
+            mono = temporal_transformer_apply(params, feats[i, :n], 2)
+            np.testing.assert_allclose(
+                np.asarray(out[i, :n]), np.asarray(mono), atol=2e-4)
+
+    def test_padded_flash_halo_matches_per_timeline(self):
+        # banded variant: vmapped halo exchange + bounded flash kernel with
+        # batched [lo, hi) validity scalars
+        from cvml_goalnet_tpu.train.spotting import timeline_lengths
+
+        mesh = _mesh()
+        params = _params()
+        feats, labels = _batch(b=4, t=48)
+        lens = [48, 36, 48, 29]
+        lab_pad = labels
+        fpois = feats
+        for i, n in enumerate(lens):
+            lab_pad = lab_pad.at[i, n:].set(-1.0)
+            fpois = fpois.at[i, n:].set(-7.0)
+        out = temporal_transformer_dp_cp_apply(
+            params, fpois, mesh, 2, window=8, use_flash=True,
+            flash_interpret=True, lengths=timeline_lengths(lab_pad))
+        for i, n in enumerate(lens):
+            mono = temporal_transformer_apply(params, feats[i, :n], 2, window=8)
+            np.testing.assert_allclose(
+                np.asarray(out[i, :n]), np.asarray(mono), atol=2e-4)
+
     def test_padded_banded_matches_per_timeline(self):
         # same no-leak property through the halo (banded) CP path
         from cvml_goalnet_tpu.train.spotting import timeline_lengths
