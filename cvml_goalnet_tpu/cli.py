@@ -320,6 +320,8 @@ def cmd_spot(args) -> int:
 
         tparams = temporal_transformer_init(
             jax.random.PRNGKey(1), d,
+            model_dim=cfg.model.temporal_hidden,
+            num_layers=cfg.model.temporal_num_layers,
             num_heads=cfg.model.temporal_num_heads, max_len=cfg.model.temporal_max_len,
             n_classes=n_classes,
             pos_encoding=cfg.model.temporal_pos_encoding,
@@ -509,6 +511,8 @@ def cmd_spot_train(args) -> int:
 
         tparams = temporal_transformer_init(
             jax.random.PRNGKey(1), d,
+            model_dim=cfg.model.temporal_hidden,
+            num_layers=cfg.model.temporal_num_layers,
             num_heads=cfg.model.temporal_num_heads, max_len=cfg.model.temporal_max_len,
             n_classes=len(classes) if classes else 1,
             pos_encoding=cfg.model.temporal_pos_encoding,

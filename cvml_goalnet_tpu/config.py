@@ -132,6 +132,12 @@ class ModelConfig:
     # "gru": bidirectional scan (models/temporal.py); "transformer":
     # flash-attention transformer (models/temporal_attention.py)
     temporal_model: str = "gru"
+    # temporal_hidden doubles as the GRU hidden size AND the transformer's
+    # model_dim; temporal_num_layers is the transformer block count — both
+    # are wired through every head-construction site (cli spot/spot-train,
+    # serve.Spotter), so a non-default value changes the architecture
+    # everywhere consistently (round-3 review: num_layers used to be a
+    # silent no-op outside tests)
     temporal_hidden: int = 128
     temporal_num_layers: int = 2
     temporal_num_heads: int = 1

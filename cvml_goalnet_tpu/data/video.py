@@ -416,6 +416,25 @@ def resolve_decode_workers(value: "str | int | None", path: str) -> int:
     return int(value)
 
 
+def probe_video_fps(path: str) -> "float | None":
+    """Container-reported fps, or None (npz archives, unreadable files).
+
+    Callers converting frame indices to seconds must not assume a fixed
+    rate — production footage is 25 fps while the reference's EXPORT
+    convention is 30 (``utils.py:523``); only the container knows.
+    """
+    if path.endswith(".npz"):
+        return None
+    cap = _open_cv2(path)
+    if cap is None:
+        return None
+    import cv2
+
+    fps = float(cap.get(cv2.CAP_PROP_FPS))
+    cap.release()
+    return fps if fps > 0 else None
+
+
 def export_video(frames: np.ndarray, output_path: str, fps: int = 30) -> None:
     """Write frames to an mp4 (reference ``export_video``, ``utils.py:512-523``)."""
     try:

@@ -33,6 +33,8 @@ statistics, so sharded == monolithic exactly.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -144,6 +146,21 @@ def ring_attention_local(
     return (acc / jnp.where(l == 0.0, 1.0, l)).astype(q_l.dtype)
 
 
+@lru_cache(maxsize=16)
+def _ring_attention_fn(mesh: Mesh, axis: str, scale, t_valid, use_flash: bool,
+                       flash_interpret: bool):
+    # cache the built program: a fresh lambda + shard_map + jit per CALL
+    # would retrace and recompile every invocation (minutes per compile on
+    # remote-compile tunnels) — round-3 review
+    seq = P(None, axis, None)
+    fn = shard_map(
+        lambda ql, kl, vl: ring_attention_local(
+            ql, kl, vl, axis, scale, t_valid, use_flash, flash_interpret),
+        mesh=mesh, in_specs=(seq, seq, seq), out_specs=seq, check_rep=False,
+    )
+    return jax.jit(fn)
+
+
 def ring_attention(
     q: jax.Array,                  # (H, T, d), T sharded over `axis`
     k: jax.Array,
@@ -156,10 +173,5 @@ def ring_attention(
     flash_interpret: bool = False,
 ) -> jax.Array:
     """Sequence-sharded attention over the mesh → (H, T, d), exact."""
-    seq = P(None, axis, None)
-    fn = shard_map(
-        lambda ql, kl, vl: ring_attention_local(
-            ql, kl, vl, axis, scale, t_valid, use_flash, flash_interpret),
-        mesh=mesh, in_specs=(seq, seq, seq), out_specs=seq, check_rep=False,
-    )
-    return jax.jit(fn)(q, k, v)
+    return _ring_attention_fn(
+        mesh, axis, scale, t_valid, use_flash, flash_interpret)(q, k, v)

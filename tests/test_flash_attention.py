@@ -345,6 +345,35 @@ class TestShardedTransformer:
         out = score_timeline_sharded(gparams, feats, mesh, gcfg)
         assert np.asarray(out).shape == (64,)
 
+    def test_gru_sharded_chunks_match_single_device(self, small_cfg):
+        # the GRU CP path runs each device's OWN slice of the chunk list via
+        # shard_map (a replicated jit used to run every chunk everywhere —
+        # round-3 review); results must equal the single-device chunked oracle
+        import dataclasses
+
+        from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+        from cvml_goalnet_tpu.spotting import (
+            score_timeline_chunked,
+            score_timeline_sharded,
+        )
+
+        mesh = cpu_mesh(8)
+        gcfg = dataclasses.replace(
+            small_cfg,
+            model=dataclasses.replace(
+                small_cfg.model, temporal_hidden=8, temporal_chunk=16,
+                temporal_halo=4),
+        )
+        gparams = temporal_scorer_init(jax.random.PRNGKey(1), 16, 8)
+        # 200 frames / chunk 16 → 13 chunks, padded to 16 over 8 devices
+        feats = jnp.asarray(
+            np.random.default_rng(5).standard_normal((200, 16)).astype(np.float32))
+        sharded = np.asarray(score_timeline_sharded(gparams, feats, mesh, gcfg))
+        mono = np.asarray(score_timeline_chunked(gparams, feats, 8, 16, 4))
+        assert sharded.shape == (200,)
+        np.testing.assert_allclose(sharded, mono, atol=1e-5)
+
 
 class TestContextParallelTraining:
     def test_cp_grads_match_single_device(self):

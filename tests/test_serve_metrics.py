@@ -127,9 +127,23 @@ class TestSummarizer:
             assert e.value.code in (404, 500)
 
             # /metrics aggregates both requests: 2 observed, 1 error, with
-            # latency quantiles from the bounded ring (ServerMetrics)
-            with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
-                m = json.load(r)
+            # latency quantiles from the bounded ring (ServerMetrics).
+            # observe() runs AFTER the response flushes, so metrics are
+            # eventually consistent — poll briefly
+            import time as _time
+
+            def metrics_when(pred, tries=100):
+                for _ in range(tries):
+                    with urllib.request.urlopen(
+                            f"http://127.0.0.1:{port}/metrics") as r:
+                        m = json.load(r)
+                    if pred(m):
+                        return m
+                    _time.sleep(0.02)
+                return m
+
+            m = metrics_when(lambda m: m["endpoints"].get(
+                "/summarize", {}).get("requests", 0) >= 2)
             assert m["uptime_s"] >= 0
             ep = m["endpoints"]["/summarize"]
             assert ep["requests"] == 2 and ep["errors"] == 1
@@ -146,8 +160,8 @@ class TestSummarizer:
                 with pytest.raises(urllib.error.HTTPError) as e:
                     urllib.request.urlopen(req)
                 assert e.value.code == 404
-            with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
-                m = json.load(r)
+            m = metrics_when(lambda m: m["endpoints"].get(
+                "(other)", {}).get("requests", 0) >= 3)
             assert set(m["endpoints"]) <= {"/summarize", "/spot", "(other)"}
             assert m["endpoints"]["(other)"]["requests"] == 3
             assert m["endpoints"]["(other)"]["errors"] == 3
@@ -188,6 +202,48 @@ class TestSpotter:
         resp = s.spot_frames("vid", frames)
         assert resp.scores.shape == (16, 2)
         assert set(resp.events) == {"goal", "card"}
+
+    def test_spotter_respects_layer_and_dim_config(self, no_audio_cfg):
+        # temporal_num_layers / temporal_hidden used to be silent no-ops for
+        # the transformer head construction (round-3 review): a 3-layer
+        # config built the 2-layer default and failed checkpoint loads
+        import dataclasses
+
+        from cvml_goalnet_tpu.serve import Spotter
+
+        cfg = dataclasses.replace(
+            no_audio_cfg,
+            model=dataclasses.replace(
+                no_audio_cfg.model, temporal_model="transformer",
+                temporal_num_layers=3, temporal_hidden=48),
+        )
+        sp = Spotter(cfg)
+        assert len(sp.temporal_params["layers"]) == 3
+        assert sp.temporal_params["proj_in"]["w"].shape[-1] == 48
+
+    def test_spot_path_reports_container_fps(self, no_audio_cfg, tmp_path):
+        # event seconds must use the CONTAINER's fps (25-fps production
+        # footage was reported 10 min early by minute 60 under the old
+        # hardcoded 30.0 — round-3 review)
+        cv2 = pytest.importorskip("cv2")
+        from cvml_goalnet_tpu.data.video import probe_video_fps
+        from cvml_goalnet_tpu.serve import Spotter
+
+        fp = str(tmp_path / "clip25.mp4")
+        out = cv2.VideoWriter(fp, cv2.VideoWriter_fourcc(*"mp4v"), 25, (32, 32))
+        rng = np.random.default_rng(0)
+        for _ in range(80):
+            out.write(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+        out.release()
+        assert probe_video_fps(fp) == pytest.approx(25.0)
+        sp = Spotter(no_audio_cfg)
+        resp = sp.spot_path(fp)
+        assert resp.fps == pytest.approx(25.0)
+        # npz archives carry no fps → None (HTTP layer falls back to 30)
+        npz = str(tmp_path / "clip.npz")
+        np.savez_compressed(npz, frames=rng.integers(
+            0, 255, (60, 32, 32, 3), dtype=np.uint8))
+        assert probe_video_fps(npz) is None
 
     def test_loads_spot_train_head(self, no_audio_cfg, tmp_path):
         # the head spot-train saves restores into the Spotter (and a
@@ -362,6 +418,54 @@ class TestDynamicBatching:
         assert batcher.stats["requests"] == 4
         assert batcher.stats["batches"] < 4
         assert batcher.stats["batched_frames"] == sum(len(r) for r in reqs)
+
+    def test_worker_survives_bad_rider_and_oversized_requests(self, small_cfg):
+        # (a) a misshapen rider (assembly failure) must fail ITS batch's
+        # futures without killing the worker — a dead worker hangs every
+        # later submit forever (round-3 review); (b) a request larger than
+        # the biggest bucket scores through bucket-sized chunks instead of
+        # minting an unwarmed shape on the request path
+        import dataclasses
+
+        from cvml_goalnet_tpu.serve import DynamicBatcher
+
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False)
+        )
+        s = Summarizer(cfg)
+        batcher = DynamicBatcher(s, max_batch_frames=4096, max_wait_ms=30.0,
+                                 buckets=(16, 32))
+        rng = np.random.default_rng(2)
+
+        # a grayscale request fails synchronously in submit()'s preprocess —
+        # the HTTP handler surfaces that as a 500 without touching the worker
+        with pytest.raises(Exception):
+            batcher.submit("bad", rng.integers(0, 255, (4, 24, 24, 1), dtype=np.uint8))
+
+        # a malformed entry that reaches the WORKER (wrong feature shape)
+        # must fail its own future, not kill the worker thread
+        from concurrent.futures import Future
+
+        evil: Future = Future()
+        batcher._q.put((
+            "evil", {"visual": np.zeros((4, 3, 3, 3), np.float32),
+                     "audio": None, "text": None}, None, None, 4, evil))
+        with pytest.raises(Exception):
+            evil.result(timeout=60)
+
+        # worker must still be alive and serving
+        good_frames = rng.integers(0, 255, (10, 24, 24, 3), dtype=np.uint8)
+        want = s.summarize_frames("g", good_frames)
+        got = batcher.submit("g", good_frames).result(timeout=120)
+        np.testing.assert_allclose(got.scores, want.scores, atol=1e-4)
+
+        # oversized request: 70 frames > buckets[-1]=32 → chunked scoring,
+        # same scores as the unbatched path
+        big_frames = rng.integers(0, 255, (70, 24, 24, 3), dtype=np.uint8)
+        want_big = s.summarize_frames("big", big_frames)
+        got_big = batcher.submit("big", big_frames).result(timeout=120)
+        np.testing.assert_allclose(got_big.scores, want_big.scores, atol=1e-4)
+        np.testing.assert_array_equal(got_big.frame_mask, want_big.frame_mask)
 
     def test_error_propagates_to_all_riders(self, small_cfg):
         import dataclasses

@@ -66,6 +66,31 @@ class TestSpottingTraining:
         assert losses[-1] < losses[0] * 0.5
 
 
+class TestTrunkBackbones:
+    def test_encode_timeline_resnet_backbone(self, small_cfg):
+        # the trunk must dispatch on vis_backbone like avm_apply does —
+        # hardcoding the conv encoder crashed every spotting entry point
+        # for resnet checkpoints (round-3 review)
+        import dataclasses
+
+        import jax
+
+        from cvml_goalnet_tpu.spotting import encode_timeline
+        from cvml_goalnet_tpu.train.state import create_train_state
+
+        cfg = dataclasses.replace(
+            small_cfg,
+            model=dataclasses.replace(
+                small_cfg.model, vis_backbone="resnet", audio_included=False),
+        )
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        h, w = cfg.preprocess.frame_size
+        frames = np.random.default_rng(0).random((6, h, w, 3)).astype(np.float32)
+        feats = encode_timeline(
+            state.params, state.model_state, jnp.asarray(frames), None, cfg)
+        assert feats.shape == (6, cfg.model.vis_feature_dim)
+
+
 class TestMatchSummarization:
     def test_end_to_end(self, small_cfg):
         cfg = small_cfg
