@@ -106,8 +106,18 @@ def import_reference_state_dict(
     perm = _nchw_to_nhwc_flat_perm(cfg.vis_channels[-1], h, w)
     params["visual"]["head"] = _linear(sd, "visbl.linear5", perm)
 
-    # Audio branch (reference utils.py:203-211), when present.
-    if cfg.audio_included and any(k.startswith("audbl.") for k in sd):
+    # Audio branch (reference utils.py:203-211).
+    if cfg.audio_included and not any(k.startswith("audbl.") for k in sd):
+        # silently omitting params["audio"] would hand back a pytree
+        # incongruent with the config and explode later deep inside jit
+        # (round-3 review) — fail at the import boundary instead
+        raise ValueError(
+            "cfg.audio_included=True but the state_dict has no audbl.* keys "
+            "— this is a visual-only reference checkpoint; import it with an "
+            "audio_included=False config (the reference's --train-no-audio "
+            "variant, main.py:31-38)"
+        )
+    if cfg.audio_included:
         params["audio"] = {}
         for i in range(len(cfg.aud_channels)):
             params["audio"][f"conv{i}"] = _conv1d(sd, f"audbl.conv{i + 1}")

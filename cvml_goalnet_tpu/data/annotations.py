@@ -31,8 +31,13 @@ def load_tvsum_annotations(
     rows = []
     with open(annotation_fp) as f:
         for row in csv.reader(f, delimiter="\t"):
-            if row[0] == video_id:
+            if row and row[0] == video_id:   # tolerate blank/short lines
                 rows.append(row[2].strip().split(","))
+    if not rows:
+        # a clear lookup error, not numpy's "axis 1 is out of bounds"
+        raise KeyError(
+            f"video id {video_id!r} has no annotator rows in {annotation_fp!r}"
+        )
     ann = np.array(rows, dtype=np.float32).T          # (frames, annotators)
     mean_full = ann.mean(axis=1)
     mean_trimmed = mean_full[::skip_frames]
@@ -121,12 +126,17 @@ class AnnotationStore:
 
     @cached_property
     def _mat_to_h5(self) -> dict[str, str]:
-        """mat-id → h5-key map via nframes equality with +1 offset (``utils.py:615-622``)."""
+        """mat-id → h5-key map via nframes equality with +1 offset (``utils.py:615-622``).
+
+        First match wins (the reference's loop order) — continuing the scan
+        would let a LATER h5 video with the same frame total silently
+        overwrite the mapping and serve another video's change points."""
         out = {}
         for name, n in zip(self._mat_data["videos"], self._mat_data["nframes"]):
             for h5_id, total in self._h5_data["totals"].items():
                 if n == total + 1:
                     out[name] = h5_id
+                    break
         return out
 
     def change_points(self, video_id: str) -> np.ndarray:

@@ -100,6 +100,11 @@ def _traceback(table: np.ndarray, values: np.ndarray, weights: np.ndarray, capac
     for i in range(n, 0, -1):
         if res <= 0:
             break
+        if w < 0:
+            # only reachable for non-integral float values whose fp
+            # subtraction breaks the exact-equality test below; numpy would
+            # otherwise silently read a WRONG cell via negative indexing
+            break
         if res == table[i - 1][w]:
             continue
         selected.append(i - 1)

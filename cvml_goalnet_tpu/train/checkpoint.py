@@ -41,6 +41,11 @@ def save_checkpoint(directory: str, state: TrainState, cfg: PipelineConfig, tag:
         "opt_state": state.opt_state._asdict(),
     }
     arrays, _ = _flatten_with_paths(payload)
+    # the epoch rides INSIDE the npz so weights+epoch swap atomically — the
+    # manifest renames separately, and a crash between the two renames must
+    # not pair new weights with a stale-epoch manifest (same fix as the
+    # orbax backend, round 3; the manifest's epoch is informational)
+    arrays["__epoch__"] = np.asarray(state.epoch, dtype=np.int64)
     path = os.path.join(directory, f"{tag}_state.npz")
     tmp = path + ".tmp.npz"
     np.savez(tmp, **arrays)
@@ -82,11 +87,14 @@ def load_checkpoint(directory: str, template: TrainState, tag: str = "ckp") -> T
             )
         leaves.append(data[key])
     payload = jax.tree_util.tree_unflatten(treedef, leaves)
+    # epoch from the payload (atomic with the weights); pre-round-3 files
+    # without the leaf fall back to the manifest
+    epoch = int(data["__epoch__"]) if "__epoch__" in data else int(manifest["epoch"])
     return TrainState(
         params=payload["params"],
         model_state=payload["model_state"],
         opt_state=AdamState(**payload["opt_state"]),
-        epoch=int(manifest["epoch"]),
+        epoch=epoch,
     )
 
 
@@ -123,7 +131,13 @@ class AsyncCheckpointer:
         )
         with self._lock:
             self._pending[tag] = (directory, host_state, cfg)
-            if self._thread is None or not self._thread.is_alive():
+            # _drain clears self._thread to None UNDER THE LOCK before
+            # exiting, so "is None" here is a reliable it-will-not-see-my-
+            # item test.  Checking is_alive() instead races: a worker that
+            # decided to exit is still alive while terminating, the enqueue
+            # would assume it drains, and the snapshot would silently never
+            # be written (round-3 review — a lost final checkpoint).
+            if self._thread is None:
                 self._thread = threading.Thread(target=self._drain, daemon=True)
                 self._thread.start()
 
@@ -131,6 +145,7 @@ class AsyncCheckpointer:
         while True:
             with self._lock:
                 if not self._pending:
+                    self._thread = None  # atomic with the exit decision
                     return
                 tag, (directory, state, cfg) = next(iter(self._pending.items()))
                 del self._pending[tag]
@@ -141,8 +156,13 @@ class AsyncCheckpointer:
 
     def wait(self) -> None:
         """Block until all queued writes land; re-raise the first failure."""
-        t = self._thread
-        if t is not None:
+        while True:
+            with self._lock:
+                t = self._thread
+            if t is None:
+                break
             t.join()
+            # a save() racing the previous worker's exit may have started a
+            # NEW worker — loop until the slot stays empty
         if self._errors:
             raise self._errors[0]

@@ -59,9 +59,16 @@ def train_data_parallel(
     pool = pool_dataset(train_ds)
     n = len(pool["visual"])
 
+    if n < n_data:
+        # every step would break before running: the whole run would silently
+        # train NOTHING while history fills with NaN (round-3 review)
+        raise ValueError(
+            f"dataset pools only {n} frames but the data axis spans {n_data} "
+            "devices — add videos or shrink the mesh"
+        )
     if global_batch is None:
         global_batch = max(n_data, (cfg.train.subbatch_size * n_data))
-    global_batch = min(global_batch, (n // n_data) * n_data or n_data)
+    global_batch = min(global_batch, (n // n_data) * n_data)
 
     step_fn = make_dp_train_step(cfg, mesh, tensor_parallel)
     params = place_params(state.params, mesh, tensor_parallel)
@@ -81,33 +88,36 @@ def train_data_parallel(
             if len(idx) < global_batch:
                 break
             key, sub = jax.random.split(key)
-            vis = shard_batch(mesh, jnp.asarray(pool["visual"][idx]))
+            # device_put the NUMPY slice straight into its sharding —
+            # jnp.asarray first would materialize the whole global batch on
+            # one device and pay the H2D twice (round-3 review)
+            vis = shard_batch(mesh, pool["visual"][idx])
             aud = (
-                shard_batch(mesh, jnp.asarray(pool["audio"][idx]))
+                shard_batch(mesh, pool["audio"][idx])
                 if pool["audio"] is not None
                 else None
             )
-            lab = shard_batch(mesh, jnp.asarray(pool["labels"][idx]))
+            lab = shard_batch(mesh, pool["labels"][idx])
             params, model_state, opt_state, loss = step_fn(
                 params, model_state, opt_state, vis, aud, lab, sub
             )
             losses.append(float(loss))
 
         state = TrainState(params, model_state, opt_state, epoch + 1)
-        val_losses, favg, fmax = [], [], []
-        for item in val_ds:
-            preds, vloss = eval_video(state, item, cfg)
-            fa, fm = _video_fscores(item, preds, cfg)
-            val_losses.append(vloss)
-            favg.append(fa)
-            fmax.append(fm)
         history["train_loss"].append(float(np.mean(losses)))
-        history["val_loss"].append(float(np.mean(val_losses)))
-        history["val_f_avg"].append(float(np.mean(favg)))
-        history["val_f_max"].append(float(np.mean(fmax)))
+        if len(val_ds):  # empty val sets must not np.mean([]) into NaN rows
+            val_losses, favg, fmax = [], [], []
+            for item in val_ds:
+                preds, vloss = eval_video(state, item, cfg)
+                fa, fm = _video_fscores(item, preds, cfg)
+                val_losses.append(vloss)
+                favg.append(fa)
+                fmax.append(fm)
+            history["val_loss"].append(float(np.mean(val_losses)))
+            history["val_f_avg"].append(float(np.mean(favg)))
+            history["val_f_max"].append(float(np.mean(fmax)))
         if verbose:
-            print(
-                f"[dp epoch {epoch}] train loss {history['train_loss'][-1]:.4f} "
-                f"val loss {history['val_loss'][-1]:.4f} F-avg {history['val_f_avg'][-1]:.4f}"
-            )
+            val = (f"val loss {history['val_loss'][-1]:.4f} "
+                   f"F-avg {history['val_f_avg'][-1]:.4f}" if len(val_ds) else "no val set")
+            print(f"[dp epoch {epoch}] train loss {history['train_loss'][-1]:.4f} {val}")
     return state, history

@@ -47,6 +47,11 @@ int goalnet_knapsack(const double* values, const int64_t* weights, int32_t n,
   int32_t count = 0;
   for (int32_t i = n; i > 0; --i) {
     if (res <= 0.0) break;
+    // w < 0 can only happen when float-valued inputs break the exact
+    // equality below (fp subtraction need not reproduce the table cell);
+    // bail out rather than index out of bounds — the Python layer routes
+    // non-integral values to the f64 host engine, this is defense in depth
+    if (w < 0) break;
     if (res == table[static_cast<size_t>(i - 1) * w1 + w]) continue;
     selected_out[count++] = i - 1;
     res -= values[i - 1];

@@ -123,6 +123,12 @@ static int parse(const char* path, int64_t* info, float* out, int64_t out_len) {
     written += (int64_t)got;
   }
   fclose(f);
+  if (written < n_frames) {
+    // truncated data chunk (header promised more bytes than the file has —
+    // interrupted download/demux): succeeding here would hand the caller an
+    // uninitialized buffer tail as audio; report how far we got instead
+    return -7;
+  }
   return 0;
 }
 

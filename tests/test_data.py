@@ -32,6 +32,14 @@ class TestAnnotations:
         assert cps[-1][1] == 240 - 1
         assert store.change_points("vidB")[-1][1] == 270 - 1
 
+    def test_unknown_video_id_raises_keyerror(self, synth_dir):
+        # previously an opaque numpy AxisError from .mean(axis=1) on an
+        # empty array (round-3 review)
+        from cvml_goalnet_tpu.data.annotations import load_tvsum_annotations
+
+        with pytest.raises(KeyError, match="no annotator rows"):
+            load_tvsum_annotations(synth_dir["annotation_fp"], "nonexistent", 30)
+
     def test_store_caches_parsing(self, synth_dir):
         store = AnnotationStore(synth_dir["mat_file_path"], synth_dir["h5_file_path"])
         a = store._mat_data
@@ -73,6 +81,21 @@ class TestAudioIO:
         ref = data.astype(np.float32) / 32768.0
         assert nsr == sr
         np.testing.assert_allclose(ny, ref, atol=1e-6)
+
+    def test_native_reader_rejects_truncated_wav(self, tmp_path):
+        # a data chunk whose header promises more bytes than the file has
+        # used to "succeed" with an uninitialized buffer tail fed straight
+        # into resample/MFCC (round-3 review) — it must fail instead
+        from cvml_goalnet_tpu.runtime import wav_read_native
+
+        y = synthetic_waveform(8000)
+        fp = str(tmp_path / "t.wav")
+        write_wav(fp, y, 22050)
+        if wav_read_native(fp) is None:
+            pytest.skip("native runtime not built")
+        raw = open(fp, "rb").read()
+        open(fp, "wb").write(raw[: len(raw) - 4000])  # chop the tail
+        assert wav_read_native(fp) is None
 
 
 class TestDatasetBuild:

@@ -158,6 +158,34 @@ class TestDataParallelLoop:
         assert history["train_loss"][-1] < history["train_loss"][0]
         assert final.epoch == 4
 
+    def test_pool_smaller_than_mesh_raises(self, small_cfg):
+        # 6 pooled frames over an 8-wide data axis used to break out of every
+        # step silently: zero updates, NaN history (round-3 review)
+        from tests.test_train import _make_item
+        from cvml_goalnet_tpu.data.dataset import VideoDataset
+        from cvml_goalnet_tpu.train.dp_loop import train_data_parallel
+
+        mesh = cpu_mesh(8)
+        ds = VideoDataset([_make_item(small_cfg, n=6, seed=0)])
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        with pytest.raises(ValueError, match="pools only 6 frames"):
+            train_data_parallel(small_cfg, ds, ds, state, num_epochs=1,
+                                mesh=mesh, verbose=False)
+
+    def test_empty_val_set_no_nan_history(self, small_cfg):
+        from tests.test_train import _make_item
+        from cvml_goalnet_tpu.data.dataset import VideoDataset
+        from cvml_goalnet_tpu.train.dp_loop import train_data_parallel
+
+        mesh = cpu_mesh(8)
+        ds = VideoDataset([_make_item(small_cfg, n=16, seed=0)])
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        _, history = train_data_parallel(
+            small_cfg, ds, VideoDataset([]), state,
+            num_epochs=2, global_batch=8, mesh=mesh, verbose=False)
+        assert np.isfinite(history["train_loss"]).all()
+        assert history["val_loss"] == []  # skipped, not NaN-filled
+
     def test_dp_loop_with_tensor_parallel(self, small_cfg):
         from tests.test_train import _make_item
         from cvml_goalnet_tpu.data.dataset import VideoDataset

@@ -106,6 +106,17 @@ class TestReferenceImport:
         )
         np.testing.assert_allclose(np.asarray(ours), want, atol=2e-4)
 
+    def test_audio_config_with_visual_only_checkpoint_raises(self, small_cfg):
+        # silently omitting params["audio"] used to hand back a pytree
+        # incongruent with the config and explode deep inside jit — the
+        # import boundary must fail with the remedy (round-3 review)
+        rng = np.random.default_rng(2)
+        sd = _reference_state_dict(small_cfg, rng)
+        sd = {k: v for k, v in sd.items() if not k.startswith("audbl.")}
+        with pytest.raises(ValueError, match="no audbl"):
+            import_reference_state_dict(
+                sd, small_cfg.model, small_cfg.preprocess, small_cfg.audio)
+
     def test_no_audio_checkpoint(self, small_cfg):
         import dataclasses
 

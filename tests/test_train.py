@@ -391,6 +391,48 @@ class TestAsyncCheckpointer:
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
+    def test_rapid_saves_never_drop_the_last_snapshot(self, small_cfg, tmp_path):
+        # a save() racing the worker's exit decision used to see is_alive()
+        # True, start no new worker, and silently never write (round-3
+        # review) — hammer the race window and require the LAST epoch on disk
+        from cvml_goalnet_tpu.train.checkpoint import AsyncCheckpointer, load_checkpoint
+
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        ck = AsyncCheckpointer()
+        for e in range(30):
+            ck.save(str(tmp_path), state._replace(epoch=e), small_cfg, tag="ckp")
+        ck.wait()
+        assert load_checkpoint(str(tmp_path), state, tag="ckp").epoch == 29
+        # and across many enqueue/drain-exit cycles
+        for e in range(5):
+            ck.save(str(tmp_path), state._replace(epoch=100 + e), small_cfg, tag="ckp")
+            ck.wait()
+            assert load_checkpoint(str(tmp_path), state, tag="ckp").epoch == 100 + e
+
+    def test_epoch_rides_inside_the_npz(self, small_cfg, tmp_path):
+        # weights+epoch must swap atomically: a crash between the npz and
+        # manifest renames used to pair new weights with a stale-epoch
+        # manifest (round-3 review) — the payload epoch wins
+        import json
+
+        from cvml_goalnet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        save_checkpoint(str(tmp_path), state._replace(epoch=5), small_cfg, tag="ckp")
+        mpath = tmp_path / "ckp_manifest.json"
+        manifest = json.loads(mpath.read_text())
+        manifest["epoch"] = 3  # simulate the stale manifest
+        mpath.write_text(json.dumps(manifest))
+        assert load_checkpoint(str(tmp_path), state, tag="ckp").epoch == 5
+
+        # pre-round-3 files without the payload leaf fall back to the manifest
+        import numpy as _np
+        fp = tmp_path / "ckp_state.npz"
+        data = dict(_np.load(fp))
+        del data["__epoch__"]
+        _np.savez(fp, **data)
+        assert load_checkpoint(str(tmp_path), state, tag="ckp").epoch == 3
+
     def test_wait_surfaces_write_errors(self, small_cfg, tmp_path):
         from cvml_goalnet_tpu.train.checkpoint import AsyncCheckpointer
 
