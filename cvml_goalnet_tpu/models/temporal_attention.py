@@ -352,16 +352,16 @@ def _tp_cp_local_body(params, feats_l, *, model_axis: str, ctx_axis: str,
                 q, k, v, ctx_axis, 1.0 / np.sqrt(hd), t_valid=t,
                 use_flash=use_flash, flash_interpret=flash_interpret,
             )
-        partial = attn.transpose(1, 0, 2).reshape(tl, d_loc) @ row_slice(
+        attn_part = attn.transpose(1, 0, 2).reshape(tl, d_loc) @ row_slice(
             layer["wo"]["w"], d_loc)
-        x = x + jax.lax.psum(partial, model_axis) + layer["wo"]["b"]
+        x = x + jax.lax.psum(attn_part, model_axis) + layer["wo"]["b"]
 
         h = L.layernorm_apply(layer["ln2"], x)
         m_loc = layer["mlp_in"]["w"].shape[1] // nm
         hin = h @ col_slice(layer["mlp_in"]["w"], m_loc) + vec_slice(
             layer["mlp_in"]["b"], m_loc)
-        partial = jax.nn.gelu(hin) @ row_slice(layer["mlp_out"]["w"], m_loc)
-        x = x + jax.lax.psum(partial, model_axis) + layer["mlp_out"]["b"]
+        mlp_part = jax.nn.gelu(hin) @ row_slice(layer["mlp_out"]["w"], m_loc)
+        x = x + jax.lax.psum(mlp_part, model_axis) + layer["mlp_out"]["b"]
 
     out = L.linear_apply(params["head"], x)
     return out[:, 0] if n_out == 1 else out

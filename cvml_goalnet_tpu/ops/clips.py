@@ -36,11 +36,21 @@ def clip_stats(intervals: jax.Array, importances: jax.Array) -> tuple[jax.Array,
 
 
 def clip_stats_host(intervals: np.ndarray, importances: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """NumPy mirror of :func:`clip_stats` (loop formulation, for parity tests)."""
+    """NumPy mirror of :func:`clip_stats` (loop formulation, for parity tests).
+
+    Clamps exactly like the device op: a NEGATIVE start (invalid change
+    point) clamps to 0 on both engines — raw Python slicing would silently
+    WRAP from the tail instead, so the two would disagree on malformed
+    inputs (round-3 review).  Valid change points are non-negative, so this
+    never diverges from the reference on real data (``utils.py:445-464``).
+    """
     importances = np.asarray(importances)
+    n = len(importances)
     imps, lens = [], []
     for a, b in np.asarray(intervals):
-        sl = importances[int(a):int(b)]
+        a = min(max(int(a), 0), n)
+        b = max(min(max(int(b), 0), n), a)
+        sl = importances[a:b]
         imps.append(sl.sum())
         lens.append(len(sl))
     return np.asarray(imps), np.asarray(lens, dtype=np.int32)

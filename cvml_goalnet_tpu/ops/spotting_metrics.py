@@ -46,11 +46,17 @@ def match_events(
 def spotting_pr(
     pred_frames, pred_scores, gt_frames, tolerance: int
 ) -> tuple[float, float, float]:
-    """(precision, recall, f1) at one tolerance."""
+    """(precision, recall, f1) at one tolerance.
+
+    Empty-vs-empty is vacuously PERFECT (1, 1, 1): a class with no ground
+    truth and no predictions is the correct output, and reporting f1=0 for
+    it is indistinguishable from total failure (round-3 review)."""
     pred_frames = np.asarray(pred_frames)
     gt_frames = np.asarray(gt_frames)
     if len(pred_frames) == 0:
-        return 0.0, 0.0 if len(gt_frames) else 1.0, 0.0
+        if len(gt_frames) == 0:
+            return 1.0, 1.0, 1.0
+        return 0.0, 0.0, 0.0
     matched = match_events(pred_frames, pred_scores, gt_frames, tolerance)
     tp = int(matched.sum())
     precision = tp / len(pred_frames)
@@ -88,14 +94,24 @@ def multiclass_average_map(
     pred_by_class, scores_by_class, gt_by_class, tolerances=(5, 10, 20, 40, 60)
 ) -> dict:
     """SoccerNet-style multi-class average-mAP: per-class AP sweep + the mean
-    over classes.  ``*_by_class`` are equal-length sequences (one entry per
-    event class) of frame-index / score arrays."""
-    per_class = [
-        average_map(p, s, g, tolerances)
-        for p, s, g in zip(pred_by_class, scores_by_class, gt_by_class)
-    ]
+    over classes WITH ground truth.  ``*_by_class`` are equal-length
+    sequences (one entry per event class) of frame-index / score arrays.
+
+    Classes absent from a match's ground truth are excluded from the mean
+    (the SoccerNet convention): with 17 configured classes and 5 present, a
+    model scoring those 5 perfectly used to report ~0.29 instead of 1.0 —
+    the forced AP=0 for absent classes systematically deflated the metric
+    (round-3 review).  Per-class entries still report every class, with
+    ``"present"`` marking whether it counted."""
+    per_class = []
+    present_maps = []
+    for p, s, g in zip(pred_by_class, scores_by_class, gt_by_class):
+        entry = average_map(p, s, g, tolerances)
+        entry["present"] = bool(len(np.asarray(g)))
+        if entry["present"]:
+            present_maps.append(entry["average_map"])
+        per_class.append(entry)
     return {
-        "average_map": float(np.mean([c["average_map"] for c in per_class]))
-        if per_class else 0.0,
+        "average_map": float(np.mean(present_maps)) if present_maps else 0.0,
         "per_class": per_class,
     }

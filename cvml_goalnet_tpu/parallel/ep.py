@@ -33,8 +33,6 @@ def _ep_fn(mesh, axis: str, top_k: int):
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    n_shards = mesh.shape[axis]
-
     def body(gate, experts_local, x):
         # experts_local leaves: (E/n, ...) — this device's expert slice
         e_local = experts_local["w"].shape[0]

@@ -54,6 +54,9 @@ class TestSpottingMetrics:
     def test_empty_cases(self):
         assert spotting_pr([], [], np.array([1]), 5) == (0.0, 0.0, 0.0)
         assert average_precision([], [], np.array([1]), 5) == 0.0
+        # empty-vs-empty is vacuously PERFECT — f1=0 there would be
+        # indistinguishable from total failure (round-3 review)
+        assert spotting_pr([], [], np.array([], int), 5) == (1.0, 1.0, 1.0)
 
 
 class TestSummarizer:

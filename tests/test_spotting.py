@@ -313,6 +313,29 @@ class TestMultiClassSpotting:
         assert out["per_class"][1]["average_map"] == 0.0
         assert abs(out["average_map"] - 0.5) < 1e-9
 
+    def test_multiclass_average_map_excludes_absent_classes(self):
+        # SoccerNet convention: configured classes ABSENT from a match's
+        # ground truth must not deflate the mean — a model perfect on the
+        # present classes used to score len(present)/len(configured)
+        # (round-3 review)
+        from cvml_goalnet_tpu.ops.spotting_metrics import multiclass_average_map
+
+        out = multiclass_average_map(
+            pred_by_class=[np.array([10, 50]), np.array([], int), np.array([], int)],
+            scores_by_class=[np.array([0.9, 0.8]), np.array([]), np.array([])],
+            gt_by_class=[np.array([11, 49]), np.array([], int), np.array([], int)],
+        )
+        assert out["average_map"] == 1.0
+        assert out["per_class"][0]["present"] is True
+        assert out["per_class"][1]["present"] is False
+        # all-absent ground truth degrades to 0.0, not NaN
+        out2 = multiclass_average_map(
+            pred_by_class=[np.array([], int)],
+            scores_by_class=[np.array([])],
+            gt_by_class=[np.array([], int)],
+        )
+        assert out2["average_map"] == 0.0
+
     def test_multiclass_sharded_transformer(self):
         from cvml_goalnet_tpu.models.temporal_attention import (
             temporal_transformer_apply, temporal_transformer_init,
