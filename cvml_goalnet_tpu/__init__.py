@@ -35,7 +35,7 @@ from cvml_goalnet_tpu.config import (
 )
 from cvml_goalnet_tpu.pipeline import extract_features, fuse, summarize
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "AudioConfig",

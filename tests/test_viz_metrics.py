@@ -83,3 +83,17 @@ class TestConfigRoundtrip:
         assert cfg.audio.n_mfcc == 30
         assert cfg.knapsack.summary_ratio == 0.15
         assert cfg.knapsack.scale_factor == 5
+
+
+def test_package_version_matches_pyproject():
+    # __init__ sat at 0.1.0 while pyproject said 0.3.0 for two rounds —
+    # pin the two to each other so they can't drift again
+    import os
+    import tomllib
+
+    import cvml_goalnet_tpu
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "pyproject.toml"), "rb") as f:
+        meta = tomllib.load(f)
+    assert cvml_goalnet_tpu.__version__ == meta["project"]["version"]
