@@ -342,3 +342,91 @@ def reference_eval_and_postprocess(corpus_root: str, state_dict, video_index: in
             full_frames=None,
         )
     return np.asarray(preds)[:, 0], np.asarray(mask), full_n
+
+
+def run_reference_baseline(corpus_root: str) -> list[dict]:
+    """Execute the LIVE reference baseline orchestrator (``baseline.py:12-135``).
+
+    The reference's random-baseline harness is an ``if __name__`` script, so
+    it runs via ``runpy`` with CWD at the corpus and two recording wrappers
+    patched into the (already-imported) ``utils`` module that its
+    from-imports resolve against:
+
+    * ``AVM`` → a subclass that zeroes dropout (the only nondeterminism —
+      the script never calls ``.eval()``, so forwards run train-mode BN
+      with dropout active) and records each random model's ``state_dict``
+      (captured after the first forward materializes the Lazy layers) plus
+      every forward's predictions;
+    * ``postprocess_and_get_fscores`` → records (video_id, f_avg, f_max)
+      while delegating to the real function.
+
+    Returns one dict per random model: ``{"sd", "preds": [per-video (n, 1)],
+    "fscores": [(video_id, f_avg, f_max)]}`` in the script's own video
+    order — everything the rebuild needs to REPLAY the evaluation on
+    identical weights (tests/test_reference_ab.py::TestBaselineLive).
+    """
+    import contextlib as _ctx
+    import io
+    import runpy
+
+    import torch
+    import torch.nn as nn
+
+    records: list[dict] = []
+
+    with reference_session(corpus_root) as ref:
+        real_avm = ref.utils.AVM
+        real_pp = ref.utils.postprocess_and_get_fscores
+
+        # a FACTORY, not a subclass: the reference's __init__ calls
+        # ``super(AVM, self).__init__()`` with ``AVM`` looked up in ITS
+        # module globals at call time — a subclass installed AS utils.AVM
+        # would make that super() resolve against itself and recurse into a
+        # missing-argument crash.  Wrapping the instance's forward avoids
+        # touching the class hierarchy entirely.
+        def recording_factory(audio_included):
+            m = real_avm(audio_included=audio_included)
+            for mod in m.modules():
+                if isinstance(mod, nn.Dropout):
+                    mod.p = 0.0
+            records.append({"sd": None, "preds": [], "fscores": []})
+            real_forward = m.forward
+
+            def forward(*a, **kw):
+                out = real_forward(*a, **kw)
+                rec = records[-1]
+                if rec["sd"] is None:  # lazy layers materialized by now
+                    rec["sd"] = {
+                        k: np.asarray(v.detach().cpu())
+                        for k, v in copy.deepcopy(m.state_dict()).items()
+                    }
+                rec["preds"].append(np.asarray(out.detach().cpu()))
+                return out
+
+            m.forward = forward
+            return m
+
+        def recording_pp(*a, **kw):
+            fa, fm = real_pp(*a, **kw)
+            vid = kw.get("video_id", a[0] if a else None)
+            records[-1]["fscores"].append((vid, float(fa), float(fm)))
+            return fa, fm
+
+        # the wrappers go on a module PROXY that baseline.py's from-imports
+        # resolve against — mutating the real utils module would break
+        # ``super(AVM, self).__init__()`` inside AVM.__init__, which looks
+        # ``AVM`` up in ITS OWN module globals at call time
+        proxy = types.ModuleType("utils")
+        proxy.__dict__.update(ref.utils.__dict__)
+        proxy.AVM = recording_factory
+        proxy.postprocess_and_get_fscores = recording_pp
+        sys.modules["utils"] = proxy
+        try:
+            with torch.no_grad(), _ctx.redirect_stdout(io.StringIO()):
+                runpy.run_path(
+                    os.path.join(REFERENCE_DIR, "baseline.py"),
+                    run_name="__main__",
+                )
+        finally:
+            sys.modules["utils"] = ref.utils
+    return records

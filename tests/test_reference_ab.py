@@ -265,6 +265,44 @@ class TestShortSubbatchBatchnormParityLive:
             np.testing.assert_allclose(hist[key], ref[key], atol=1e-12, err_msg=key)
 
 
+class TestBaselineLive:
+    """C4 live lock (the last reference orchestrator without one): the
+    reference's OWN random-baseline script (``baseline.py:12-135``) executes
+    for real via runpy; each of its 10 random models' recorded weights
+    replays through the rebuild's eval path — predictions, broadcast losses,
+    and F-scores must match."""
+
+    def test_replay_matches_reference_baseline(self, corpus, ab_cfg, our_datasets):
+        from cvml_goalnet_tpu.compat.reference_runner import run_reference_baseline
+        from cvml_goalnet_tpu.compat.torch_import import import_reference_state_dict
+        from cvml_goalnet_tpu.train.loop import _video_fscores, eval_video
+        from cvml_goalnet_tpu.train.optim import adam_init
+        from cvml_goalnet_tpu.train.state import TrainState
+
+        records = run_reference_baseline(corpus["root"])
+        assert len(records) == 10  # the script's s_l (baseline.py:57)
+        items = {i.video_id: i for ds in our_datasets for i in ds}
+        for rec in records:
+            params, mstate = import_reference_state_dict(
+                rec["sd"], ab_cfg.model, ab_cfg.preprocess, ab_cfg.audio)
+            state = TrainState(params, mstate, adam_init(params), 0)
+            # 1 train + 1 val video per model on the 2-video corpus
+            assert len(rec["preds"]) == len(rec["fscores"]) == 2
+            for (vid, fa, fm), tpred in zip(rec["fscores"], rec["preds"]):
+                item = items[vid]
+                ours, loss = eval_video(state, item, ab_cfg)
+                np.testing.assert_allclose(ours, tpred[:, 0], atol=2e-4)
+                # the reference's loss is the broadcast (n, n) MSE of ITS
+                # preds (baseline.py:73 hits the same main.py:191 bug shape)
+                lab = np.asarray(item.labels, np.float32)
+                ref_loss = float(np.mean((tpred - lab[None, :]) ** 2))
+                assert abs(loss - ref_loss) < 5e-4
+                # the masks are integer-valued downstream of round(); the
+                # per-annotator F1 MEAN differs only by summation order (ulp)
+                ofa, ofm = _video_fscores(item, ours, ab_cfg)
+                np.testing.assert_allclose((ofa, ofm), (fa, fm), rtol=1e-12)
+
+
 class TestCheckpointEndToEndLock:
     """VERDICT r2 item 7: the reference's own trained ``.pt`` imported via
     ``compat.torch_import`` must reproduce the reference's inference-time
