@@ -101,10 +101,13 @@ def preprocess_frames_host(frames: np.ndarray, out_hw: tuple[int, int] = (40, 40
         import cv2
 
         def one(i):
-            small[i] = cv2.resize(
+            r = cv2.resize(
                 frames[i].astype(np.float32), (out_hw[1], out_hw[0]),
                 interpolation=cv2.INTER_LINEAR,
             )
+            # cv2 drops the channel dim for c=1; the matmul fallback keeps
+            # it — behave identically on any host (round-3 review)
+            small[i] = r[..., None] if r.ndim == 2 else r
 
         if n >= 64:
             # cv2.resize releases the GIL; chunked frames parallelize cleanly

@@ -62,3 +62,59 @@ def quantized_conv2d(x: jax.Array, w_f32: jax.Array, stride: int, padding: int,
     y = conv2d_int8(x_q, w_q, stride, padding).astype(jnp.float32)
     y = y * (s_x * s_w.reshape(1, 1, 1, -1))
     return y.astype(x.dtype if out_dtype is None else out_dtype)
+
+
+# --------------------------------------------------------------- host mirrors
+# NumPy mirrors of every device op above (repo convention: each device op
+# has a host mirror + parity test), so the int8 rounding/scale semantics can
+# be cross-checked off-device.
+
+
+def quantize_weights_per_channel_host(w, axis: int = -1):
+    import numpy as np
+
+    w = np.asarray(w, np.float32)
+    axis = axis % w.ndim
+    reduce_axes = tuple(i for i in range(w.ndim) if i != axis)
+    s = np.max(np.abs(w), axis=reduce_axes, keepdims=True)
+    s = np.maximum(s / 127.0, 1e-12)
+    q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+    return q, s
+
+
+def quantize_act_per_tensor_host(x):
+    import numpy as np
+
+    x = np.asarray(x, np.float32)
+    s = max(float(np.max(np.abs(x))) / 127.0, 1e-12)
+    q = np.clip(np.round(x / s), -127, 127).astype(np.int8)
+    return q, np.float32(s)
+
+
+def conv2d_int8_host(x_q, w_q, stride: int, padding: int):
+    """Exact int32 mirror of :func:`conv2d_int8` via padded im2col matmul."""
+    import numpy as np
+
+    x = np.asarray(x_q, np.int32)
+    w = np.asarray(w_q, np.int32)          # (kh, kw, I, O)
+    n, h, wd, c = x.shape
+    kh, kw, _, o = w.shape
+    xp = np.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    oh = (h + 2 * padding - kh) // stride + 1
+    ow = (wd + 2 * padding - kw) // stride + 1
+    cols = np.empty((n, oh, ow, kh * kw * c), np.int32)
+    for i in range(kh):
+        for j in range(kw):
+            patch = xp[:, i:i + oh * stride:stride, j:j + ow * stride:stride, :]
+            cols[..., (i * kw + j) * c:(i * kw + j + 1) * c] = patch
+    out = cols.reshape(n * oh * ow, kh * kw * c) @ w.reshape(kh * kw * c, o)
+    return out.reshape(n, oh, ow, o)
+
+
+def quantized_conv2d_host(x, w_f32, stride: int, padding: int):
+    import numpy as np
+
+    w_q, s_w = quantize_weights_per_channel_host(np.asarray(w_f32), axis=3)
+    x_q, s_x = quantize_act_per_tensor_host(x)
+    y = conv2d_int8_host(x_q, w_q, stride, padding).astype(np.float32)
+    return y * (s_x * s_w.reshape(1, 1, 1, -1))

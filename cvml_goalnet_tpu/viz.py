@@ -27,7 +27,11 @@ def generate_metric_plots(history: dict, out_fp: str, opt_val_loss: float | None
     epochs = np.arange(len(history["train_loss"])) - 1  # epoch -1 = initial eval
 
     ax1.plot(epochs, history["train_loss"], label="train loss")
-    ax1.plot(epochs, history["val_loss"], label="val loss")
+    if history.get("val_loss"):
+        # empty-val-set runs (one-video datasets) record no val history —
+        # plotting an empty series against E+1 epochs would crash the
+        # training run at the end of epoch 0 (round-3 review)
+        ax1.plot(epochs, history["val_loss"], label="val loss")
     if opt_val_loss is not None:
         ax1.axhline(opt_val_loss, ls="--", lw=0.8, color="gray", label="opt val loss")
     ax1.set_xlabel("epoch")
@@ -37,8 +41,9 @@ def generate_metric_plots(history: dict, out_fp: str, opt_val_loss: float | None
 
     ax2.plot(epochs, history["train_f_avg"], label="train F avg")
     ax2.plot(epochs, history["train_f_max"], label="train F max")
-    ax2.plot(epochs, history["val_f_avg"], label="val F avg")
-    ax2.plot(epochs, history["val_f_max"], label="val F max")
+    if history.get("val_f_avg"):
+        ax2.plot(epochs, history["val_f_avg"], label="val F avg")
+        ax2.plot(epochs, history["val_f_max"], label="val F max")
     ax2.set_xlabel("epoch")
     ax2.set_ylabel("F-score")
     ax2.legend()

@@ -38,15 +38,35 @@ int32_t goalnet_summarize(const float* importances, int32_t n_cond,
   std::memset(mask_out, 0, static_cast<size_t>(full_n));
   if (n_clips == 0) return 0;
 
-  // 1. round-half-even → int8 (np.round().astype(np.int8) semantics);
+  // 1. round-half-even → int8 (np.round().astype(np.int8) semantics on the
+  //    model's [1, 5] score range), PRE-ROUNDED once per condensed score —
+  //    re-rounding per raw frame did skip_frames× the work in the one pass
+  //    this file exists to make fast.  Hand-rolled half-even so the result
+  //    is immune to fesetround() changes, with an int8 clamp (a bare
+  //    static_cast from an out-of-range double is UB the optimizer may
+  //    exploit; the staged Python path's float→int8 astype is itself
+  //    platform-defined out of range, so clamping is the sane shared
+  //    semantics for inputs beyond the model's range).
+  std::vector<int8_t> rounded(static_cast<size_t>(n_cond));
+  for (int32_t i = 0; i < n_cond; ++i) {
+    const double x = static_cast<double>(importances[i]);
+    const double f = std::floor(x);
+    const double d = x - f;
+    double r;
+    if (d > 0.5) r = f + 1.0;
+    else if (d < 0.5) r = f;
+    else r = (std::fmod(f, 2.0) == 0.0) ? f : f + 1.0;  // ties to even
+    if (r > 127.0) r = 127.0;
+    if (r < -128.0) r = -128.0;
+    rounded[static_cast<size_t>(i)] = static_cast<int8_t>(r);
+  }
   //    prefix-sum the EXPANDED scores in one pass (expansion is a clamped
   //    gather, so each condensed score covers a contiguous raw range).
   std::vector<int64_t> prefix(static_cast<size_t>(full_n) + 1, 0);
   for (int64_t j = 0; j < full_n; ++j) {
     int64_t idx = j / skip_frames;
     if (idx >= n_cond) idx = n_cond - 1;
-    const auto r = static_cast<int8_t>(std::nearbyint(importances[idx]));
-    prefix[j + 1] = prefix[j] + r;
+    prefix[j + 1] = prefix[j] + rounded[static_cast<size_t>(idx)];
   }
 
   // 2. per-clip stats with Python-slice clamping.

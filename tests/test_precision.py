@@ -136,3 +136,52 @@ class TestInt8Quantized:
         out_q, _ = avm_apply(params, state, vis, aud, cfg=qcfg, train=True, rng=key)
         out_f, _ = avm_apply(params, state, vis, aud, cfg=cfg.model, train=True, rng=key)
         np.testing.assert_array_equal(np.asarray(out_q), np.asarray(out_f))
+
+
+class TestInt8HostMirrors:
+    """Repo convention: every device op has a NumPy mirror + parity test —
+    the int8 quantization chain was the one ops module without them
+    (round-3 review)."""
+
+    def test_quantize_ops_match_host(self):
+        from cvml_goalnet_tpu.ops.quant import (
+            quantize_act_per_tensor,
+            quantize_act_per_tensor_host,
+            quantize_weights_per_channel,
+            quantize_weights_per_channel_host,
+        )
+
+        rng = np.random.default_rng(0)
+        w = rng.standard_normal((3, 3, 4, 8)).astype(np.float32)
+        x = rng.standard_normal((2, 9, 9, 4)).astype(np.float32)
+        wq_d, sw_d = quantize_weights_per_channel(jnp.asarray(w), 3)
+        wq_h, sw_h = quantize_weights_per_channel_host(w, 3)
+        np.testing.assert_array_equal(np.asarray(wq_d), wq_h)
+        np.testing.assert_allclose(np.asarray(sw_d), sw_h, rtol=1e-6)
+        xq_d, sx_d = quantize_act_per_tensor(jnp.asarray(x))
+        xq_h, sx_h = quantize_act_per_tensor_host(x)
+        np.testing.assert_array_equal(np.asarray(xq_d), xq_h)
+        np.testing.assert_allclose(float(sx_d), float(sx_h), rtol=1e-6)
+
+    def test_int8_conv_matches_host_exactly(self):
+        # int32 accumulation of int8 operands is exact on both engines —
+        # the parity must be EQUAL, not close
+        from cvml_goalnet_tpu.ops.quant import (
+            conv2d_int8,
+            conv2d_int8_host,
+            quantized_conv2d,
+            quantized_conv2d_host,
+        )
+
+        rng = np.random.default_rng(1)
+        xq = rng.integers(-127, 128, (2, 9, 9, 4)).astype(np.int8)
+        wq = rng.integers(-127, 128, (3, 3, 4, 8)).astype(np.int8)
+        for stride, pad in ((1, 1), (2, 0), (3, 3)):
+            dev = np.asarray(conv2d_int8(jnp.asarray(xq), jnp.asarray(wq), stride, pad))
+            host = conv2d_int8_host(xq, wq, stride, pad)
+            np.testing.assert_array_equal(dev, host)
+        x = rng.standard_normal((2, 9, 9, 4)).astype(np.float32)
+        w = rng.standard_normal((3, 3, 4, 8)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(quantized_conv2d(jnp.asarray(x), jnp.asarray(w), 1, 1)),
+            quantized_conv2d_host(x, w, 1, 1), atol=1e-5)

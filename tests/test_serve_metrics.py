@@ -440,13 +440,15 @@ class TestDynamicBatching:
                                  buckets=(16, 32))
         rng = np.random.default_rng(2)
 
-        # a grayscale request fails synchronously in submit()'s preprocess —
-        # the HTTP handler surfaces that as a 500 without touching the worker
+        # a grayscale request preprocesses fine (c=1 now host-consistent) but
+        # mismatches the conv's input channels in the WORKER — its future
+        # must carry the error without killing the worker thread
+        bad = batcher.submit("bad", rng.integers(0, 255, (4, 24, 24, 1), dtype=np.uint8))
         with pytest.raises(Exception):
-            batcher.submit("bad", rng.integers(0, 255, (4, 24, 24, 1), dtype=np.uint8))
+            bad.result(timeout=120)
 
-        # a malformed entry that reaches the WORKER (wrong feature shape)
-        # must fail its own future, not kill the worker thread
+        # a malformed entry that reaches the worker during ASSEMBLY (wrong
+        # feature rank/shape) must likewise fail only its own future
         from concurrent.futures import Future
 
         evil: Future = Future()
