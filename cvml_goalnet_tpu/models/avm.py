@@ -116,6 +116,11 @@ def avm_apply(
     processes the final short sub-batch as-is).
     """
     if rng is None:
+        if train:
+            # a defaulted key would draw the SAME dropout mask every step —
+            # the model silently trains as a fixed sparse subnetwork
+            # (round-3 review); eval mode never consumes randomness
+            raise ValueError("avm_apply(train=True) requires an rng key")
         rng = jax.random.PRNGKey(0)
     k_vis, *k_drop = jax.random.split(rng, 1 + len(cfg.fusion_hidden))
 

@@ -33,6 +33,14 @@ def _sinusoidal_positions(length: int, dim: int) -> np.ndarray:
 
 def text_encoder_init(key, cfg: ModelConfig):
     d = cfg.text_embed_dim
+    if d % 2 or d % cfg.text_num_heads:
+        # fail where the config is attributable — an odd dim crashes the
+        # sinusoidal table's strided fill and an indivisible head count
+        # crashes the attention reshape, both mid-trace far from the cause
+        raise ValueError(
+            f"text_embed_dim ({d}) must be even and divisible by "
+            f"text_num_heads ({cfg.text_num_heads})"
+        )
     keys = jax.random.split(key, 2 + cfg.text_num_layers)
     params = {
         "embed": jax.random.normal(keys[0], (cfg.text_vocab_size, d)) * 0.02,
@@ -78,7 +86,12 @@ def text_encoder_apply(params, token_ids, *, cfg: ModelConfig):
     """token_ids: (N, T) int32 (0 = pad) → (N, text_feature_dim)."""
     mask = token_ids > 0
     x = params["embed"][token_ids]
-    x = x + jnp.asarray(_sinusoidal_positions(token_ids.shape[1], x.shape[-1]))
+    # cast the f32 table to the activation dtype: bf16 + f32 promotes to f32
+    # and every downstream layer follows x.dtype, so an uncast add silently
+    # ran the whole text branch AND (via the concat) the fusion MLP in f32
+    # under bf16 inference (round-3 review)
+    x = x + jnp.asarray(
+        _sinusoidal_positions(token_ids.shape[1], x.shape[-1])).astype(x.dtype)
     for layer in params["layers"]:
         h = L.layernorm_apply(layer["ln1"], x)
         x = x + _attention(layer, h, mask, cfg.text_num_heads)

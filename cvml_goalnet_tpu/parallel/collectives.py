@@ -40,6 +40,24 @@ def axis_index(axis: str = "data"):
     return jax.lax.axis_index(axis)
 
 
-def barrier(axis: str = "data"):
-    """Cheap full-mesh rendezvous: psum of a scalar one."""
-    return jax.lax.psum(jnp.ones(()), axis_name=axis)
+def barrier(x, axis: str = "data"):
+    """Full-mesh rendezvous ordered AFTER ``x``: returns ``x`` unchanged once
+    every device reaches this point.
+
+    The operand must be data-dependent: a psum of a compile-time constant is
+    replica-invariant, so XLA's all-reduce simplifier rewrites it to a local
+    multiply with NO ICI traffic — the old ``barrier()`` (no argument)
+    compiled to the constant ``n`` and synchronized nothing (round-3
+    review).  Here the all-reduced scalar derives from ``x``'s first element
+    at runtime, and an ``optimization_barrier`` pins the ordering.
+    """
+    # an optimization_barrier hides the constant 1.0 from the all-reduce
+    # simplifier (which would otherwise rewrite the psum to a local multiply)
+    # and the select keeps the psum ALIVE in the output dataflow: s is n > 0
+    # at runtime, but the compiler cannot prove it, so the collective — and
+    # therefore the rendezvous — survives compilation (asserted on compiled
+    # HLO in tests)
+    tok = jax.lax.optimization_barrier(jnp.float32(1.0))
+    s = jax.lax.psum(tok, axis_name=axis)
+    return jax.tree.map(lambda leaf: jax.lax.select(
+        jnp.broadcast_to(s > 0, leaf.shape), leaf, jnp.zeros_like(leaf)), x)

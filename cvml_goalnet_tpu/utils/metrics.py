@@ -23,7 +23,15 @@ class MetricsLogger:
         self._t0 = time.time()
 
     def log(self, event: str, **fields) -> None:
-        record = {"t": round(time.time() - self._t0, 3), "event": event, **fields}
+        # ts: absolute wall clock — a resumed run appending to the same file
+        # stays monotonic and runs stay distinguishable; t: seconds since
+        # THIS logger started (human-friendly per-run offsets)
+        record = {
+            "ts": round(time.time(), 3),
+            "t": round(time.time() - self._t0, 3),
+            "event": event,
+            **fields,
+        }
         with open(self.path, "a") as f:
             f.write(json.dumps(record) + "\n")
 

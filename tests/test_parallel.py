@@ -70,6 +70,26 @@ class TestCollectives:
         out = np.asarray(f(x))
         np.testing.assert_array_equal(out, np.roll(np.arange(8.0), 1))
 
+    def test_barrier_is_identity_and_emits_a_real_allreduce(self, mesh8):
+        # barrier(x) must return x AND survive compilation as an actual
+        # collective — a psum of a compile-time constant is replica-
+        # invariant, which XLA rewrote to a local multiply with zero ICI
+        # traffic (round-3 review: the old no-arg barrier synchronized
+        # nothing)
+        from cvml_goalnet_tpu.parallel.collectives import barrier
+
+        x = jnp.arange(8.0)
+
+        def body(xs):
+            return barrier(xs)
+
+        f = jax.jit(shard_map(
+            body, mesh=mesh8, in_specs=P("data"), out_specs=P("data"),
+            check_rep=False))
+        np.testing.assert_array_equal(np.asarray(f(x)), np.arange(8.0))
+        hlo = f.lower(x).compile().as_text()
+        assert "all-reduce" in hlo, "barrier's collective was folded away"
+
 
 class TestDataParallelStep:
     def _batch(self, cfg, n):
