@@ -336,6 +336,14 @@ def cmd_spot(args) -> int:
 
     import jax.numpy as jnp
 
+    from cvml_goalnet_tpu.data.video import probe_video_fps
+
+    # frame→seconds conversion must use the CONTAINER's fps (production
+    # footage is 25 fps; 30.0 is only the reference's export convention,
+    # utils.py:523, and the npz-fixture fallback) — serve.py /spot already
+    # does this; keep the CLI consistent
+    fps = probe_video_fps(args.video) or 30.0
+
     if classes:
         # multi-class: per-class event streams; the knapsack summary uses the
         # class-agnostic eventness (max over classes) on the shared contract
@@ -362,7 +370,7 @@ def cmd_spot(args) -> int:
             "events_condensed_frames": {
                 c: ev.tolist() for c, ev in zip(classes, events_by_class)},
             "events_seconds": {
-                c: [round(float(e * cfg.preprocess.skip_frames) / 30.0, 2) for e in ev]
+                c: [round(float(e * cfg.preprocess.skip_frames) / fps, 2) for e in ev]
                 for c, ev in zip(classes, events_by_class)},
             "summary_clips": np.asarray(summary.clip_intervals).tolist(),
             "summary_frames": int(summary.frame_mask.sum()),
@@ -409,7 +417,7 @@ def cmd_spot(args) -> int:
     payload = {
         "video_id": item.video_id,
         "events_condensed_frames": result.events.tolist(),
-        "events_seconds": [round(float(e * cfg.preprocess.skip_frames) / 30.0, 2) for e in result.events],
+        "events_seconds": [round(float(e * cfg.preprocess.skip_frames) / fps, 2) for e in result.events],
         "summary_clips": np.asarray(result.summary.clip_intervals).tolist(),
         "summary_frames": int(result.summary.frame_mask.sum()),
     }
@@ -481,6 +489,15 @@ def cmd_spot_train(args) -> int:
         return 2
 
     classes = args.classes.split(",") if getattr(args, "classes", None) else None
+
+    if not getattr(args, "cp", False) and (
+            max(1, int(getattr(args, "dp_timelines", 1) or 1)) > 1
+            or max(1, int(getattr(args, "tp", 1) or 1)) > 1):
+        # these flags only select mesh axes of the CP layouts; silently
+        # ignoring them would train single-device while the user believes
+        # the run is parallel
+        print("E: --dp-timelines/--tp require --cp", file=sys.stderr)
+        return 2
 
     # encode every labelled video once
     pairs = []

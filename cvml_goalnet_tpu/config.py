@@ -29,16 +29,24 @@ def _asdict(obj: Any) -> Any:
     return obj
 
 
-def _fromdict(cls: type, d: dict) -> Any:
+def _fromdict(cls: type, d: dict, path: str = "config") -> Any:
+    # Unknown keys fail loudly: a typo'd hyperparameter ("skip_frame",
+    # "learning_rte") must not silently run with the default value.
+    known = {f.name for f in dataclasses.fields(cls)}
+    unknown = sorted(set(d) - known)
+    if unknown:
+        raise ValueError(
+            f"unknown config key(s) {unknown} under '{path}' (known: {sorted(known)})"
+        )
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in d:
             continue
         v = d[f.name]
         if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
-            kwargs[f.name] = _fromdict(f.type, v)
+            kwargs[f.name] = _fromdict(f.type, v, path=f"{path}.{f.name}")
         elif isinstance(v, dict) and dataclasses.is_dataclass(_CONFIG_TYPES.get(f.name, object)):
-            kwargs[f.name] = _fromdict(_CONFIG_TYPES[f.name], v)
+            kwargs[f.name] = _fromdict(_CONFIG_TYPES[f.name], v, path=f"{path}.{f.name}")
         elif isinstance(v, list):
             kwargs[f.name] = tuple(v)
         else:

@@ -111,6 +111,30 @@ class TestCLI:
         assert payload["summary_frames"] > 0
         assert isinstance(payload["events_seconds"], list)
 
+    def test_spot_seconds_use_container_fps(self, cli_env, tmp_path):
+        # events_seconds must divide by the CONTAINER's fps, not a
+        # hardcoded 30.0 (25-fps footage was reported early; the serve
+        # /spot path was fixed in round 3 — this pins the CLI site)
+        cv2 = pytest.importorskip("cv2")
+        import numpy as np
+
+        root = cli_env["root"]
+        fp = str(tmp_path / "clip25.mp4")
+        out = cv2.VideoWriter(fp, cv2.VideoWriter_fourcc(*"mp4v"), 25, (32, 32))
+        rng = np.random.default_rng(0)
+        for _ in range(180):
+            out.write(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+        out.release()
+        # no --mat-fp/--h5-fp → store=None → uniform clip segmentation
+        r = _run(["spot", fp, "--no-audio", "--config", cli_env["cfg"],
+                  "--workdir", root, "--peak-threshold=-1e9"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = json.loads(r.stdout[r.stdout.index("{"):])
+        frames = payload["events_condensed_frames"]
+        assert frames, "peak-threshold -1e9 must yield events"
+        expected = [round(f * 30 / 25.0, 2) for f in frames]  # skip=30, fps=25
+        assert payload["events_seconds"] == expected
+
     def test_missing_file_is_clean_error(self, cli_env):
         root = cli_env["root"]
         r = _run(["infer", "does_not_exist.npz", "--config", cli_env["cfg"], "--workdir", root], root)

@@ -68,6 +68,22 @@ class TestConfigRoundtrip:
         small_cfg.save(fp)
         assert PipelineConfig.load(fp) == small_cfg
 
+    def test_unknown_keys_fail_loudly(self):
+        # a typo'd hyperparameter must not silently run with the default
+        # (eighth review pass)
+        import json
+
+        import pytest as _pytest
+
+        from cvml_goalnet_tpu.config import PipelineConfig
+
+        good = json.loads(PipelineConfig().to_json())
+        good["train"]["learning_rte"] = 0.01
+        with _pytest.raises(ValueError, match=r"learning_rte.*config\.train"):
+            PipelineConfig.from_json(json.dumps(good))
+        with _pytest.raises(ValueError, match="not_a_section"):
+            PipelineConfig.from_json('{"not_a_section": {}}')
+
     def test_defaults_match_reference_constants(self):
         from cvml_goalnet_tpu.config import PipelineConfig
 
