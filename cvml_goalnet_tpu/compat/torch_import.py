@@ -131,3 +131,80 @@ def import_reference_state_dict(
         params["fusion"].append(_linear(sd, f"fusion.{li}"))
         li += 3
     return params, state
+
+
+def _f32(x) -> np.ndarray:
+    # torch reference checkpoints are f32; bf16-trained pytrees upcast here.
+    # np.array (copy) so the result is WRITABLE — torch.as_tensor on a
+    # read-only jax-backed view warns about undefined behavior.
+    return np.array(jnp.asarray(x, jnp.float32))
+
+
+def export_reference_state_dict(
+    params,
+    model_state,
+    cfg: ModelConfig,
+    pre: PreprocessConfig,
+    aud: AudioConfig,
+) -> dict:
+    """Inverse of :func:`import_reference_state_dict`: our pytrees → a
+    reference-format ``state_dict`` of numpy arrays.
+
+    Closes the migration loop in the other direction: a model trained here
+    can be handed back to a consumer of the reference implementation —
+    ``torch.save(export_reference_state_dict(...))`` produces a file the
+    reference loads with its own ``load_state_dict`` (``main.py:65-66,326``;
+    key schema from ``utils.py:145-258``).  Every layout transform is the
+    exact inverse of the import path (HWIO→OIHW, WIO→OIK, (I,O)→(O,I), the
+    two flatten-boundary permutations inverted with ``argsort``), so
+    ``import → export`` and ``export → import`` round-trip bit-exactly
+    (tested).  BatchNorm ``num_batches_tracked`` is emitted as 0 — torch's
+    ``load_state_dict(strict=True)`` requires the key; the reference never
+    reads it (default-momentum BN ignores the counter).
+    """
+    sd: dict = {}
+    for i in range(len(cfg.vis_channels)):
+        c = params["visual"][f"conv{i}"]
+        sd[f"visbl.conv{i + 1}.weight"] = _f32(c["w"]).transpose(3, 2, 0, 1)  # HWIO→OIHW
+        sd[f"visbl.conv{i + 1}.bias"] = _f32(c["b"])
+        bn_p = params["visual"][f"bn{i}"]
+        bn_s = model_state["visual"][f"bn{i}"]
+        sd[f"visbl.bnorm{i + 1}.weight"] = _f32(bn_p["scale"])
+        sd[f"visbl.bnorm{i + 1}.bias"] = _f32(bn_p["bias"])
+        sd[f"visbl.bnorm{i + 1}.running_mean"] = _f32(bn_s["mean"])
+        sd[f"visbl.bnorm{i + 1}.running_var"] = _f32(bn_s["var"])
+        sd[f"visbl.bnorm{i + 1}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+    h, w = visual_spatial_trace(pre.frame_size, len(cfg.vis_channels))[-1]
+    perm = _nchw_to_nhwc_flat_perm(cfg.vis_channels[-1], h, w)
+    head = params["visual"]["head"]
+    # import: ours = ref.T[perm]  ⇒  ref.T = ours[argsort(perm)]
+    sd["visbl.linear5.weight"] = _f32(head["w"])[np.argsort(perm)].T
+    sd["visbl.linear5.bias"] = _f32(head["b"])
+
+    if cfg.audio_included:
+        if "audio" not in params:
+            raise ValueError(
+                "cfg.audio_included=True but the pytree has no 'audio' branch "
+                "— export with the audio_included=False config this model was "
+                "trained under"
+            )
+        for i in range(len(cfg.aud_channels)):
+            c = params["audio"][f"conv{i}"]
+            sd[f"audbl.conv{i + 1}.weight"] = _f32(c["w"]).transpose(2, 1, 0)  # WIO→OIK
+            sd[f"audbl.conv{i + 1}.bias"] = _f32(c["b"])
+        t = audio_temporal_trace(aud.bin_length, len(cfg.aud_channels))[-1]
+        aperm = _cl_to_lc_flat_perm(cfg.aud_channels[-1], t)
+        ahead = params["audio"]["head"]
+        sd["audbl.linear3.weight"] = _f32(ahead["w"])[np.argsort(aperm)].T
+        sd["audbl.linear3.bias"] = _f32(ahead["b"])
+
+    for li, layer in enumerate(params["fusion"]):
+        if not isinstance(layer, dict) or "w" not in layer:
+            raise ValueError(
+                "fusion layer %d is not a plain linear (MoE heads have no "
+                "reference-format equivalent — export requires "
+                "fusion_moe_experts=0)" % li
+            )
+        sd[f"fusion.{3 * li}.weight"] = _f32(layer["w"]).T
+        sd[f"fusion.{3 * li}.bias"] = _f32(layer["b"])
+    return sd

@@ -336,3 +336,37 @@ class TestCheckpointEndToEndLock:
         assert item.full_n_frames == full_n
         np.testing.assert_array_equal(res.frame_mask, ref_mask)
         assert ref_mask.sum() > 0, "degenerate lock: empty reference summary"
+
+
+class TestExportToLiveReference:
+    """Outbound migration lock: a pytree EXPORTED to the reference format
+    must load into the LIVE reference's own ``AVM.load_state_dict``
+    (strict — ``num_batches_tracked`` keys included) and reproduce the same
+    inference scores and knapsack mask the reference computes from its own
+    checkpoint."""
+
+    def test_exported_state_dict_drives_live_reference(
+        self, corpus, ab_cfg, reference_run
+    ):
+        from cvml_goalnet_tpu.compat.torch_import import (
+            export_reference_state_dict,
+            import_reference_state_dict,
+        )
+
+        sd = reference_run["ckp_state_dict"]
+        params, model_state = import_reference_state_dict(
+            sd, ab_cfg.model, ab_cfg.preprocess, ab_cfg.audio
+        )
+        exported = export_reference_state_dict(
+            params, model_state, ab_cfg.model, ab_cfg.preprocess, ab_cfg.audio
+        )
+        ref_scores, ref_mask, _ = reference_eval_and_postprocess(
+            corpus["root"], sd, video_index=0
+        )
+        exp_scores, exp_mask, _ = reference_eval_and_postprocess(
+            corpus["root"], exported, video_index=0
+        )
+        # the live reference, fed our export, equals the live reference fed
+        # its own checkpoint — weights round-tripped bit-exactly
+        np.testing.assert_array_equal(exp_scores, ref_scores)
+        np.testing.assert_array_equal(exp_mask, ref_mask)

@@ -15,7 +15,10 @@ import pytest
 torch = pytest.importorskip("torch")
 import torch.nn.functional as F
 
-from cvml_goalnet_tpu.compat import import_reference_state_dict
+from cvml_goalnet_tpu.compat import (
+    export_reference_state_dict,
+    import_reference_state_dict,
+)
 from cvml_goalnet_tpu.models.avm import avm_apply
 from cvml_goalnet_tpu.models.visual import visual_spatial_trace
 from cvml_goalnet_tpu.models.audio import audio_temporal_trace
@@ -136,3 +139,69 @@ class TestReferenceImport:
             None, cfg=mc, train=False,
         )
         assert out.shape == (3, 1)
+
+
+class TestReferenceExport:
+    def test_import_export_roundtrips_bit_exact(self, small_cfg):
+        # export ∘ import == identity on a reference-format state_dict
+        rng = np.random.default_rng(3)
+        sd = _reference_state_dict(small_cfg, rng)
+        params, state = import_reference_state_dict(
+            sd, small_cfg.model, small_cfg.preprocess, small_cfg.audio)
+        back = export_reference_state_dict(
+            params, state, small_cfg.model, small_cfg.preprocess, small_cfg.audio)
+        bn_extra = {k for k in back if k.endswith("num_batches_tracked")}
+        assert set(back) - bn_extra == set(sd)  # torch strict-load key parity
+        for k in sd:
+            np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+    def test_export_import_roundtrips_our_pytree(self, small_cfg):
+        # import ∘ export == identity on a freshly initialized pytree
+        from cvml_goalnet_tpu.train.state import create_train_state
+
+        st = create_train_state(jax.random.PRNGKey(5), small_cfg)
+        sd = export_reference_state_dict(
+            st.params, st.model_state, small_cfg.model, small_cfg.preprocess,
+            small_cfg.audio)
+        params, model_state = import_reference_state_dict(
+            sd, small_cfg.model, small_cfg.preprocess, small_cfg.audio)
+        for a, b in zip(jax.tree_util.tree_leaves(st.params),
+                        jax.tree_util.tree_leaves(params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(st.model_state),
+                        jax.tree_util.tree_leaves(model_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_exported_forward_matches_torch(self, small_cfg):
+        # a model initialized HERE, exported, must produce OUR scores when
+        # executed by the torch-functional reference forward — the outbound
+        # migration contract (reference main.py:326 load_state_dict + eval)
+        rng = np.random.default_rng(4)
+        st_params, st_state = import_reference_state_dict(
+            _reference_state_dict(small_cfg, rng),
+            small_cfg.model, small_cfg.preprocess, small_cfg.audio)
+        sd = export_reference_state_dict(
+            st_params, st_state, small_cfg.model, small_cfg.preprocess,
+            small_cfg.audio)
+        n = 4
+        vis = rng.random((n, *small_cfg.preprocess.frame_size, 3)).astype(np.float32)
+        aud = rng.random((n, small_cfg.audio.bin_length, small_cfg.audio.n_mfcc)).astype(np.float32)
+        ours, _ = avm_apply(
+            st_params, st_state, jnp.asarray(vis), jnp.asarray(aud),
+            cfg=small_cfg.model, train=False)
+        want = _torch_reference_forward(
+            sd, small_cfg, vis.transpose(0, 3, 1, 2), aud.transpose(0, 2, 1))
+        np.testing.assert_allclose(np.asarray(ours), want, atol=2e-4)
+
+    def test_moe_fusion_refuses_export(self, small_cfg):
+        import dataclasses
+
+        from cvml_goalnet_tpu.train.state import create_train_state
+
+        cfg = dataclasses.replace(
+            small_cfg,
+            model=dataclasses.replace(small_cfg.model, fusion_moe_experts=4))
+        st = create_train_state(jax.random.PRNGKey(6), cfg)
+        with pytest.raises(ValueError, match="MoE"):
+            export_reference_state_dict(
+                st.params, st.model_state, cfg.model, cfg.preprocess, cfg.audio)
