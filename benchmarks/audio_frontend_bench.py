@@ -75,14 +75,14 @@ def main() -> None:
         length, idxs = max(groups.items(), key=lambda kv: len(kv[1]))
         stack = jax.device_put(jnp.asarray(np.stack(
             [wave[bounds[i][0]: bounds[i][1]] for i in idxs])))
+        # verified scan chain (benchmarks/_timing.py): repeated identical
+        # dispatches of cheap programs are elided through the axon tunnel,
+        # reading physically impossible times; the in-program chain forces
+        # serial execution and verifies the iteration count
+        from _timing import timed_scan_verified
+
         fn = _batched_slot_fn(cfg)
-        fn(stack).block_until_ready()
-        iters = 5
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            dev = fn(stack)
-        dev.block_until_ready()
-        dev_s = (time.perf_counter() - t0) / iters
+        dev_s = timed_scan_verified(fn, stack, iters=35, base_iters=5)
         dev_total = dev_s * n_frames / len(idxs)  # scale to all slots
 
         emit(metric="audio_frontend", regime=regime, minutes=minutes,

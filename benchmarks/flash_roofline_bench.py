@@ -46,15 +46,18 @@ def emit(**kw):
     print(json.dumps(kw), flush=True)
 
 
-def timed(fn, *args, iters: int = 20) -> float:
-    run = jax.jit(fn)
-    run(*args).block_until_ready()
-    run(*args).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run(*args)
-    out.block_until_ready()
-    return (time.perf_counter() - t0) / iters
+def timed(fn, *args, iters: int = 45) -> float:
+    """Verified in-program scan chain (see ``benchmarks/_timing.py``).
+
+    The plain async loop read 0.027 ms for the bf16 banded kernel through
+    the axon tunnel — 7,852 TFLOP/s, 40× the v5e's flat peak, physically
+    impossible (timeline_bench measures the same op at ~5.2 ms); repeated
+    identical executions are elided/overlapped in the remote path.  The
+    scan chain forces serial execution and verifies the iteration count.
+    """
+    from _timing import timed_scan_verified
+
+    return timed_scan_verified(fn, *args, iters=iters)
 
 
 def main() -> None:
@@ -74,9 +77,10 @@ def main() -> None:
             jnp.asarray(rng.standard_normal((h, t, d)).astype(np.float32)).astype(dtype)
             for _ in range(3)
         )
-        # 1) the production kernel
+        # 1) the production kernel (CPU smoke: short interpret-mode chains)
+        it = 8 if on_cpu else 45
         kern = functools.partial(flash_attention_local, window=w, interpret=on_cpu)
-        ms_kernel = timed(lambda q, k, v: kern(q, k, v), q, k, v) * 1e3
+        ms_kernel = timed(lambda q, k, v: kern(q, k, v), q, k, v, iters=it) * 1e3
 
         # 2) same-shape batched-GEMM ceiling: per query block, the covering
         # extended-key band is 3 blocks wide (B + 2W with W ≤ B) — build the
@@ -93,7 +97,7 @@ def main() -> None:
             s = jnp.einsum("btd,bsd->bts", qb, kb)         # (nb, B, 3B)
             return jnp.einsum("bts,bsd->btd", s, vb)       # consumes s: no DCE
 
-        ms_gemms = timed(gemms, qb, kb, vb) * 1e3
+        ms_gemms = timed(gemms, qb, kb, vb, iters=it) * 1e3
 
         flops = 2 * 2 * nb * block * (3 * block) * d      # both GEMMs
         row = dict(metric="flash_banded_roofline", dtype=str(dtype.__name__),

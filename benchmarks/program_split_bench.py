@@ -55,15 +55,21 @@ def emit(**kw):
 
 
 def timed(fn, *args, iters: int = 20) -> float:
-    """bench.py's methodology: async dispatch loop, one block at the end."""
-    run = jax.jit(fn)
-    run(*args).block_until_ready()
-    run(*args).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run(*args)
-    out.block_until_ready()
-    return (time.perf_counter() - t0) / iters
+    """Verified in-program scan chain (see ``benchmarks/_timing.py``).
+
+    bench.py's plain async loop measured a physically impossible 0.035 ms for
+    the preprocess-only prefix here (461M f/s — a 2.8 GB input read at
+    ~80 TB/s) while reading sanely for the heavier prefixes; the scan chain
+    forces serial execution the tunnel can't elide and VERIFIES the
+    iteration count from the carry value.  Note each iteration pays one
+    extra read+write of the raw input for the opaque perturbation
+    (~7 ms at B=16384) — prefixes are comparable with each other; the
+    full-program row cross-checks bench.py's headline minus that overhead
+    (measured: 53.8 ms verified vs 51.6 ms async at B=16384).
+    """
+    from _timing import timed_scan_verified
+
+    return timed_scan_verified(fn, *args, iters=iters)
 
 
 def main() -> None:
