@@ -116,11 +116,16 @@ def avm_apply(
     processes the final short sub-batch as-is).
     """
     if rng is None:
-        if train:
+        if train and cfg.dropout_rate > 0:
             # a defaulted key would draw the SAME dropout mask every step —
             # the model silently trains as a fixed sparse subnetwork
-            # (round-3 review); eval mode never consumes randomness
-            raise ValueError("avm_apply(train=True) requires an rng key")
+            # (round-3 review).  With dropout_rate == 0 no randomness is
+            # consumed, so train-mode forwards without a key are legitimate
+            # — the live-A/B eval path (eval_train_mode_compat=True pairs
+            # train-mode batchnorm with zeroed dropout for determinism,
+            # TrainConfig docstring) relies on that.
+            raise ValueError(
+                "avm_apply(train=True) with dropout_rate > 0 requires an rng key")
         rng = jax.random.PRNGKey(0)
     k_vis, *k_drop = jax.random.split(rng, 1 + len(cfg.fusion_hidden))
 
