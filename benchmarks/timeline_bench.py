@@ -9,7 +9,11 @@ program".  This times the three temporal scorers over a full-match timeline
 * transformer with the flash-attention Pallas kernel — O(T·d) memory
   (naive attention would need a 72 GB score matrix at this T).
 
-Chained iterations (data-dependent) for trustworthy timing.
+Timing: verified in-program scan chains (``benchmarks/_timing.py``) — the
+round-2 output-feedback chain (``f + mean(scores)·1e-12``) added a full
+(T, D) read-modify-write per iteration, which overstated the banded rows
+~2× (8.8 ms measured verified vs 15.2 recorded; docs/BENCHMARKS.md
+"verified re-audit").
 Run: ``python benchmarks/timeline_bench.py`` (GOALNET_BENCH_T overrides T).
 """
 
@@ -43,24 +47,10 @@ D = 640
 HIDDEN = 128
 
 
-def bench_chained(name, fn, feats, iters=5):
-    g = jax.jit(lambda f: fn(f))
-    out = g(feats)
-    jax.block_until_ready(out)
+def bench_chained(name, fn, feats, iters=10):
+    from _timing import timed_scan_verified
 
-    @jax.jit
-    def chained(f):
-        s = fn(f)
-        return f + (jnp.mean(s) * 1e-12)
-
-    cur = feats
-    chained(cur).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        cur = chained(cur)
-    cur.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    return dt
+    return timed_scan_verified(fn, feats, iters=iters, base_iters=3)
 
 
 def main() -> None:
