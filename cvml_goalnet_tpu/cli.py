@@ -737,6 +737,92 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_import_torch(args) -> int:
+    """Import a reference-format PyTorch checkpoint as our npz checkpoint.
+
+    Makes the inbound migration path (``compat.torch_import``) a first-class
+    CLI journey: ``goalnet import-torch opt_model.pt`` writes
+    ``models/importance*/{opt,ckp}_state.npz`` so ``infer``/``spot``/``serve``
+    find the weights with no further flags.  The reference writes these
+    files with ``torch.save(model.state_dict())`` (``main.py:263,282``).
+    """
+    import jax
+
+    from cvml_goalnet_tpu.compat import import_reference_state_dict
+    from cvml_goalnet_tpu.train.checkpoint import save_checkpoint
+    from cvml_goalnet_tpu.train.optim import adam_init
+    from cvml_goalnet_tpu.train.state import TrainState
+
+    try:
+        import torch
+    except ImportError:
+        print("E: import-torch needs torch installed to read .pt files",
+              file=sys.stderr)
+        return 2
+
+    cfg = _load_cfg(args)
+    paths = _artifact_paths(args.workdir, cfg.model.audio_included)
+    sd = torch.load(args.pt_file, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    try:
+        params, model_state = import_reference_state_dict(
+            sd, cfg.model, cfg.preprocess, cfg.audio)
+    except (ValueError, KeyError) as e:
+        print(f"E: {e}", file=sys.stderr)
+        return 2
+    state = TrainState(params=params, model_state=model_state,
+                       opt_state=adam_init(params), epoch=0)
+    for tag in (args.tag,) if args.tag else ("opt", "ckp"):
+        save_checkpoint(paths["ckp_dir"], state, cfg, tag=tag)
+    print(f"Imported {args.pt_file} -> {paths['ckp_dir']}")
+    print("Operation completed")
+    return 0
+
+
+def cmd_export_torch(args) -> int:
+    """Export our trained checkpoint as a reference-format PyTorch ``.pt``.
+
+    The outbound migration path (``compat.export_reference_state_dict``):
+    the produced file loads into the reference's own
+    ``AVM.load_state_dict`` (``main.py:65-66,326``) — locked live in
+    ``tests/test_reference_ab.py::TestExportToLiveReference``.
+    """
+    import jax
+
+    from cvml_goalnet_tpu.compat import export_reference_state_dict
+    from cvml_goalnet_tpu.train.checkpoint import CheckpointMismatchError
+    from cvml_goalnet_tpu.train.state import create_train_state
+
+    try:
+        import torch
+    except ImportError:
+        print("E: export-torch needs torch installed to write .pt files",
+              file=sys.stderr)
+        return 2
+
+    cfg = _load_cfg(args)
+    paths = _artifact_paths(args.workdir, cfg.model.audio_included)
+    state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
+    tags = (args.tag,) if args.tag else ("opt", "ckp")
+    try:
+        state = _load_trunk(paths, state, args, tags=tags)
+    except (FileNotFoundError, CheckpointMismatchError) as e:
+        print(f"E: {e}", file=sys.stderr)
+        return 2
+    try:
+        sd = export_reference_state_dict(
+            state.params, state.model_state, cfg.model, cfg.preprocess, cfg.audio)
+    except ValueError as e:  # e.g. MoE fusion head
+        print(f"E: {e}", file=sys.stderr)
+        return 2
+    os.makedirs(os.path.dirname(os.path.abspath(args.out_pt)), exist_ok=True)
+    torch.save({k: torch.as_tensor(v) for k, v in sd.items()}, args.out_pt)
+    print(f"Exported {paths['ckp_dir']} -> {args.out_pt}")
+    print("Operation completed")
+    return 0
+
+
 def cmd_baseline(args) -> int:
     from cvml_goalnet_tpu.baseline import run_random_baseline
 
@@ -878,6 +964,29 @@ def main(argv=None) -> int:
     p.add_argument("--moe-experts", type=int, default=None,
                    help="match a trunk trained with --moe-experts N")
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("import-torch",
+                       help="import a reference-format .pt as our checkpoint")
+    p.add_argument("pt_file")
+    p.add_argument("--config", default=None, help="PipelineConfig JSON path")
+    p.add_argument("--workdir", default=".", help="artifact root (models/)")
+    p.add_argument("--no-audio", action="store_true",
+                   help="the .pt is a no-audio (VM) checkpoint")
+    p.add_argument("--tag", choices=["opt", "ckp"], default=None,
+                   help="write only this tag (default: both)")
+    p.set_defaults(fn=cmd_import_torch)
+
+    p = sub.add_parser("export-torch",
+                       help="export our checkpoint as a reference-format .pt")
+    p.add_argument("out_pt")
+    p.add_argument("--config", default=None, help="PipelineConfig JSON path")
+    p.add_argument("--workdir", default=".", help="artifact root (models/)")
+    p.add_argument("--no-audio", action="store_true")
+    p.add_argument("--tag", choices=["opt", "ckp"], default=None,
+                   help="export this tag (default: opt, falling back to ckp)")
+    p.add_argument("--checkpoint-backend", choices=["npz", "orbax"], default=None,
+                   help="pin the checkpoint layout (default: auto-detect)")
+    p.set_defaults(fn=cmd_export_torch)
 
     p = sub.add_parser("baseline", help="random-init chance baseline")
     _add_data_args(p)

@@ -143,6 +143,56 @@ class TestCLI:
         assert "Traceback" not in r.stderr
 
 
+class TestCLITorchMigration:
+    def test_export_import_roundtrip(self, cli_env, tmp_path):
+        # the full outbound+inbound migration journey from the CLI: train ->
+        # export-torch (.pt in the reference's state_dict schema) ->
+        # import-torch into a fresh workdir -> identical weights -> infer
+        import numpy as np
+
+        root = cli_env["root"]
+        work = str(tmp_path / "mig")
+        r = _run(["train", *_data_args(cli_env), "--workdir", work,
+                  "--epochs", "1"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+
+        pt = str(tmp_path / "exported.pt")
+        r = _run(["export-torch", pt, "--config", cli_env["cfg"],
+                  "--workdir", work], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        import torch
+
+        sd = torch.load(pt)
+        assert any(k.startswith("visbl.conv1.") for k in sd)
+        assert any(k.startswith("audbl.") for k in sd)
+
+        work2 = str(tmp_path / "mig2")
+        r = _run(["import-torch", pt, "--config", cli_env["cfg"],
+                  "--workdir", work2], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+
+        a = np.load(os.path.join(work, "models", "importance", "opt_state.npz"))
+        b = np.load(os.path.join(work2, "models", "importance", "opt_state.npz"))
+        shared = [k for k in a.files
+                  if k.startswith(("['params']", "['model_state']")) and k in b.files]
+        assert shared, f"no weight keys shared between checkpoints: {a.files[:5]}"
+        for k in shared:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+        # the migrated checkpoint drives inference end to end
+        r = _run(["infer", cli_env["video_fps"][0], "--mat-fp", cli_env["mat_file_path"],
+                  "--h5-fp", cli_env["h5_file_path"], "--config", cli_env["cfg"],
+                  "--workdir", work2], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    def test_export_without_checkpoint_is_clean_error(self, cli_env, tmp_path):
+        r = _run(["export-torch", str(tmp_path / "x.pt"), "--config",
+                  cli_env["cfg"], "--workdir", str(tmp_path / "empty")],
+                 cli_env["root"])
+        assert r.returncode == 2
+        assert "Traceback" not in r.stderr
+
+
 class TestCLIMoE:
     def test_train_with_moe_fusion(self, cli_env):
         """--moe-experts swaps the first fusion layer for the gated mixture
