@@ -71,35 +71,45 @@ def timed_scan_verified(fn, *args, iters: int = 20, base_iters: int = 5) -> floa
                 return l
         raise TypeError("timed_scan_verified needs a floating output leaf")
 
-    @partial(jax.jit, static_argnums=(1,))
-    def scan_k(a, k):
+    @partial(jax.jit, static_argnums=(2,))
+    def scan_k(a, acc0, k):
         def body(acc, _):
             tick = (acc != acc).astype(jnp.float32)  # always 0.0, unprovable
             out = fn(_perturb(a[0], tick), *a[1:])
             return acc + jnp.sum(leaf_of(out).astype(jnp.float32)), None
 
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
+        acc, _ = jax.lax.scan(body, acc0, None, length=k)
         return acc
 
     single = float(jnp.sum(leaf_of(jax.jit(fn)(*args)).astype(jnp.float32)))
     times = {}
+    seq = 0.0
     for k in (base_iters, iters):
-        scan_k(args, k).block_until_ready()  # compile
+        scan_k(args, jnp.float32(seq), k).block_until_ready()  # compile
+        seq += 1.0
         # Each measurement is ONE dispatch, so its wall time carries one
         # draw of tunnel round-trip latency whose variance can exceed the
         # 20×iter difference for sub-ms programs (observed: a negative
         # differenced time).  Repeating the compiled scan and keeping the
         # MINIMUM pins both k's to the same RTT floor, which the
-        # difference then cancels.
+        # difference then cancels.  Every repeat starts from a DIFFERENT
+        # initial carry: the remote-execute path memoizes byte-identical
+        # (executable, inputs) calls — observed returning a 1.2 s scan of
+        # train steps in 0.000 s with the correct value, which min-of-N
+        # would happily keep — and a distinct acc0 makes each dispatch
+        # unmemoizable while the expected final carry stays checkable.
         best = float("inf")
         for _ in range(5):
+            acc0 = seq
+            seq += 1.0
             t0 = time.perf_counter()
-            acc = float(scan_k(args, k))
+            acc = float(scan_k(args, jnp.float32(acc0), k))
             best = min(best, time.perf_counter() - t0)
-            if not np.isclose(acc, single * k, rtol=5e-3, atol=1e-6 * abs(single) * k + 1e-12):
+            if not np.isclose(acc - acc0, single * k,
+                              rtol=5e-3, atol=1e-6 * abs(single) * k + 1e-12):
                 raise RuntimeError(
-                    f"verification failed at k={k}: carry {acc} != {k}×single "
-                    f"{single * k} — the runtime did not execute the chain"
+                    f"verification failed at k={k}: carry {acc}−{acc0} != "
+                    f"{k}×single {single * k} — the runtime did not execute the chain"
                 )
         times[k] = best
     return (times[iters] - times[base_iters]) / (iters - base_iters)
