@@ -330,7 +330,8 @@ def cmd_spot(args) -> int:
         tparams = temporal_scorer_init(
             jax.random.PRNGKey(1), d, cfg.model.temporal_hidden, n_classes=n_classes)
     if args.temporal_checkpoint:
-        tparams = load_spotting_checkpoint(args.temporal_checkpoint, tparams)
+        tparams = load_spotting_checkpoint(
+            args.temporal_checkpoint, tparams, classes=classes)
     else:
         print("W: no --temporal-checkpoint; scoring with a random-init temporal head")
 
@@ -656,7 +657,7 @@ def cmd_spot_train(args) -> int:
         print(f"epoch {epoch}: loss {np.mean(losses):.4f}")
 
     out_fp = args.out or os.path.join(args.workdir, "models", "spotting_head.npz")
-    save_spotting_checkpoint(out_fp, tparams)
+    save_spotting_checkpoint(out_fp, tparams, classes=classes)
     print(f"Saved temporal head: {out_fp}")
     print("Operation completed")
     return 0

@@ -231,7 +231,8 @@ class Spotter:
                 n_classes=n_classes,
             )
         if temporal_checkpoint is not None:
-            tparams = load_spotting_checkpoint(temporal_checkpoint, tparams)
+            tparams = load_spotting_checkpoint(
+                temporal_checkpoint, tparams, classes=self.classes)
         self.temporal_params = tparams
         self._lock = threading.Lock()
 

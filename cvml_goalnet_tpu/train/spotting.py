@@ -238,8 +238,14 @@ def make_3d_spotting_train_step(
     return jax.jit(step)
 
 
-def save_spotting_checkpoint(path: str, params) -> None:
-    """Atomic npz checkpoint of the temporal scorer params."""
+def save_spotting_checkpoint(path: str, params, classes=None) -> None:
+    """Atomic npz checkpoint of the temporal scorer params.
+
+    ``classes`` (event-class names, in channel order) is embedded as
+    metadata: a multi-class head's channels are positional, so loading a
+    ``goal,card`` head as ``card,goal`` would silently swap every score —
+    same shapes, same structure, wrong events.  Loaders verify the names.
+    """
     import os
 
     import numpy as np
@@ -247,13 +253,15 @@ def save_spotting_checkpoint(path: str, params) -> None:
     from cvml_goalnet_tpu.train.checkpoint import _flatten_with_paths
 
     arrays, _ = _flatten_with_paths(params)
+    if classes:
+        arrays["__classes__"] = np.asarray(list(classes), dtype=np.str_)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp.npz"
     np.savez(tmp, **arrays)
     os.replace(tmp, path)
 
 
-def load_spotting_checkpoint(path: str, template):
+def load_spotting_checkpoint(path: str, template, classes=None):
     """Restore temporal scorer params into ``template``'s structure.
 
     The file's key set must MATCH the template's: a head trained with
@@ -262,16 +270,35 @@ def load_spotting_checkpoint(path: str, template):
     positional math, so any structural mismatch raises with the likely
     cause (``temporal_pos_encoding`` disagreement between spot-train and
     spot).
+
+    ``classes`` — the caller's event-class names, in channel order.  When
+    the checkpoint embeds its training-time names (``save_spotting_checkpoint
+    (classes=)``), a name/ORDER mismatch raises: channels are positional,
+    and ``card,goal`` against a ``goal,card`` head would silently swap every
+    score.  Checkpoints without the metadata (pre-round-3, or single-class)
+    load as before.
     """
     import numpy as np
 
     import jax
 
     data = np.load(path)
+    stored_classes = (
+        [str(c) for c in data["__classes__"]] if "__classes__" in data.files else None
+    )
+    if stored_classes is not None:
+        want = list(classes) if classes else None
+        if want != stored_classes:
+            raise ValueError(
+                f"spotting checkpoint {path!r} was trained with classes "
+                f"{stored_classes} but is being loaded with "
+                f"{want if want is not None else 'no --classes'} — channel "
+                "order is positional, so the names must match exactly"
+            )
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     keys = ["/".join(str(x) for x in p) for p, _ in flat]
     missing = [k for k in keys if k not in data]
-    extra = [k for k in data.files if k not in keys]
+    extra = [k for k in data.files if k not in keys and k != "__classes__"]
     if missing or extra:
         raise ValueError(
             f"spotting checkpoint {path!r} does not match the configured "

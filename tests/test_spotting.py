@@ -631,3 +631,51 @@ class TestSpottingCheckpointStructure:
     def test_rotary_file_learned_template_raises(self, tmp_path):
         with pytest.raises(ValueError, match="temporal_pos_encoding"):
             self._roundtrip("rotary", "learned", tmp_path)
+
+
+class TestSpottingCheckpointClasses:
+    """Multi-class head channels are POSITIONAL: loading a goal,card head
+    as card,goal would silently swap every score.  The checkpoint embeds
+    the training-time class names and loaders verify them."""
+
+    def _head(self, n_classes):
+        from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
+
+        return temporal_scorer_init(jax.random.PRNGKey(0), 12, 8, n_classes=n_classes)
+
+    def test_matching_classes_roundtrip(self, tmp_path):
+        from cvml_goalnet_tpu.train.spotting import (
+            load_spotting_checkpoint, save_spotting_checkpoint)
+
+        fp = str(tmp_path / "head.npz")
+        save_spotting_checkpoint(fp, self._head(2), classes=["goal", "card"])
+        out = load_spotting_checkpoint(fp, self._head(2), classes=["goal", "card"])
+        assert out["head"]["w"].shape[-1] == 2
+
+    def test_swapped_order_raises(self, tmp_path):
+        from cvml_goalnet_tpu.train.spotting import (
+            load_spotting_checkpoint, save_spotting_checkpoint)
+
+        fp = str(tmp_path / "head.npz")
+        save_spotting_checkpoint(fp, self._head(2), classes=["goal", "card"])
+        with pytest.raises(ValueError, match="positional"):
+            load_spotting_checkpoint(fp, self._head(2), classes=["card", "goal"])
+
+    def test_missing_classes_arg_raises(self, tmp_path):
+        from cvml_goalnet_tpu.train.spotting import (
+            load_spotting_checkpoint, save_spotting_checkpoint)
+
+        fp = str(tmp_path / "head.npz")
+        save_spotting_checkpoint(fp, self._head(2), classes=["goal", "card"])
+        with pytest.raises(ValueError, match="no --classes"):
+            load_spotting_checkpoint(fp, self._head(2))
+
+    def test_legacy_checkpoint_without_metadata_loads(self, tmp_path):
+        # pre-round-3 heads carry no names; they load as before
+        from cvml_goalnet_tpu.train.spotting import (
+            load_spotting_checkpoint, save_spotting_checkpoint)
+
+        fp = str(tmp_path / "head.npz")
+        save_spotting_checkpoint(fp, self._head(2))  # no classes recorded
+        out = load_spotting_checkpoint(fp, self._head(2), classes=["goal", "card"])
+        assert out["head"]["w"].shape[-1] == 2
