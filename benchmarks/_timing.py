@@ -1,37 +1,51 @@
 """Shared TPU timing helper: in-program scan chaining with verified results.
 
-Through the axon remote-execute tunnel, three naive timing methods fail:
+**The root failure mode, isolated empirically through the axon tunnel:**
+``block_until_ready`` does not reliably wait for device execution — a
+single dispatch of a ~1.2 s scan of train steps "blocked" in 0.000 s with
+genuinely distinct inputs, and a later host readback of its loss produced
+the correct value (the work happened, just not inside the "blocked"
+window).  Every earlier anomaly reduces to this one cause:
 
-* **Async identical dispatches** (bench.py's loop — N dispatches, one block)
-  read physically impossible times for CHEAP programs: 0.035 ms for a
-  2.8 GB-input preprocess (~80 TB/s) and 0.027 ms for the banded flash
-  kernel (40× the chip's flat peak).  Repeated identical executions are
-  elided or overlapped in the remote path.  (For the HEAVY full bench
-  program the async loop is honest — verified below.)
-* **Cross-dispatch token chains** (each call consumes a scalar produced by
-  the previous call) serialize the device work but pay a large
-  dependent-dispatch penalty through the tunnel: the full bench program
-  measured 523 ms/iter cross-chained vs 53.8 ms/iter in-program — ~470 ms
-  of client/tunnel overhead per dependent dispatch, not compute.
-* **In-program scan chains with an additive perturbation** collapsed for
-  the min-max-normalize preprocess (the stage is shift-invariant, so the
-  perturbation is algebraically dead).
+* cheap programs under the async identical-dispatch loop (bench.py's
+  methodology) read physically impossible times — 0.035 ms for a
+  2.8 GB-input preprocess (~80 TB/s), 0.027 ms for the banded flash kernel
+  (40× flat peak) — because the final block returns early and nothing
+  else paces the loop;
+* the HEAVY full bench program reads correctly under the same loop
+  (51.6 ms/iter vs 53.8 verified) because the client's bounded in-flight
+  execution queue applies BACKPRESSURE: once the queue fills, each
+  dispatch waits for a real execution to retire, so per-iter ≈ true
+  device time.  Backpressure, not the block, is what makes bench.py's
+  number honest — and it only engages when executions are slower than
+  dispatch;
+* cross-DISPATCH dependent chains (each call consuming the previous
+  call's output) measure real work when ended with a readback but add
+  ~470 ms/call of tunnel turnaround for dependent dispatches (523 ms/iter
+  cross-chained vs 53.8 in-program for the same body).
 
-What works — and is unfakeable — is all three fixes at once:
+**What this helper does — and why each piece is necessary:**
 
-1. ONE dispatch: a ``lax.scan`` of K body iterations inside a single jit
-   (no per-iteration dispatch or tunnel cost);
-2. a structurally opaque perturbation of the first input derived from the
-   carry — integer inputs XOR a data-dependent 0 (``acc[0] != acc[0]``),
-   float inputs multiply by a data-dependent 1 — which XLA cannot fold and
-   no algebraic invariance can absorb;
-3. a carry that REDUCES the full output every iteration (``acc + sum(out)``)
-   whose final value is checked against ``K × sum(single_run)`` — the
-   runtime cannot produce the right answer without doing the work K times.
-
-Per-iteration time comes from differencing two scan lengths
-(``(t(K) − t(K0)) / (K − K0)``), which cancels dispatch latency, the
-(identical) compile-constant folding, and the one-time carry setup.
+1. ONE dispatch: a ``lax.scan`` of K body iterations inside a single jit —
+   no per-iteration dispatch or dependent-dispatch turnaround;
+2. the timed window closes on a HOST READBACK (``float(...)``) of the
+   carry, the only operation observed to truly wait for execution;
+3. the carry accumulates a FULL reduction of every iteration's output and
+   its final value is asserted equal to ``acc0 + K × sum(single_run)`` —
+   the backend cannot produce the right value without doing the work
+   K times, so a lying clock OR a skipped execution fails loudly;
+4. the first input is perturbed in-scan by a carry-derived identity
+   (XOR 0 for ints, ×1.0 for floats) so no algebraic invariance can hoist
+   the body out of the loop (an additive perturbation collapses against
+   the shift-invariant min-max normalize — measured);
+5. every warmup/repeat seeds a DISTINCT integer-valued initial carry
+   (exactly representable — a ``×(1+1e-9)`` perturbation rounds back to
+   the identical f32 bits and defeats the purpose), so no two dispatches
+   are byte-identical;
+6. per-iteration time comes from differencing two scan lengths, each the
+   minimum of 5 repeats — cancels dispatch latency and pins both lengths
+   to the same turnaround floor (single-draw variance exceeded the signal
+   for sub-ms programs: a negative differenced time was observed).
 
 Validation on the full bench program (B=16384, bf16+int8): async loop
 51.6 ms/iter, verified scan chain 53.8 ms/iter including the perturbation's
@@ -59,9 +73,10 @@ def timed_scan_verified(fn, *args, iters: int = 20, base_iters: int = 5) -> floa
     """Mean seconds/call of ``fn(*args)``, serial-execution-verified.
 
     ``fn``'s first argument is perturbed by a carry-derived identity; the
-    carry accumulates a full reduction of the first float output leaf, and
-    the final carry is asserted equal to ``K × (single run)`` — a failed
-    assertion means the runtime did NOT execute the body K times and the
+    carry accumulates a full reduction of the first float output leaf, the
+    timed window closes on a host readback of the carry, and the final
+    carry is asserted equal to ``acc0 + K × (single run)`` — a failed
+    assertion means the backend did NOT execute the body K times and the
     measurement would have been garbage.
     """
 
@@ -85,31 +100,20 @@ def timed_scan_verified(fn, *args, iters: int = 20, base_iters: int = 5) -> floa
     times = {}
     seq = 0.0
     for k in (base_iters, iters):
-        scan_k(args, jnp.float32(seq), k).block_until_ready()  # compile
+        float(scan_k(args, jnp.float32(seq), k))  # compile + real completion
         seq += 1.0
-        # Each measurement is ONE dispatch, so its wall time carries one
-        # draw of tunnel round-trip latency whose variance can exceed the
-        # 20×iter difference for sub-ms programs (observed: a negative
-        # differenced time).  Repeating the compiled scan and keeping the
-        # MINIMUM pins both k's to the same RTT floor, which the
-        # difference then cancels.  Every repeat starts from a DIFFERENT
-        # initial carry: the remote-execute path memoizes byte-identical
-        # (executable, inputs) calls — observed returning a 1.2 s scan of
-        # train steps in 0.000 s with the correct value, which min-of-N
-        # would happily keep — and a distinct acc0 makes each dispatch
-        # unmemoizable while the expected final carry stays checkable.
         best = float("inf")
         for _ in range(5):
             acc0 = seq
             seq += 1.0
             t0 = time.perf_counter()
-            acc = float(scan_k(args, jnp.float32(acc0), k))
+            acc = float(scan_k(args, jnp.float32(acc0), k))  # readback closes the window
             best = min(best, time.perf_counter() - t0)
             if not np.isclose(acc - acc0, single * k,
                               rtol=5e-3, atol=1e-6 * abs(single) * k + 1e-12):
                 raise RuntimeError(
                     f"verification failed at k={k}: carry {acc}−{acc0} != "
-                    f"{k}×single {single * k} — the runtime did not execute the chain"
+                    f"{k}×single {single * k} — the backend did not execute the chain"
                 )
         times[k] = best
     return (times[iters] - times[base_iters]) / (iters - base_iters)
