@@ -86,15 +86,21 @@ def main() -> None:
         )
         return scores[:, 0].astype(jnp.float32)
 
-    # Warmup / compile.
-    step(raw_frames, audio).block_until_ready()
-    step(raw_frames, audio).block_until_ready()
+    # Warmup / compile.  Sync via HOST READBACK, not block_until_ready: the
+    # latter was observed returning before execution completes through the
+    # axon tunnel (docs/BENCHMARKS.md "Verified-execution timing").  The
+    # loop itself is paced by the client's bounded in-flight queue
+    # (backpressure), which is what keeps the async number honest for this
+    # heavy program — cross-checked against the verified scan chain
+    # (GOALNET_BENCH_VERIFIED=1).
+    float(step(raw_frames, audio)[0])
+    float(step(raw_frames, audio)[0])
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(raw_frames, audio)
-    out.block_until_ready()
+    float(out[0])  # readback: waits for the final (in-order) execution
     dt = (time.perf_counter() - t0) / iters
 
     fps = batch / dt

@@ -91,12 +91,17 @@ def timed_scan_verified(fn, *args, iters: int = 20, base_iters: int = 5) -> floa
         def body(acc, _):
             tick = (acc != acc).astype(jnp.float32)  # always 0.0, unprovable
             out = fn(_perturb(a[0], tick), *a[1:])
-            return acc + jnp.sum(leaf_of(out).astype(jnp.float32)), None
+            # |·| before the reduction: a signed sum over a big mixed-sign
+            # bf16 output is cancellation-dominated, and the scan-fused
+            # compilation can legitimately differ from the standalone one by
+            # more than any sane tolerance (observed 1.8%); the abs-sum is
+            # rounding-stable while still requiring EVERY element
+            return acc + jnp.sum(jnp.abs(leaf_of(out)).astype(jnp.float32)), None
 
         acc, _ = jax.lax.scan(body, acc0, None, length=k)
         return acc
 
-    single = float(jnp.sum(leaf_of(jax.jit(fn)(*args)).astype(jnp.float32)))
+    single = float(jnp.sum(jnp.abs(leaf_of(jax.jit(fn)(*args))).astype(jnp.float32)))
     times = {}
     seq = 0.0
     for k in (base_iters, iters):
@@ -109,8 +114,10 @@ def timed_scan_verified(fn, *args, iters: int = 20, base_iters: int = 5) -> floa
             t0 = time.perf_counter()
             acc = float(scan_k(args, jnp.float32(acc0), k))  # readback closes the window
             best = min(best, time.perf_counter() - t0)
+            # a skipped iteration shifts the carry by single/k ≥ 5–20%;
+            # 2e-2 passes benign cross-compilation bf16 rounding
             if not np.isclose(acc - acc0, single * k,
-                              rtol=5e-3, atol=1e-6 * abs(single) * k + 1e-12):
+                              rtol=2e-2, atol=1e-6 * abs(single) * k + 1e-12):
                 raise RuntimeError(
                     f"verification failed at k={k}: carry {acc}−{acc0} != "
                     f"{k}×single {single * k} — the backend did not execute the chain"

@@ -52,24 +52,21 @@ def emit(**kw):
 
 
 def timed_chained(fn, x, iters: int = 20) -> float:
-    """Seconds per call, with data-dependent chaining inside ONE dispatch."""
+    """Seconds per call — verified in-program scan chain.
 
-    @jax.jit
-    def run(x):
-        def body(c, _):
-            out = fn(x + c.astype(x.dtype))
-            return jnp.mean(out).astype(jnp.float32) * 1e-12, None
+    Round-3 revision: the original local loop ended on ``block_until_ready``,
+    which was later PROVEN not to reliably wait through the axon tunnel
+    (docs/BENCHMARKS.md "Verified-execution timing"); the shared helper
+    closes the window on a host readback, verifies the iteration count from
+    the carry, and differences two scan lengths.
+    """
+    import os
+    import sys as _sys
 
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-        return c
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _timing import timed_scan_verified
 
-    run(x).block_until_ready()  # compile
-    t0 = time.perf_counter()
-    run(x).block_until_ready()
-    t1 = time.perf_counter()
-    run(x).block_until_ready()
-    dt = (time.perf_counter() - t1 + (t1 - t0)) / 2
-    return dt / iters
+    return timed_scan_verified(fn, x, iters=iters)
 
 
 def main() -> None:
