@@ -313,7 +313,9 @@ def cmd_spot(args) -> int:
 
     cfg = _apply_temporal_overrides(cfg, args)
     classes = args.classes.split(",") if getattr(args, "classes", None) else None
-    d = cfg.model.vis_feature_dim + (cfg.model.aud_feature_dim if cfg.model.audio_included else 0)
+    d = (cfg.model.vis_feature_dim
+         + (cfg.model.aud_feature_dim if cfg.model.audio_included else 0)
+         + (cfg.model.text_feature_dim if cfg.model.text_included else 0))
     n_classes = len(classes) if classes else 1
     if cfg.model.temporal_model == "transformer":
         from cvml_goalnet_tpu.models.temporal_attention import temporal_transformer_init
@@ -355,7 +357,8 @@ def cmd_spot(args) -> int:
 
         feats = encode_timeline(
             state.params, state.model_state, jnp.asarray(item.visual),
-            jnp.asarray(item.audio) if item.audio is not None else None, cfg)
+            jnp.asarray(item.audio) if item.audio is not None else None, cfg,
+            text=jnp.asarray(item.text) if item.text is not None else None)
         scores_mc = np.asarray(score_timeline_auto(tparams, feats, cfg))
         if scores_mc.ndim == 1:   # one-channel head (--classes with one name)
             scores_mc = scores_mc[:, None]
@@ -414,6 +417,7 @@ def cmd_spot(args) -> int:
         item.clip_intervals, cfg,
         full_n_frames=item.full_n_frames,
         peak_window=args.peak_window, peak_threshold=args.peak_threshold,
+        text=jnp.asarray(item.text) if item.text is not None else None,
     )
     payload = {
         "video_id": item.video_id,
@@ -511,6 +515,7 @@ def cmd_spot_train(args) -> int:
         feats = encode_timeline(
             state.params, state.model_state, jnp.asarray(item.visual),
             jnp.asarray(item.audio) if item.audio is not None else None, cfg,
+            text=jnp.asarray(item.text) if item.text is not None else None,
         )
         labels = load_event_labels(
             events_fp, len(item.visual), cfg.preprocess.skip_frames, classes)
@@ -878,6 +883,9 @@ def main(argv=None) -> int:
     _add_data_args(p)
     p.add_argument("video")
     p.add_argument("--no-audio", action="store_true")
+    p.add_argument("--commentary", action="store_true",
+                   help="3-modality trunk (trained with train --commentary); "
+                        "reads <video>.commentary.jsonl sidecars")
     p.add_argument("--temporal-checkpoint", default=None)
     p.add_argument("--temporal-model", choices=["gru", "transformer"], default=None)
     p.add_argument("--attn-window", type=int, default=None,
@@ -904,6 +912,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("spot-train", help="train the temporal spotting head on event labels")
     _add_data_args(p)
     p.add_argument("--no-audio", action="store_true")
+    p.add_argument("--commentary", action="store_true",
+                   help="3-modality trunk (trained with train --commentary); "
+                        "reads <video>.commentary.jsonl sidecars")
     p.add_argument("--temporal-model", choices=["gru", "transformer"], default=None)
     p.add_argument("--attn-window", type=int, default=None,
                    help="transformer attention band radius in condensed frames")

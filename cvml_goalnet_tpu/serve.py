@@ -205,9 +205,9 @@ class Spotter:
 
         from cvml_goalnet_tpu.train.spotting import load_spotting_checkpoint
 
-        d = cfg.model.vis_feature_dim + (
-            cfg.model.aud_feature_dim if cfg.model.audio_included else 0
-        )
+        d = (cfg.model.vis_feature_dim
+             + (cfg.model.aud_feature_dim if cfg.model.audio_included else 0)
+             + (cfg.model.text_feature_dim if cfg.model.text_included else 0))
         n_classes = len(self.classes) if self.classes else 1
         if cfg.model.temporal_model == "transformer":
             from cvml_goalnet_tpu.models.temporal_attention import (
@@ -252,6 +252,7 @@ class Spotter:
         waveform: np.ndarray | None = None,
         peak_window: int = 5,
         peak_threshold: float = 0.0,
+        commentary: "list[str] | None" = None,
     ) -> SpotResponse:
         from cvml_goalnet_tpu.spotting import (
             encode_timeline,
@@ -263,7 +264,12 @@ class Spotter:
 
         cfg = self.cfg
         full_n = full_n_frames or len(frames) * cfg.preprocess.skip_frames
-        feats_in = extract_features(frames, waveform, cfg)
+        if cfg.model.text_included and commentary is None:
+            # missing-sidecar convention shared with build_video_item: the
+            # 3-modality trunk still expects the modality, so empty strings
+            # (the trained "no commentary" token pattern) stand in
+            commentary = [""] * len(frames)
+        feats_in = extract_features(frames, waveform, cfg, commentary=commentary)
         if cfg.model.audio_included and feats_in["audio"] is None:
             from cvml_goalnet_tpu.models.audio import audio_feature_channels
 
@@ -279,6 +285,7 @@ class Spotter:
                 jnp.asarray(feats_in["visual"]),
                 jnp.asarray(feats_in["audio"]) if feats_in["audio"] is not None else None,
                 cfg,
+                text=jnp.asarray(feats_in["text"]) if feats_in["text"] is not None else None,
             )
             scores = np.asarray(
                 score_timeline_auto(self.temporal_params, feats, cfg))
@@ -307,10 +314,22 @@ class Spotter:
 
     def spot_path(self, video_fp: str, **kw) -> SpotResponse:
         import dataclasses
+        import os
 
         from cvml_goalnet_tpu.data.video import probe_video_fps
 
         video_id, frames, full_n, waveform = load_media(video_fp, self.cfg)
+        if self.cfg.model.text_included and "commentary" not in kw:
+            # `<video>.commentary.jsonl` sidecar, same convention as
+            # build_video_item (data/dataset.py)
+            commentary_fp = video_fp.rsplit(".", 1)[0] + ".commentary.jsonl"
+            if os.path.exists(commentary_fp):
+                from cvml_goalnet_tpu.data.text import (
+                    commentary_per_frame, load_commentary_jsonl)
+
+                kw["commentary"] = commentary_per_frame(
+                    load_commentary_jsonl(commentary_fp), len(frames),
+                    self.cfg.preprocess.skip_frames)
         resp = self.spot_frames(video_id, frames, full_n, waveform, **kw)
         return dataclasses.replace(resp, fps=probe_video_fps(video_fp))
 

@@ -50,7 +50,7 @@ def _jitted_trunk(cfg_model):
         if cfg_model.vis_backbone != "resnet" else {}
     )
 
-    def trunk(params, state, visual, audio):
+    def trunk(params, state, visual, audio, text):
         feats, _ = vis_apply(
             params["visual"], state["visual"], visual,
             train=False, rng=jax.random.PRNGKey(0), dropout_rate=0.0,
@@ -59,14 +59,36 @@ def _jitted_trunk(cfg_model):
         if cfg_model.audio_included and audio is not None:
             a = audio_encoder_apply(params["audio"], audio)
             feats = jnp.concatenate([a, feats], axis=-1)
+        if cfg_model.text_included:
+            # concat order mirrors avm_apply: [audio ‖ visual ‖ text]
+            from cvml_goalnet_tpu.models.text import text_encoder_apply
+
+            t = text_encoder_apply(params["text"], text, cfg=cfg_model)
+            feats = jnp.concatenate([feats, t], axis=-1)
         return feats
 
     return jax.jit(trunk, static_argnames=())
 
 
-def encode_timeline(params, state, visual, audio, cfg: PipelineConfig) -> jax.Array:
-    """(T, h, w, C) frames (+ audio) → (T, D) fused per-frame features."""
-    return _jitted_trunk(cfg.model)(params, state, visual, audio)
+def encode_timeline(params, state, visual, audio, cfg: PipelineConfig,
+                    text=None) -> jax.Array:
+    """(T, h, w, C) frames (+ audio, + commentary tokens) → (T, D) fused
+    per-frame features.
+
+    ``text``: (T, text_max_len) token ids, REQUIRED when
+    ``cfg.model.text_included`` — a 3-modality trunk's fusion input width
+    includes the text features, so silently substituting zeros would score
+    with garbage in those dimensions.
+    """
+    if cfg.model.text_included and text is None:
+        raise ValueError(
+            "cfg.model.text_included=True but encode_timeline got no text "
+            "tokens — pass the commentary tokens (VideoItem.text / "
+            "data.text.tokenize) or use a trunk trained without --commentary"
+        )
+    if not cfg.model.text_included:
+        text = None
+    return _jitted_trunk(cfg.model)(params, state, visual, audio, text)
 
 
 def score_timeline(temporal_params, features, hidden: int) -> jax.Array:
@@ -336,6 +358,7 @@ def summarize_match(
     peak_window: int = 5,
     peak_threshold: float = 0.0,
     kcfg: KnapsackConfig | None = None,
+    text=None,
 ) -> MatchSummary:
     """Full spotting pipeline: frames → features → scan scores → highlights.
 
@@ -344,7 +367,7 @@ def summarize_match(
     """
     skip = cfg.preprocess.skip_frames if skip_frames is None else skip_frames
     full_n = len(visual) * skip if full_n_frames is None else full_n_frames
-    feats = encode_timeline(params, state, visual, audio, cfg)
+    feats = encode_timeline(params, state, visual, audio, cfg, text=text)
     scores = np.asarray(score_timeline_auto(temporal_params, feats, cfg))
     if scores.ndim != 1:
         raise ValueError(

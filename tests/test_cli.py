@@ -232,6 +232,32 @@ class TestCLICommentary:
         assert r.returncode == 0, r.stderr[-2000:]
         assert "Exported video details" in r.stdout
 
+        # the 3-modality trunk drives the SPOTTING path too (round-3
+        # continuation: text trunks previously could not spot at all)
+        r = _run(["spot", cli_env["video_fps"][0], "--mat-fp", cli_env["mat_file_path"],
+                  "--h5-fp", cli_env["h5_file_path"], "--config", cli_env["cfg"],
+                  "--workdir", wd, "--no-audio", "--commentary",
+                  "--peak-threshold=-1e9"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = json.loads(r.stdout[r.stdout.index("{"):])
+        assert payload["summary_frames"] > 0
+
+        # spot-train encodes text timelines and trains a head on them
+        events_fp = cli_env["video_fps"][0].rsplit(".", 1)[0] + ".events.json"
+        had_events = os.path.exists(events_fp)
+        if not had_events:
+            with open(events_fp, "w") as f:
+                json.dump([60, 150], f)
+        try:
+            r = _run(["spot-train", *_data_args(cli_env), "--workdir", wd,
+                      "--no-audio", "--commentary", "--epochs", "1",
+                      "--out", os.path.join(wd, "head_text.npz")], root)
+            assert r.returncode == 0, r.stderr[-2000:]
+            assert "Saved temporal head" in r.stdout
+        finally:
+            if not had_events:
+                os.unlink(events_fp)
+
 
 class TestCLISpotTransformer:
     def test_spot_with_transformer_scorer(self, cli_env):

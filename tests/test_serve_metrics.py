@@ -196,6 +196,37 @@ class TestSpotter:
         assert resp.summary_frames > 0
         assert resp.summary_clips.ndim == 2
 
+    def test_spot_with_commentary_trunk(self, no_audio_cfg, tmp_path):
+        # 3-modality (text_included) trunks must spot: the head width covers
+        # the text features, commentary reaches the scores, and spot_path
+        # picks up the .commentary.jsonl sidecar (round-3 continuation)
+        import dataclasses
+        import json as _json
+
+        from cvml_goalnet_tpu.serve import Spotter
+
+        cfg = dataclasses.replace(
+            no_audio_cfg,
+            model=dataclasses.replace(no_audio_cfg.model, text_included=True))
+        s = Spotter(cfg)
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (12, 32, 32, 3), dtype=np.uint8)
+        base = s.spot_frames("vid", frames)           # [""]×N fallback
+        loud = s.spot_frames("vid", frames, commentary=["GOAL!"] * 12)
+        assert base.scores.shape == (12,)
+        assert not np.allclose(base.scores, loud.scores)
+
+        # sidecar pickup through spot_path
+        npz = str(tmp_path / "clip.npz")
+        np.savez_compressed(npz, frames=rng.integers(
+            0, 255, (360, 32, 32, 3), dtype=np.uint8))
+        resp_plain = s.spot_path(npz)
+        with open(str(tmp_path / "clip.commentary.jsonl"), "w") as f:
+            for i in range(12):
+                f.write(_json.dumps({"frame": i * 30, "text": "corner kick"}) + "\n")
+        resp_side = s.spot_path(npz)
+        assert not np.allclose(resp_plain.scores, resp_side.scores)
+
     def test_spot_frames_multiclass(self, no_audio_cfg):
         from cvml_goalnet_tpu.serve import Spotter
 

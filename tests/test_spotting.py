@@ -91,6 +91,58 @@ class TestTrunkBackbones:
         assert feats.shape == (6, cfg.model.vis_feature_dim)
 
 
+class TestEncodeTimelineText:
+    """3-modality (commentary) trunks through the spotting path — the text
+    features must reach the fused timeline (round-3 continuation: text
+    trunks previously could not spot at all)."""
+
+    def _cfg(self, small_cfg):
+        import dataclasses
+
+        return dataclasses.replace(
+            small_cfg,
+            model=dataclasses.replace(small_cfg.model, text_included=True))
+
+    def test_text_features_reach_the_timeline(self, small_cfg):
+        import dataclasses
+
+        from cvml_goalnet_tpu.data.text import tokenize
+        from cvml_goalnet_tpu.models.avm import avm_init
+        from cvml_goalnet_tpu.spotting import encode_timeline
+
+        cfg = self._cfg(small_cfg)
+        rng = np.random.default_rng(0)
+        n = 5
+        vis = jnp.asarray(rng.random((n, *cfg.preprocess.frame_size, 3)).astype(np.float32))
+        aud = jnp.asarray(rng.random((n, cfg.audio.bin_length, cfg.audio.n_mfcc)).astype(np.float32))
+        params, state = avm_init(jax.random.PRNGKey(0), cfg.model, cfg.preprocess, cfg.audio)
+        toks_a = jnp.asarray(tokenize(["goal!"] * n, cfg.model.text_vocab_size,
+                                      cfg.model.text_max_len))
+        toks_b = jnp.asarray(tokenize([""] * n, cfg.model.text_vocab_size,
+                                      cfg.model.text_max_len))
+        fa = encode_timeline(params, state, vis, aud, cfg, text=toks_a)
+        fb = encode_timeline(params, state, vis, aud, cfg, text=toks_b)
+        d = (cfg.model.vis_feature_dim + cfg.model.aud_feature_dim
+             + cfg.model.text_feature_dim)
+        assert fa.shape == (n, d)
+        # the text slice responds to the commentary; audio+visual slices don't
+        base = cfg.model.vis_feature_dim + cfg.model.aud_feature_dim
+        assert not np.allclose(np.asarray(fa[:, base:]), np.asarray(fb[:, base:]))
+        np.testing.assert_allclose(np.asarray(fa[:, :base]), np.asarray(fb[:, :base]))
+
+    def test_missing_text_raises(self, small_cfg):
+        from cvml_goalnet_tpu.models.avm import avm_init
+        from cvml_goalnet_tpu.spotting import encode_timeline
+
+        cfg = self._cfg(small_cfg)
+        rng = np.random.default_rng(1)
+        vis = jnp.asarray(rng.random((3, *cfg.preprocess.frame_size, 3)).astype(np.float32))
+        aud = jnp.asarray(rng.random((3, cfg.audio.bin_length, cfg.audio.n_mfcc)).astype(np.float32))
+        params, state = avm_init(jax.random.PRNGKey(0), cfg.model, cfg.preprocess, cfg.audio)
+        with pytest.raises(ValueError, match="text"):
+            encode_timeline(params, state, vis, aud, cfg)
+
+
 class TestMatchSummarization:
     def test_end_to_end(self, small_cfg):
         cfg = small_cfg
