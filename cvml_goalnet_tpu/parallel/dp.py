@@ -31,23 +31,17 @@ def make_dp_train_step(cfg: PipelineConfig, mesh: Mesh, tensor_parallel: bool = 
     over ``"data"`` and params are replicated (or fusion-TP over ``"model"``).
     """
     tc, mc = cfg.train, cfg.model
-    if mc.text_included:
-        # avm_apply would otherwise crash deep inside tracing on text=None
-        raise ValueError(
-            "the DP train steps do not carry the text modality — train text "
-            "configs through train_importance_model (the per-video path)"
-        )
 
-    def loss_fn(params, model_state, visual, audio, labels, rng):
+    def loss_fn(params, model_state, visual, audio, text, labels, rng):
         preds, new_ms = avm_apply(
-            params, model_state, visual, audio, None, cfg=mc, train=True, rng=rng
+            params, model_state, visual, audio, text, cfg=mc, train=True, rng=rng
         )
         d = preds[:, 0] - labels
         return jnp.mean(d * d), new_ms
 
-    def step(params, model_state, opt_state, visual, audio, labels, rng):
+    def step(params, model_state, opt_state, visual, audio, text, labels, rng):
         (loss, new_ms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, model_state, visual, audio, labels, rng
+            params, model_state, visual, audio, text, labels, rng
         )
         new_params, new_opt = adam_update(
             grads, opt_state, params, tc.learning_rate, tc.b1, tc.b2, tc.eps
@@ -56,11 +50,18 @@ def make_dp_train_step(cfg: PipelineConfig, mesh: Mesh, tensor_parallel: bool = 
 
     rep = replicated(mesh)
     pspec = fusion_param_shardings if tensor_parallel else (lambda p, m: jax.tree.map(lambda _: rep, p))
-    cache: dict[bool, object] = {}
+    cache: dict = {}
 
-    def jitted(params, model_state, opt_state, visual, audio, labels, rng):
-        has_audio = audio is not None
-        if has_audio not in cache:  # one compile per audio-arity
+    def jitted(params, model_state, opt_state, visual, audio, labels, rng, text=None):
+        if mc.text_included and text is None:
+            # avm_apply would otherwise crash deep inside tracing on text=None
+            raise ValueError(
+                "cfg.model.text_included=True but the DP step got no text "
+                "tokens — pool VideoItem.text into the global batch (what "
+                "train_data_parallel does)"
+            )
+        key = (audio is not None, text is not None)
+        if key not in cache:  # one compile per modality-arity
             param_sh = pspec(params, mesh)
             state_sh = jax.tree.map(lambda _: rep, (model_state, opt_state))
             in_sh = (
@@ -68,13 +69,14 @@ def make_dp_train_step(cfg: PipelineConfig, mesh: Mesh, tensor_parallel: bool = 
                 state_sh[0],
                 state_sh[1],
                 batch_sharding(mesh, 4),
-                batch_sharding(mesh, 3) if has_audio else None,
+                batch_sharding(mesh, 3) if audio is not None else None,
+                batch_sharding(mesh, 2) if text is not None else None,
                 batch_sharding(mesh, 1),
                 rep,
             )
             out_sh = (param_sh, state_sh[0], state_sh[1], rep)
-            cache[has_audio] = jax.jit(step, in_shardings=in_sh, out_shardings=out_sh)
-        return cache[has_audio](params, model_state, opt_state, visual, audio, labels, rng)
+            cache[key] = jax.jit(step, in_shardings=in_sh, out_shardings=out_sh)
+        return cache[key](params, model_state, opt_state, visual, audio, text, labels, rng)
 
     return jitted
 
@@ -101,18 +103,13 @@ def make_dp_train_step_shardmap(cfg: PipelineConfig, mesh: Mesh):
     from cvml_goalnet_tpu.parallel.collectives import pmean
 
     tc, mc = cfg.train, cfg.model
-    if mc.text_included:
-        raise ValueError(
-            "the DP train steps do not carry the text modality — train text "
-            "configs through train_importance_model (the per-video path)"
-        )
 
-    def body(params, model_state, opt_state, visual, audio, labels, rng):
+    def body(params, model_state, opt_state, visual, audio, text, labels, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
 
         def loss_fn(p):
             preds, new_ms = avm_apply(
-                p, model_state, visual, audio, None, cfg=mc, train=True, rng=rng
+                p, model_state, visual, audio, text, cfg=mc, train=True, rng=rng
             )
             d = preds[:, 0] - labels
             return jnp.mean(d * d), new_ms
@@ -130,13 +127,20 @@ def make_dp_train_step_shardmap(cfg: PipelineConfig, mesh: Mesh):
     batch = P("data")
     cache: dict = {}  # (audio-arity, tree structures) → compiled program
 
-    def step(params, model_state, opt_state, visual, audio, labels, rng):
-        # build shard_map + jit ONCE per (audio-arity, pytree structure):
+    def step(params, model_state, opt_state, visual, audio, labels, rng, text=None):
+        if mc.text_included and text is None:
+            raise ValueError(
+                "cfg.model.text_included=True but the DP step got no text "
+                "tokens — pool VideoItem.text into the global batch (what "
+                "train_data_parallel does)"
+            )
+        # build shard_map + jit ONCE per (modality-arity, pytree structure):
         # a fresh closure per call would make jit re-trace and re-compile
         # EVERY training step (the cache keys on function identity) —
         # minutes per step through a remote-compile tunnel (round-3 review)
         key = (
             audio is not None,
+            text is not None,
             jax.tree_util.tree_structure((params, model_state, opt_state)),
         )
         if key not in cache:
@@ -146,6 +150,7 @@ def make_dp_train_step_shardmap(cfg: PipelineConfig, mesh: Mesh):
                 jax.tree.map(lambda _: rep, opt_state),
                 batch,
                 None if audio is None else batch,
+                None if text is None else batch,
                 batch,
                 rep,
             )
@@ -158,6 +163,6 @@ def make_dp_train_step_shardmap(cfg: PipelineConfig, mesh: Mesh):
             fn = shard_map(body, mesh=mesh, in_specs=in_specs,
                            out_specs=out_specs, check_rep=False)
             cache[key] = jax.jit(fn)
-        return cache[key](params, model_state, opt_state, visual, audio, labels, rng)
+        return cache[key](params, model_state, opt_state, visual, audio, text, labels, rng)
 
     return step

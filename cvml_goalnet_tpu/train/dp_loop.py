@@ -39,7 +39,10 @@ def pool_dataset(ds) -> dict:
     audio = None
     if ds[0].audio is not None:
         audio = np.concatenate([item.audio for item in ds])
-    return {"visual": visual, "audio": audio, "labels": labels}
+    text = None
+    if ds[0].text is not None:
+        text = np.concatenate([item.text for item in ds])
+    return {"visual": visual, "audio": audio, "labels": labels, "text": text}
 
 
 def train_data_parallel(
@@ -98,8 +101,13 @@ def train_data_parallel(
                 else None
             )
             lab = shard_batch(mesh, pool["labels"][idx])
+            txt = (
+                shard_batch(mesh, pool["text"][idx])
+                if pool["text"] is not None
+                else None
+            )
             params, model_state, opt_state, loss = step_fn(
-                params, model_state, opt_state, vis, aud, lab, sub
+                params, model_state, opt_state, vis, aud, lab, sub, text=txt
             )
             losses.append(float(loss))
 

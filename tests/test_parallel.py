@@ -133,6 +133,91 @@ class TestDataParallelStep:
         for a, b in zip(jax.tree_util.tree_leaves(p_dp), jax.tree_util.tree_leaves(p1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
 
+    def test_dp_with_text_matches_single_device(self, small_cfg, mesh8):
+        # 3-modality DP: text tokens shard over "data" like the other
+        # modalities (round-3 continuation — DP used to reject text configs)
+        import dataclasses
+
+        from cvml_goalnet_tpu.data.text import tokenize
+        from cvml_goalnet_tpu.models.avm import avm_apply
+
+        cfg = dataclasses.replace(
+            small_cfg,
+            model=dataclasses.replace(small_cfg.model, text_included=True))
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        vis, aud, lab = self._batch(cfg, 16)
+        txt = tokenize(["goal!" if i % 2 else "calm play" for i in range(16)],
+                       cfg.model.text_vocab_size, cfg.model.text_max_len)
+        rng = jax.random.PRNGKey(3)
+
+        step = make_dp_train_step(cfg, mesh8)
+        with pytest.raises(ValueError, match="text"):
+            step(state.params, state.model_state, state.opt_state,
+                 shard_batch(mesh8, jnp.asarray(vis)),
+                 shard_batch(mesh8, jnp.asarray(aud)),
+                 shard_batch(mesh8, jnp.asarray(lab)), rng)
+        p_dp, _, _, loss_dp = step(
+            state.params, state.model_state, state.opt_state,
+            shard_batch(mesh8, jnp.asarray(vis)), shard_batch(mesh8, jnp.asarray(aud)),
+            shard_batch(mesh8, jnp.asarray(lab)), rng,
+            text=shard_batch(mesh8, jnp.asarray(txt)),
+        )
+
+        def loss_fn(p):
+            preds, new_ms = avm_apply(
+                p, state.model_state, jnp.asarray(vis), jnp.asarray(aud),
+                jnp.asarray(txt), cfg=cfg.model, train=True, rng=rng,
+            )
+            return jnp.mean((preds[:, 0] - jnp.asarray(lab)) ** 2), new_ms
+
+        (loss1, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        p1, _ = adam_update(
+            grads, state.opt_state, state.params,
+            cfg.train.learning_rate, cfg.train.b1, cfg.train.b2, cfg.train.eps,
+        )
+        assert np.isclose(float(loss_dp), float(loss1), atol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(p_dp), jax.tree_util.tree_leaves(p1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+    def test_dp_loop_trains_text_dataset(self, small_cfg, mesh8):
+        # the full DP driver pools and shards VideoItem.text end to end
+        import dataclasses
+
+        from cvml_goalnet_tpu.data.synthetic import synthetic_change_points
+        from cvml_goalnet_tpu.data.text import tokenize
+        from cvml_goalnet_tpu.data.dataset import VideoItem, VideoDataset
+        from cvml_goalnet_tpu.train.dp_loop import train_data_parallel
+
+        cfg = dataclasses.replace(
+            small_cfg,
+            model=dataclasses.replace(
+                small_cfg.model, audio_included=False, text_included=True))
+        rng = np.random.default_rng(0)
+        n = 24
+        full_n = n * cfg.preprocess.skip_frames
+        items = []
+        for seed in range(2):
+            is_goal = rng.random(n) < 0.4
+            items.append(VideoItem(
+                video_id=f"t{seed}", title=f"t{seed}",
+                visual=np.full((n, *cfg.preprocess.frame_size, 3), 0.5, np.float32),
+                audio=None,
+                labels=np.where(is_goal, 5.0, 1.0).astype(np.float32),
+                gd_summary_masks=(rng.random((20, full_n)) < 0.15).astype(np.uint8),
+                full_n_frames=full_n,
+                clip_intervals=synthetic_change_points(full_n, 6, seed=seed),
+                text=tokenize(
+                    ["goal scored" if g else "quiet play" for g in is_goal],
+                    cfg.model.text_vocab_size, cfg.model.text_max_len),
+            ))
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        _, hist = train_data_parallel(
+            cfg, VideoDataset(items), VideoDataset([]), state,
+            num_epochs=6, global_batch=16, mesh=mesh8, verbose=False)
+        assert np.isfinite(hist["train_loss"]).all()
+        # visual is constant: any learning signal comes from the text branch
+        assert hist["train_loss"][-1] < hist["train_loss"][0]
+
     def test_tensor_parallel_forward_matches(self, small_cfg, mesh42):
         """Fusion-TP sharded params produce the same outputs as replicated."""
         from cvml_goalnet_tpu.models.avm import avm_apply
