@@ -41,7 +41,7 @@ def _jitted_chunk_scorer(cfg: PipelineConfig, preprocessed: bool = False):
     def cast(tree):
         return tree_cast(tree, dtype)
 
-    def score(params, state, frames, audio):
+    def score(params, state, frames, audio, text=None):
         if preprocessed:
             visual = frames.astype(dtype)  # host already normalized+resized
             if frames.dtype == jnp.uint8:
@@ -55,7 +55,7 @@ def _jitted_chunk_scorer(cfg: PipelineConfig, preprocessed: bool = False):
         out, _ = avm_apply(
             cast(params), cast(state), visual,
             None if audio is None else audio.astype(dtype),
-            None, cfg=cfg.model, train=False,
+            text, cfg=cfg.model, train=False,
         )
         return out[:, 0].astype(jnp.float32)
 
@@ -80,12 +80,16 @@ def score_video_stream(
     host_preprocess: bool = False,
     transfer_dtype=None,
     max_inflight: int = 8,
+    text_chunks=None,
 ) -> tuple[np.ndarray, StreamStats]:
     """Score a stream of raw frame chunks → (N,) importance scores.
 
     ``frame_chunks`` yields (k, H, W, C) arrays (k ≤ chunk_size); chunks are
     right-padded to ``chunk_size`` so one compiled program serves the run.
     ``audio_chunks`` (optional) yields matching (k, B, n_mfcc) MFCC blocks.
+    ``text_chunks`` yields matching (k, text_max_len) int32 commentary
+    tokens — REQUIRED when ``cfg.model.text_included`` (a 3-modality trunk's
+    fusion input includes the text features).
 
     ``host_preprocess=True`` runs normalize+resize on the host in the
     prefetch thread and ships only the (h, w, C) frames — 36× less
@@ -108,7 +112,41 @@ def score_video_stream(
     n_total = 0
     n_chunks = 0
 
+    if cfg.model.text_included and text_chunks is None:
+        raise ValueError(
+            "cfg.model.text_included=True but score_video_stream got no "
+            "text_chunks — yield (k, text_max_len) token chunks on the same "
+            "boundaries as frame_chunks (data.text.tokenize), or stream with "
+            "a trunk trained without --commentary"
+        )
     audio_iter = iter(audio_chunks) if audio_chunks is not None else None
+    text_iter = iter(text_chunks) if text_chunks is not None else None
+
+    def _next_aligned(it, name, k):
+        """Pull one modality chunk, enforce boundary alignment, pad rows."""
+        try:
+            a = next(it)
+        except StopIteration:
+            # PEP 479 would otherwise surface this as an opaque
+            # "generator raised StopIteration" RuntimeError from the
+            # prefetch thread
+            raise ValueError(
+                f"{name} exhausted before frame_chunks — the stream must "
+                "yield one chunk per frame chunk"
+            ) from None
+        if len(a) != k:
+            # a mismatched chunking boundary would silently pair frames
+            # with the wrong modality rows downstream
+            raise ValueError(
+                f"{name} chunk has {len(a)} rows but the frame chunk has "
+                f"{k} — chunk the modalities on the same boundaries as "
+                "frame_chunks"
+            )
+        if len(a) < chunk_size:
+            a = np.concatenate(
+                [a, np.zeros((chunk_size - len(a),) + a.shape[1:], a.dtype)]
+            )
+        return a
 
     def produce():
         # Thread A (chunk production): host preprocess + pad to the fixed
@@ -135,48 +173,31 @@ def score_video_stream(
             if k < chunk_size:
                 pad = np.zeros((chunk_size - k,) + chunk.shape[1:], chunk.dtype)
                 chunk = np.concatenate([chunk, pad])
-            audio = None
-            if audio_iter is not None:
-                try:
-                    a = next(audio_iter)
-                except StopIteration:
-                    # PEP 479 would otherwise surface this as an opaque
-                    # "generator raised StopIteration" RuntimeError from the
-                    # prefetch thread
-                    raise ValueError(
-                        "audio_chunks exhausted before frame_chunks — the "
-                        "audio stream must yield one chunk per frame chunk"
-                    ) from None
-                if len(a) != k:
-                    # a mismatched chunking boundary would silently pair
-                    # frames with the wrong MFCC rows downstream
-                    raise ValueError(
-                        f"audio chunk has {len(a)} rows but the frame chunk "
-                        f"has {k} — audio_chunks must be chunked on the same "
-                        "boundaries as frame_chunks"
-                    )
-                if len(a) < chunk_size:
-                    a = np.concatenate(
-                        [a, np.zeros((chunk_size - len(a),) + a.shape[1:], a.dtype)]
-                    )
-                audio = a
-            yield chunk, audio, k
+            audio = (
+                _next_aligned(audio_iter, "audio_chunks", k)
+                if audio_iter is not None else None
+            )
+            text = (
+                _next_aligned(text_iter, "text_chunks", k)
+                if text_iter is not None else None
+            )
+            yield chunk, audio, text, k
 
     def upload(produced):
         # Thread B: start the host→device transfer, overlapping thread A's
         # production of the next chunk AND the device compute on the last.
-        for chunk, audio, k in produced:
+        for chunk, audio, text, k in produced:
             yield jax.device_put(chunk), (
                 None if audio is None else jax.device_put(audio)
-            ), k
+            ), (None if text is None else jax.device_put(text)), k
 
     pending: list[tuple[jax.Array, int]] = []
     staged = upload(Prefetcher(produce(), depth=prefetch_depth))
-    for chunk_dev, audio_dev, k in Prefetcher(staged, depth=prefetch_depth):
+    for chunk_dev, audio_dev, text_dev, k in Prefetcher(staged, depth=prefetch_depth):
         with timer.stage("stage_dispatch"):
             # async dispatch: device crunches while the decoder thread
             # produces and uploads the next chunk
-            out = fn(params, state, chunk_dev, audio_dev)
+            out = fn(params, state, chunk_dev, audio_dev, text_dev)
         pending.append((out, k))
         n_total += k
         n_chunks += 1
@@ -212,11 +233,13 @@ def summarize_video_stream(
     audio_chunks=None,
     host_preprocess: bool = False,
     transfer_dtype=None,
+    text_chunks=None,
 ) -> tuple[SummaryResult, StreamStats]:
     """Full streaming pipeline: decode chunks → device scoring → knapsack."""
     scores, stats = score_video_stream(
         params, state, frame_chunks, cfg, chunk_size, audio_chunks,
         host_preprocess=host_preprocess, transfer_dtype=transfer_dtype,
+        text_chunks=text_chunks,
     )
     res = summarize(
         scores, clip_intervals, cfg.preprocess.skip_frames, full_n_frames, cfg.knapsack

@@ -61,6 +61,44 @@ class TestStreaming:
                 audio_chunks=_chunks(audio, 16),  # wrong chunking boundary
             )
 
+    def test_stream_with_text_matches_monolithic(self, setup, small_cfg):
+        # 3-modality streaming: commentary token chunks ride the same
+        # boundaries as frames/audio (round-3 continuation — streaming used
+        # to crash mid-trace for text_included trunks)
+        import dataclasses
+
+        from cvml_goalnet_tpu.data.text import tokenize
+
+        frames, audio, _, _ = setup
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, text_included=True))
+        params, state = avm_init(jax.random.PRNGKey(0), cfg.model, cfg.preprocess, cfg.audio)
+        text = tokenize(["goal!" if i % 3 == 0 else "" for i in range(70)],
+                        cfg.model.text_vocab_size, cfg.model.text_max_len)
+        scores, _ = score_video_stream(
+            params, state, _chunks(frames, 32), cfg, chunk_size=32,
+            audio_chunks=_chunks(audio, 32), text_chunks=_chunks(text, 32),
+        )
+        from cvml_goalnet_tpu.pipeline import extract_features
+
+        feats = extract_features(frames, None, cfg)
+        feats["audio"], feats["text"] = audio, text
+        want = fuse(params, state, feats, cfg)
+        np.testing.assert_allclose(scores, want, atol=1e-4)
+
+        # forgetting the text stream fails loudly, not mid-trace
+        with pytest.raises(ValueError, match="text_chunks"):
+            score_video_stream(
+                params, state, _chunks(frames, 32), cfg, chunk_size=32,
+                audio_chunks=_chunks(audio, 32),
+            )
+        # misaligned text chunking fails like audio does
+        with pytest.raises(ValueError, match="same boundaries"):
+            score_video_stream(
+                params, state, _chunks(frames, 32), cfg, chunk_size=32,
+                audio_chunks=_chunks(audio, 32), text_chunks=_chunks(text, 16),
+            )
+
     def test_stream_no_audio(self, setup, small_cfg):
         import dataclasses
 
