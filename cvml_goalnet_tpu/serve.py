@@ -73,6 +73,24 @@ def load_media(video_fp: str, cfg: PipelineConfig):
     return video_id, frames, full_n, _load_wav_sidecar(video_fp, cfg)
 
 
+def _load_commentary_sidecar(video_fp: str, cfg: PipelineConfig,
+                             n_condensed: int) -> "list[str] | None":
+    """Per-frame commentary from ``<video>.commentary.jsonl`` (the same
+    convention as ``build_video_item``), or None when absent / text off."""
+    import os
+
+    if not cfg.model.text_included:
+        return None
+    commentary_fp = video_fp.rsplit(".", 1)[0] + ".commentary.jsonl"
+    if not os.path.exists(commentary_fp):
+        return None
+    from cvml_goalnet_tpu.data.text import commentary_per_frame, load_commentary_jsonl
+
+    return commentary_per_frame(
+        load_commentary_jsonl(commentary_fp), n_condensed,
+        cfg.preprocess.skip_frames)
+
+
 def _uniform_clip_intervals(cfg: PipelineConfig, full_n: int) -> np.ndarray:
     """Uniform ~2-second segmentation fallback when no annotation store
     provides change points — never wider than the knapsack budget (short
@@ -130,6 +148,7 @@ class Summarizer:
         clip_intervals: np.ndarray | None = None,
         full_n_frames: int | None = None,
         waveform: np.ndarray | None = None,
+        commentary: "list[str] | None" = None,
     ) -> SummarizeResponse:
         cfg = self.cfg
         full_n = full_n_frames or len(frames) * cfg.preprocess.skip_frames
@@ -138,7 +157,11 @@ class Summarizer:
                 clip_intervals = np.asarray(self.store.change_points(video_id))
             else:
                 clip_intervals = _uniform_clip_intervals(cfg, full_n)
-        feats = extract_features(frames, waveform, cfg)
+        if cfg.model.text_included and commentary is None:
+            # missing-sidecar convention shared with build_video_item: the
+            # 3-modality trunk still expects the modality
+            commentary = [""] * len(frames)
+        feats = extract_features(frames, waveform, cfg, commentary=commentary)
         if cfg.model.audio_included and feats["audio"] is None:
             # serving robustness: no audio track → silent-audio features
             from cvml_goalnet_tpu.models.audio import audio_feature_channels
@@ -162,7 +185,9 @@ class Summarizer:
 
     def summarize_path(self, video_fp: str) -> SummarizeResponse:
         video_id, frames, full_n, waveform = load_media(video_fp, self.cfg)
-        return self.summarize_frames(video_id, frames, None, full_n, waveform)
+        commentary = _load_commentary_sidecar(video_fp, self.cfg, len(frames))
+        return self.summarize_frames(
+            video_id, frames, None, full_n, waveform, commentary=commentary)
 
 
 @dataclass
@@ -314,22 +339,14 @@ class Spotter:
 
     def spot_path(self, video_fp: str, **kw) -> SpotResponse:
         import dataclasses
-        import os
 
         from cvml_goalnet_tpu.data.video import probe_video_fps
 
         video_id, frames, full_n, waveform = load_media(video_fp, self.cfg)
-        if self.cfg.model.text_included and "commentary" not in kw:
-            # `<video>.commentary.jsonl` sidecar, same convention as
-            # build_video_item (data/dataset.py)
-            commentary_fp = video_fp.rsplit(".", 1)[0] + ".commentary.jsonl"
-            if os.path.exists(commentary_fp):
-                from cvml_goalnet_tpu.data.text import (
-                    commentary_per_frame, load_commentary_jsonl)
-
-                kw["commentary"] = commentary_per_frame(
-                    load_commentary_jsonl(commentary_fp), len(frames),
-                    self.cfg.preprocess.skip_frames)
+        if "commentary" not in kw:
+            side = _load_commentary_sidecar(video_fp, self.cfg, len(frames))
+            if side is not None:
+                kw["commentary"] = side
         resp = self.spot_frames(video_id, frames, full_n, waveform, **kw)
         return dataclasses.replace(resp, fps=probe_video_fps(video_fp))
 
@@ -404,6 +421,11 @@ class DynamicBatcher:
                 ),
                 "text": None,
             }
+            if cfg.model.text_included:
+                from cvml_goalnet_tpu.data.text import tokenize
+
+                feats["text"] = tokenize(
+                    [""] * b, cfg.model.text_vocab_size, cfg.model.text_max_len)
             with self.summarizer._lock:
                 fuse(self.summarizer.state.params, self.summarizer.state.model_state, feats, cfg)
 
@@ -414,6 +436,7 @@ class DynamicBatcher:
         clip_intervals: np.ndarray | None = None,
         full_n_frames: int | None = None,
         waveform: np.ndarray | None = None,
+        commentary: "list[str] | None" = None,
     ):
         """→ concurrent.futures.Future[SummarizeResponse]."""
         from concurrent.futures import Future
@@ -440,6 +463,16 @@ class DynamicBatcher:
                 (len(frames), cfg.audio.bin_length, audio_feature_channels(cfg.audio)),
                 np.float32,
             )
+        if cfg.model.text_included:
+            # tokenize host-side per request, like the other modalities —
+            # [""] rows are the trained missing-commentary pattern (the same
+            # convention whose omission made round 2's batcher silently drop
+            # audio)
+            from cvml_goalnet_tpu.data.text import tokenize
+
+            feats["text"] = tokenize(
+                commentary if commentary is not None else [""] * len(frames),
+                cfg.model.text_vocab_size, cfg.model.text_max_len)
         fut: Future = Future()
         self.stats["requests"] += 1
         self._q.put((video_id, feats, clip_intervals, full_n_frames, len(frames), fut))
@@ -480,7 +513,7 @@ class DynamicBatcher:
                         fut.set_exception(
                             e if isinstance(e, Exception) else RuntimeError(repr(e)))
 
-    def _scores_chunked(self, visual, audio, cfg):
+    def _scores_chunked(self, visual, audio, text, cfg):
         """Score an assembled batch through bucket-padded fuse calls.
 
         Chunks at the largest bucket, so no request mix can ever mint a
@@ -492,16 +525,19 @@ class DynamicBatcher:
         for i in range(0, len(visual), cap):
             v = visual[i:i + cap]
             a = audio[i:i + cap] if audio is not None else None
+            t = text[i:i + cap] if text is not None else None
             n = len(v)
             pad = self._bucket(n) - n
             if pad:
                 v = np.concatenate([v, np.zeros((pad,) + v.shape[1:], v.dtype)])
                 if a is not None:
                     a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+                if t is not None:
+                    t = np.concatenate([t, np.zeros((pad,) + t.shape[1:], t.dtype)])
             with self.summarizer._lock:
                 s = fuse(self.summarizer.state.params,
                          self.summarizer.state.model_state,
-                         {"visual": v, "audio": a, "text": None}, cfg)
+                         {"visual": v, "audio": a, "text": t}, cfg)
             outs.append(s[:n])
         return np.concatenate(outs)
 
@@ -516,7 +552,10 @@ class DynamicBatcher:
             audio = None
             if cfg.model.audio_included:
                 audio = np.concatenate([b[1]["audio"] for b in batch])
-            scores = self._scores_chunked(visual, audio, cfg)
+            text = None
+            if cfg.model.text_included:
+                text = np.concatenate([b[1]["text"] for b in batch])
+            scores = self._scores_chunked(visual, audio, text, cfg)
             self.stats["batches"] += 1
             self.stats["batched_frames"] += total
             off = 0
@@ -679,6 +718,8 @@ def serve_http(
                         path, summarizer.cfg)
                     resp = batcher.submit(
                         video_id, frames, None, full_n, waveform=waveform,
+                        commentary=_load_commentary_sidecar(
+                            path, summarizer.cfg, len(frames)),
                     ).result()
                 else:
                     resp = summarizer.summarize_path(path)

@@ -453,6 +453,38 @@ class TestDynamicBatching:
         assert batcher.stats["batches"] < 4
         assert batcher.stats["batched_frames"] == sum(len(r) for r in reqs)
 
+    def test_batched_equals_unbatched_with_text(self, small_cfg):
+        # 3-modality batching: commentary tokens ride the batch like the
+        # other modalities — batched == unbatched, and the commentary
+        # actually changes the scores (not silently dropped — the same class
+        # of bug as round 2's batched silent-audio)
+        import dataclasses
+
+        from cvml_goalnet_tpu.serve import DynamicBatcher
+
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(
+                small_cfg.model, audio_included=False, text_included=True))
+        s = Summarizer(cfg)
+        batcher = DynamicBatcher(s, max_batch_frames=128, max_wait_ms=500.0,
+                                 buckets=(32, 64, 128))
+        batcher.warmup()
+
+        rng = np.random.default_rng(0)
+        reqs = [rng.integers(0, 255, (n, 32, 40, 3), dtype=np.uint8) for n in (9, 14)]
+        comms = [["goal!"] * 9, ["quiet spell"] * 14]
+        wants = [s.summarize_frames(f"v{i}", fr, commentary=c)
+                 for i, (fr, c) in enumerate(zip(reqs, comms))]
+        futs = [batcher.submit(f"v{i}", fr, commentary=c)
+                for i, (fr, c) in enumerate(zip(reqs, comms))]
+        got = [f.result(timeout=120) for f in futs]
+        for want, resp in zip(wants, got):
+            np.testing.assert_allclose(resp.scores, want.scores, atol=1e-4)
+
+        # commentary is live: omitting it changes the scores
+        silent = batcher.submit("v9", reqs[0]).result(timeout=120)
+        assert not np.allclose(silent.scores, got[0].scores)
+
     def test_worker_survives_bad_rider_and_oversized_requests(self, small_cfg):
         # (a) a misshapen rider (assembly failure) must fail ITS batch's
         # futures without killing the worker — a dead worker hangs every
