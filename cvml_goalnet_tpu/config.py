@@ -201,6 +201,17 @@ class TrainConfig:
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-8
+    # LR schedule over OPTIMIZER steps (train/optim.py::schedule_lr).  The
+    # reference is fixed-lr (main.py:49); "constant" + 0/0 reproduces it.
+    lr_schedule: str = "constant"      # constant | cosine | linear
+    lr_warmup_steps: int = 0
+    lr_decay_steps: int = 0
+    lr_min_ratio: float = 0.0          # decay floor as a fraction of base lr
+    # True gradient accumulation: mean grads over K consecutive sub-batches,
+    # ONE Adam step per K.  1 = the reference's step-per-sub-batch semantics
+    # (main.py:177-196 — "not accumulation proper", SURVEY.md §2.3); >1 is
+    # the production large-effective-batch mode the reference lacked.
+    grad_accum_steps: int = 1
     # Mixed precision: "bfloat16" runs forward/backward compute in bf16 with
     # f32 master params, Adam state, and loss (standard TPU mixed precision).
     compute_dtype: str = "float32"

@@ -31,6 +31,9 @@ def make_dp_train_step(cfg: PipelineConfig, mesh: Mesh, tensor_parallel: bool = 
     over ``"data"`` and params are replicated (or fusion-TP over ``"model"``).
     """
     tc, mc = cfg.train, cfg.model
+    from cvml_goalnet_tpu.train.optim import schedule_from_config
+
+    lr_fn = schedule_from_config(tc)
 
     def loss_fn(params, model_state, visual, audio, text, labels, rng):
         preds, new_ms = avm_apply(
@@ -44,7 +47,7 @@ def make_dp_train_step(cfg: PipelineConfig, mesh: Mesh, tensor_parallel: bool = 
             params, model_state, visual, audio, text, labels, rng
         )
         new_params, new_opt = adam_update(
-            grads, opt_state, params, tc.learning_rate, tc.b1, tc.b2, tc.eps
+            grads, opt_state, params, lr_fn(opt_state.step), tc.b1, tc.b2, tc.eps
         )
         return new_params, new_ms, new_opt, loss
 
@@ -103,6 +106,9 @@ def make_dp_train_step_shardmap(cfg: PipelineConfig, mesh: Mesh):
     from cvml_goalnet_tpu.parallel.collectives import pmean
 
     tc, mc = cfg.train, cfg.model
+    from cvml_goalnet_tpu.train.optim import schedule_from_config
+
+    lr_fn = schedule_from_config(tc)
 
     def body(params, model_state, opt_state, visual, audio, text, labels, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
@@ -119,7 +125,7 @@ def make_dp_train_step_shardmap(cfg: PipelineConfig, mesh: Mesh):
         loss = pmean(loss, "data")
         new_ms = jax.tree.map(lambda s: pmean(s, "data"), new_ms)
         new_params, new_opt = adam_update(
-            grads, opt_state, params, tc.learning_rate, tc.b1, tc.b2, tc.eps
+            grads, opt_state, params, lr_fn(opt_state.step), tc.b1, tc.b2, tc.eps
         )
         return new_params, new_ms, new_opt, loss
 

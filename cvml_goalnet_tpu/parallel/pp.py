@@ -205,6 +205,7 @@ def make_pp_spotting_train_step(
     flash_interpret: bool = False,
     window: int = 0,
     data_axis: str | None = None,
+    lr_schedule: "tuple | None" = None,
 ):
     """Pipeline-parallel spotting train step over (B, T, D) feature batches.
 
@@ -223,7 +224,7 @@ def make_pp_spotting_train_step(
     groups to the CP-family steps).
     """
     from cvml_goalnet_tpu.train.optim import adam_update
-    from cvml_goalnet_tpu.train.spotting import weighted_bce
+    from cvml_goalnet_tpu.train.spotting import _lr_at, weighted_bce
 
     def loss_fn(params, features, labels):
         logits = pipeline_transformer_apply(
@@ -234,7 +235,7 @@ def make_pp_spotting_train_step(
 
     def step(params, opt_state, features, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, features, labels)
-        params, opt_state = adam_update(grads, opt_state, params, lr)
+        params, opt_state = adam_update(grads, opt_state, params, _lr_at(opt_state, lr, lr_schedule))
         return params, opt_state, loss
 
     return jax.jit(step)

@@ -7,7 +7,7 @@ jitted ``lax.scan`` device program instead of a host Python while-loop
 (``main.py:177-196``).
 """
 
-from cvml_goalnet_tpu.train.optim import adam_init, adam_update, sgd_init, sgd_update
+from cvml_goalnet_tpu.train.optim import (adam_init, adam_update, schedule_from_config, schedule_lr, sgd_init, sgd_update)
 from cvml_goalnet_tpu.train.state import TrainState, create_train_state
 from cvml_goalnet_tpu.train.loop import (
     eval_video,
@@ -19,6 +19,8 @@ from cvml_goalnet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 __all__ = [
     "adam_init",
     "adam_update",
+    "schedule_from_config",
+    "schedule_lr",
     "sgd_init",
     "sgd_update",
     "TrainState",

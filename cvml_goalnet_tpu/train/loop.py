@@ -65,6 +65,11 @@ def make_train_video_fn(cfg: PipelineConfig, classifier: bool = False):
     S = tc.subbatch_size
     dtype = jnp.bfloat16 if tc.compute_dtype == "bfloat16" else jnp.float32
 
+    from cvml_goalnet_tpu.train.optim import schedule_from_config
+
+    lr_fn = schedule_from_config(tc)
+    K = tc.grad_accum_steps
+
     def fn(params, model_state, opt_state, visual, audio, labels, valid, rng, text=None):
         n = visual.shape[0]
         n_sub = n // S
@@ -77,8 +82,8 @@ def make_train_video_fn(cfg: PipelineConfig, classifier: bool = False):
         rngs = jax.random.split(rng, n_sub)
 
         def step(carry, xs):
-            params, model_state, opt_state = carry
-            vis, aud, txt, lab, msk, step_rng = xs
+            params, model_state, opt_state, gacc = carry
+            vis, aud, txt, lab, msk, step_rng, idx = xs
 
             def loss_of(p):
                 # mixed precision: bf16 forward/backward, f32 master params +
@@ -109,16 +114,45 @@ def make_train_video_fn(cfg: PipelineConfig, classifier: bool = False):
                 return loss, (preds.astype(jnp.float32), cast(new_ms, jnp.float32))
 
             (loss, (preds, new_ms)), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
-            new_params, new_opt = adam_update(
-                grads, opt_state, params, tc.learning_rate, tc.b1, tc.b2, tc.eps
-            )
-            out = preds[:, 0] if not classifier else jnp.argmax(preds, axis=1) + 1.0
-            return (new_params, new_ms, new_opt), (out, loss)
+            if K <= 1:
+                new_params, new_opt = adam_update(
+                    grads, opt_state, params, lr_fn(opt_state.step),
+                    tc.b1, tc.b2, tc.eps
+                )
+            else:
+                # true gradient accumulation: mean over K sub-batches, one
+                # Adam step per K (vs the reference's immediate step per
+                # sub-batch, main.py:177-196); idx % K == K-1 ⇒ exactly K
+                # grads accumulated since the last apply
+                gacc = jax.tree.map(lambda a, g: a + g, gacc, grads)
 
-        xs = batches + (rngs,)
-        (params, model_state, opt_state), (preds, losses) = jax.lax.scan(
-            step, (params, model_state, opt_state), xs
+                def apply(_):
+                    p2, o2 = adam_update(
+                        jax.tree.map(lambda a: a / K, gacc), opt_state, params,
+                        lr_fn(opt_state.step), tc.b1, tc.b2, tc.eps,
+                    )
+                    return p2, o2, jax.tree.map(jnp.zeros_like, gacc)
+
+                new_params, new_opt, gacc = jax.lax.cond(
+                    (idx % K) == (K - 1), apply,
+                    lambda _: (params, opt_state, gacc), None,
+                )
+            out = preds[:, 0] if not classifier else jnp.argmax(preds, axis=1) + 1.0
+            return (new_params, new_ms, new_opt, gacc), (out, loss)
+
+        gacc0 = (jax.tree.map(jnp.zeros_like, params) if K > 1 else jnp.zeros(()))
+        xs = batches + (rngs, jnp.arange(n_sub))
+        (params, model_state, opt_state, gacc), (preds, losses) = jax.lax.scan(
+            step, (params, model_state, opt_state, gacc0), xs
         )
+        if K > 1 and n_sub % K:
+            # flush the short tail (mirrors the reference training its final
+            # short sub-batch rather than dropping it)
+            rem = n_sub % K
+            params, opt_state = adam_update(
+                jax.tree.map(lambda a: a / rem, gacc), opt_state, params,
+                lr_fn(opt_state.step), tc.b1, tc.b2, tc.eps,
+            )
         return params, model_state, opt_state, preds.reshape(-1), jnp.mean(losses)
 
     return jax.jit(fn)

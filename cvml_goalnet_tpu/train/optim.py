@@ -51,6 +51,59 @@ def adam_update(
     return new_params, AdamState(step=step, mu=mu, nu=nu)
 
 
+def schedule_lr(
+    step,
+    base_lr: float,
+    schedule: str = "constant",
+    warmup_steps: int = 0,
+    decay_steps: int = 0,
+    min_ratio: float = 0.0,
+):
+    """Learning rate at optimizer ``step`` (0-indexed; traced-safe).
+
+    Production LR schedules the reference lacked (it runs fixed Adam lr=1e-3
+    for all 150 epochs, ``main.py:49,70``).  ``schedule``:
+
+    * ``"constant"`` — ``base_lr`` (after warmup).
+    * ``"cosine"`` — cosine decay from ``base_lr`` to ``min_ratio·base_lr``
+      over ``decay_steps`` optimizer steps (after warmup).
+    * ``"linear"`` — linear decay over the same span.
+
+    ``warmup_steps > 0`` ramps linearly from ``base_lr/warmup_steps`` (never
+    an exact-zero first step) to ``base_lr``.  ``decay_steps == 0`` means no
+    decay.  The schedule name/knobs are Python-static; only ``step`` math is
+    traced, so the function composes with jit/scan/shard_map.
+    """
+    if schedule not in ("constant", "cosine", "linear"):
+        raise ValueError(
+            f"unknown lr schedule {schedule!r} (constant | cosine | linear)")
+    step = jnp.asarray(step, jnp.float32)
+    lr = jnp.asarray(base_lr, jnp.float32)
+    if schedule != "constant" and decay_steps > 0:
+        floor = min_ratio * base_lr
+        t = jnp.clip((step - warmup_steps) / decay_steps, 0.0, 1.0)
+        if schedule == "cosine":
+            frac = 0.5 * (1.0 + jnp.cos(jnp.pi * t))
+        else:
+            frac = 1.0 - t
+        lr = floor + (base_lr - floor) * frac
+    if warmup_steps > 0:
+        ramp = jnp.minimum((step + 1.0) / warmup_steps, 1.0)
+        lr = lr * ramp
+    return lr
+
+
+def schedule_from_config(tc):
+    """``TrainConfig`` → callable ``step -> lr`` (validates the name now)."""
+    schedule_lr(0, tc.learning_rate, tc.lr_schedule, tc.lr_warmup_steps,
+                tc.lr_decay_steps, tc.lr_min_ratio)  # fail at build time
+    def fn(step):
+        return schedule_lr(step, tc.learning_rate, tc.lr_schedule,
+                           tc.lr_warmup_steps, tc.lr_decay_steps,
+                           tc.lr_min_ratio)
+    return fn
+
+
 class SgdState(NamedTuple):
     momentum: dict
 

@@ -55,6 +55,7 @@ def make_spotting_train_step(
     use_flash: bool = False,
     flash_interpret: bool = False,
     window: int = 0,
+    lr_schedule: "tuple | None" = None,
 ):
     """→ jitted ``step(params, opt_state, features (T,D), labels (T,)) →
     (params, opt_state, loss)`` with weighted BCE on event frames.
@@ -93,10 +94,22 @@ def make_spotting_train_step(
 
     def step(params, opt_state, features, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, features, labels)
-        params, opt_state = adam_update(grads, opt_state, params, lr)
+        params, opt_state = adam_update(grads, opt_state, params, _lr_at(opt_state, lr, lr_schedule))
         return params, opt_state, loss
 
     return jax.jit(step)
+
+
+
+def _lr_at(opt_state, lr, lr_schedule):
+    """Effective LR for this step: fixed ``lr``, or ``schedule_lr(step, lr,
+    *lr_schedule)`` when a (schedule, warmup, decay, min_ratio) tuple is set
+    (hashable so the lru_cached factories stay cacheable)."""
+    if lr_schedule is None:
+        return lr
+    from cvml_goalnet_tpu.train.optim import schedule_lr
+
+    return schedule_lr(opt_state.step, lr, *lr_schedule)
 
 
 def init_spotting_opt(params):
@@ -113,6 +126,7 @@ def make_sharded_spotting_train_step(
     use_flash: bool = False,
     flash_interpret: bool = False,
     window: int = 0,
+    lr_schedule: "tuple | None" = None,
 ):
     """Context-parallel transformer spotting train step.
 
@@ -138,7 +152,7 @@ def make_sharded_spotting_train_step(
 
     def step(params, opt_state, features, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, features, labels)
-        params, opt_state = adam_update(grads, opt_state, params, lr)
+        params, opt_state = adam_update(grads, opt_state, params, _lr_at(opt_state, lr, lr_schedule))
         return params, opt_state, loss
 
     return jax.jit(step)
@@ -155,6 +169,7 @@ def make_dp_cp_spotting_train_step(
     use_flash: bool = False,
     flash_interpret: bool = False,
     window: int = 0,
+    lr_schedule: "tuple | None" = None,
 ):
     """Composed data × context parallel spotting train step.
 
@@ -191,7 +206,7 @@ def make_dp_cp_spotting_train_step(
 
     def step(params, opt_state, features, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, features, labels)
-        params, opt_state = adam_update(grads, opt_state, params, lr)
+        params, opt_state = adam_update(grads, opt_state, params, _lr_at(opt_state, lr, lr_schedule))
         return params, opt_state, loss
 
     return jax.jit(step)
@@ -209,6 +224,7 @@ def make_3d_spotting_train_step(
     use_flash: bool = False,
     flash_interpret: bool = False,
     window: int = 0,
+    lr_schedule: "tuple | None" = None,
 ):
     """Full 3-D (DP × TP × CP) spotting train step: batch over ``data_axis``,
     time over ``ctx_axis``, heads over ``model_axis`` — one shard_map, with
@@ -232,7 +248,7 @@ def make_3d_spotting_train_step(
 
     def step(params, opt_state, features, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, features, labels)
-        params, opt_state = adam_update(grads, opt_state, params, lr)
+        params, opt_state = adam_update(grads, opt_state, params, _lr_at(opt_state, lr, lr_schedule))
         return params, opt_state, loss
 
     return jax.jit(step)
