@@ -207,6 +207,10 @@ class TrainConfig:
     lr_warmup_steps: int = 0
     lr_decay_steps: int = 0
     lr_min_ratio: float = 0.0          # decay floor as a fraction of base lr
+    # Gradient spike guard + decoupled (AdamW) regularization; 0 = off = the
+    # reference's raw-grad plain Adam (main.py:70).
+    grad_clip_norm: float = 0.0
+    weight_decay: float = 0.0
     # True gradient accumulation: mean grads over K consecutive sub-batches,
     # ONE Adam step per K.  1 = the reference's step-per-sub-batch semantics
     # (main.py:177-196 — "not accumulation proper", SURVEY.md §2.3); >1 is

@@ -31,7 +31,7 @@ def make_dp_train_step(cfg: PipelineConfig, mesh: Mesh, tensor_parallel: bool = 
     over ``"data"`` and params are replicated (or fusion-TP over ``"model"``).
     """
     tc, mc = cfg.train, cfg.model
-    from cvml_goalnet_tpu.train.optim import schedule_from_config
+    from cvml_goalnet_tpu.train.optim import clip_by_global_norm, schedule_from_config
 
     lr_fn = schedule_from_config(tc)
 
@@ -47,7 +47,9 @@ def make_dp_train_step(cfg: PipelineConfig, mesh: Mesh, tensor_parallel: bool = 
             params, model_state, visual, audio, text, labels, rng
         )
         new_params, new_opt = adam_update(
-            grads, opt_state, params, lr_fn(opt_state.step), tc.b1, tc.b2, tc.eps
+            clip_by_global_norm(grads, tc.grad_clip_norm),
+            opt_state, params, lr_fn(opt_state.step), tc.b1, tc.b2, tc.eps,
+            tc.weight_decay,
         )
         return new_params, new_ms, new_opt, loss
 
@@ -106,7 +108,7 @@ def make_dp_train_step_shardmap(cfg: PipelineConfig, mesh: Mesh):
     from cvml_goalnet_tpu.parallel.collectives import pmean
 
     tc, mc = cfg.train, cfg.model
-    from cvml_goalnet_tpu.train.optim import schedule_from_config
+    from cvml_goalnet_tpu.train.optim import clip_by_global_norm, schedule_from_config
 
     lr_fn = schedule_from_config(tc)
 
@@ -125,7 +127,9 @@ def make_dp_train_step_shardmap(cfg: PipelineConfig, mesh: Mesh):
         loss = pmean(loss, "data")
         new_ms = jax.tree.map(lambda s: pmean(s, "data"), new_ms)
         new_params, new_opt = adam_update(
-            grads, opt_state, params, lr_fn(opt_state.step), tc.b1, tc.b2, tc.eps
+            clip_by_global_norm(grads, tc.grad_clip_norm),
+            opt_state, params, lr_fn(opt_state.step), tc.b1, tc.b2, tc.eps,
+            tc.weight_decay,
         )
         return new_params, new_ms, new_opt, loss
 

@@ -206,6 +206,7 @@ def make_pp_spotting_train_step(
     window: int = 0,
     data_axis: str | None = None,
     lr_schedule: "tuple | None" = None,
+    grad_clip_norm: float = 0.0,
 ):
     """Pipeline-parallel spotting train step over (B, T, D) feature batches.
 
@@ -235,7 +236,11 @@ def make_pp_spotting_train_step(
 
     def step(params, opt_state, features, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, features, labels)
-        params, opt_state = adam_update(grads, opt_state, params, _lr_at(opt_state, lr, lr_schedule))
+        from cvml_goalnet_tpu.train.optim import clip_by_global_norm
+
+        params, opt_state = adam_update(
+            clip_by_global_norm(grads, grad_clip_norm), opt_state, params,
+            _lr_at(opt_state, lr, lr_schedule))
         return params, opt_state, loss
 
     return jax.jit(step)

@@ -65,7 +65,7 @@ def make_train_video_fn(cfg: PipelineConfig, classifier: bool = False):
     S = tc.subbatch_size
     dtype = jnp.bfloat16 if tc.compute_dtype == "bfloat16" else jnp.float32
 
-    from cvml_goalnet_tpu.train.optim import schedule_from_config
+    from cvml_goalnet_tpu.train.optim import clip_by_global_norm, schedule_from_config
 
     lr_fn = schedule_from_config(tc)
     K = tc.grad_accum_steps
@@ -116,8 +116,9 @@ def make_train_video_fn(cfg: PipelineConfig, classifier: bool = False):
             (loss, (preds, new_ms)), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
             if K <= 1:
                 new_params, new_opt = adam_update(
-                    grads, opt_state, params, lr_fn(opt_state.step),
-                    tc.b1, tc.b2, tc.eps
+                    clip_by_global_norm(grads, tc.grad_clip_norm),
+                    opt_state, params, lr_fn(opt_state.step),
+                    tc.b1, tc.b2, tc.eps, tc.weight_decay
                 )
             else:
                 # true gradient accumulation: mean over K sub-batches, one
@@ -128,8 +129,12 @@ def make_train_video_fn(cfg: PipelineConfig, classifier: bool = False):
 
                 def apply(_):
                     p2, o2 = adam_update(
-                        jax.tree.map(lambda a: a / K, gacc), opt_state, params,
+                        clip_by_global_norm(
+                            jax.tree.map(lambda a: a / K, gacc),
+                            tc.grad_clip_norm),
+                        opt_state, params,
                         lr_fn(opt_state.step), tc.b1, tc.b2, tc.eps,
+                        tc.weight_decay,
                     )
                     return p2, o2, jax.tree.map(jnp.zeros_like, gacc)
 
@@ -150,8 +155,10 @@ def make_train_video_fn(cfg: PipelineConfig, classifier: bool = False):
             # short sub-batch rather than dropping it)
             rem = n_sub % K
             params, opt_state = adam_update(
-                jax.tree.map(lambda a: a / rem, gacc), opt_state, params,
-                lr_fn(opt_state.step), tc.b1, tc.b2, tc.eps,
+                clip_by_global_norm(
+                    jax.tree.map(lambda a: a / rem, gacc), tc.grad_clip_norm),
+                opt_state, params,
+                lr_fn(opt_state.step), tc.b1, tc.b2, tc.eps, tc.weight_decay,
             )
         return params, model_state, opt_state, preds.reshape(-1), jnp.mean(losses)
 

@@ -33,8 +33,14 @@ def adam_update(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    weight_decay: float = 0.0,
 ):
-    """One Adam step → (new_params, new_state)."""
+    """One Adam step → (new_params, new_state).
+
+    ``weight_decay > 0`` applies DECOUPLED decay (AdamW, Loshchilov &
+    Hutter): ``p -= lr·wd·p`` alongside the Adam step, NOT added to the
+    gradient — so the decay is not rescaled by 1/√v̂.  0 (default) is plain
+    Adam, the reference's optimizer (``main.py:70``)."""
     step = state.step + 1
     t = step.astype(jnp.float32)
     mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
@@ -45,10 +51,34 @@ def adam_update(
     def leaf(p, m, v):
         m_hat = m / bc1
         v_hat = v / bc2
-        return p - lr * m_hat / (jnp.sqrt(v_hat) + eps)
+        new_p = p - lr * m_hat / (jnp.sqrt(v_hat) + eps)
+        if weight_decay:
+            new_p = new_p - lr * weight_decay * p
+        return new_p
 
     new_params = jax.tree.map(leaf, params, mu, nu)
     return new_params, AdamState(step=step, mu=mu, nu=nu)
+
+
+def global_norm(tree) -> jax.Array:
+    """ℓ2 norm over EVERY leaf of a gradient pytree (f32 accumulation)."""
+    sq = [jnp.sum(jnp.square(g.astype(jnp.float32))) for g in jax.tree.leaves(tree)]
+    return jnp.sqrt(jnp.sum(jnp.stack(sq)))
+
+
+def clip_by_global_norm(grads, max_norm: float):
+    """Scale ``grads`` so their global ℓ2 norm is ≤ ``max_norm``.
+
+    The standard spike guard production training uses (absent upstream —
+    the reference steps on raw grads).  ``max_norm <= 0`` disables.  The
+    scale is ``min(1, max_norm/(norm+tiny))`` — traced-safe, no data-
+    dependent control flow, exactly-1 when already within bounds is not
+    required (the 1e-6 regularizer keeps 0-grad trees finite)."""
+    if max_norm <= 0:
+        return grads
+    norm = global_norm(grads)
+    scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+    return jax.tree.map(lambda g: g * scale.astype(g.dtype), grads)
 
 
 def schedule_lr(

@@ -56,6 +56,7 @@ def make_spotting_train_step(
     flash_interpret: bool = False,
     window: int = 0,
     lr_schedule: "tuple | None" = None,
+    grad_clip_norm: float = 0.0,
 ):
     """→ jitted ``step(params, opt_state, features (T,D), labels (T,)) →
     (params, opt_state, loss)`` with weighted BCE on event frames.
@@ -94,7 +95,11 @@ def make_spotting_train_step(
 
     def step(params, opt_state, features, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, features, labels)
-        params, opt_state = adam_update(grads, opt_state, params, _lr_at(opt_state, lr, lr_schedule))
+        from cvml_goalnet_tpu.train.optim import clip_by_global_norm
+
+        params, opt_state = adam_update(
+            clip_by_global_norm(grads, grad_clip_norm), opt_state, params,
+            _lr_at(opt_state, lr, lr_schedule))
         return params, opt_state, loss
 
     return jax.jit(step)
@@ -127,6 +132,7 @@ def make_sharded_spotting_train_step(
     flash_interpret: bool = False,
     window: int = 0,
     lr_schedule: "tuple | None" = None,
+    grad_clip_norm: float = 0.0,
 ):
     """Context-parallel transformer spotting train step.
 
@@ -152,7 +158,11 @@ def make_sharded_spotting_train_step(
 
     def step(params, opt_state, features, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, features, labels)
-        params, opt_state = adam_update(grads, opt_state, params, _lr_at(opt_state, lr, lr_schedule))
+        from cvml_goalnet_tpu.train.optim import clip_by_global_norm
+
+        params, opt_state = adam_update(
+            clip_by_global_norm(grads, grad_clip_norm), opt_state, params,
+            _lr_at(opt_state, lr, lr_schedule))
         return params, opt_state, loss
 
     return jax.jit(step)
@@ -170,6 +180,7 @@ def make_dp_cp_spotting_train_step(
     flash_interpret: bool = False,
     window: int = 0,
     lr_schedule: "tuple | None" = None,
+    grad_clip_norm: float = 0.0,
 ):
     """Composed data × context parallel spotting train step.
 
@@ -206,7 +217,11 @@ def make_dp_cp_spotting_train_step(
 
     def step(params, opt_state, features, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, features, labels)
-        params, opt_state = adam_update(grads, opt_state, params, _lr_at(opt_state, lr, lr_schedule))
+        from cvml_goalnet_tpu.train.optim import clip_by_global_norm
+
+        params, opt_state = adam_update(
+            clip_by_global_norm(grads, grad_clip_norm), opt_state, params,
+            _lr_at(opt_state, lr, lr_schedule))
         return params, opt_state, loss
 
     return jax.jit(step)
@@ -225,6 +240,7 @@ def make_3d_spotting_train_step(
     flash_interpret: bool = False,
     window: int = 0,
     lr_schedule: "tuple | None" = None,
+    grad_clip_norm: float = 0.0,
 ):
     """Full 3-D (DP × TP × CP) spotting train step: batch over ``data_axis``,
     time over ``ctx_axis``, heads over ``model_axis`` — one shard_map, with
@@ -248,7 +264,11 @@ def make_3d_spotting_train_step(
 
     def step(params, opt_state, features, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, features, labels)
-        params, opt_state = adam_update(grads, opt_state, params, _lr_at(opt_state, lr, lr_schedule))
+        from cvml_goalnet_tpu.train.optim import clip_by_global_norm
+
+        params, opt_state = adam_update(
+            clip_by_global_norm(grads, grad_clip_norm), opt_state, params,
+            _lr_at(opt_state, lr, lr_schedule))
         return params, opt_state, loss
 
     return jax.jit(step)
