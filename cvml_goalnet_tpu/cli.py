@@ -449,6 +449,20 @@ def cmd_spot(args) -> int:
     return 0
 
 
+
+def _spot_opt_kwargs(tc) -> dict:
+    """Schedule/clip kwargs for the spotting step factories, derived from
+    ``TrainConfig`` so `spot-train` honors the same optimizer controls as
+    `train` (base lr stays the --lr flag; the schedule scales it)."""
+    kw = {}
+    if tc.lr_schedule != "constant" or tc.lr_warmup_steps or tc.lr_decay_steps:
+        kw["lr_schedule"] = (tc.lr_schedule, tc.lr_warmup_steps,
+                             tc.lr_decay_steps, tc.lr_min_ratio)
+    if tc.grad_clip_norm:
+        kw["grad_clip_norm"] = tc.grad_clip_norm
+    return kw
+
+
 def cmd_spot_train(args) -> int:
     """Train the temporal spotting head on event-labelled videos.
 
@@ -578,6 +592,7 @@ def cmd_spot_train(args) -> int:
                     lr=args.lr, pos_weight=args.pos_weight,
                     use_flash=jax.default_backend() not in ("cpu",),
                     window=cfg.model.temporal_window,
+                    **_spot_opt_kwargs(cfg.train),
                 )
             elif ndp > 1:
                 if len(devs) % ndp:
@@ -596,6 +611,7 @@ def cmd_spot_train(args) -> int:
                     lr=args.lr, pos_weight=args.pos_weight,
                     use_flash=jax.default_backend() not in ("cpu",),
                     window=cfg.model.temporal_window,
+                    **_spot_opt_kwargs(cfg.train),
                 )
             else:
                 from cvml_goalnet_tpu.train.spotting import (
@@ -609,19 +625,22 @@ def cmd_spot_train(args) -> int:
                     lr=args.lr, pos_weight=args.pos_weight,
                     use_flash=jax.default_backend() not in ("cpu",),
                     window=cfg.model.temporal_window,
+                    **_spot_opt_kwargs(cfg.train),
                 )
         else:
             step = make_spotting_train_step(
                 0, lr=args.lr, pos_weight=args.pos_weight,
                 scorer="transformer", num_heads=cfg.model.temporal_num_heads,
                 window=cfg.model.temporal_window,
+                **_spot_opt_kwargs(cfg.train),
             )
     else:
         tparams = temporal_scorer_init(
             jax.random.PRNGKey(1), d, cfg.model.temporal_hidden,
             n_classes=len(classes) if classes else 1)
         step = make_spotting_train_step(
-            cfg.model.temporal_hidden, lr=args.lr, pos_weight=args.pos_weight
+            cfg.model.temporal_hidden, lr=args.lr, pos_weight=args.pos_weight,
+            **_spot_opt_kwargs(cfg.train),
         )
 
     ndp_batch = (max(1, int(getattr(args, "dp_timelines", 1) or 1))

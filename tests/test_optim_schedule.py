@@ -334,3 +334,18 @@ class TestClipAndDecay:
         d1 = [np.asarray(a) for a in jax.tree.leaves(p1)]
         d2 = [np.asarray(a) for a in jax.tree.leaves(p2)]
         assert any(not np.allclose(a, b) for a, b in zip(d1, d2))
+
+
+def test_cli_spot_opt_kwargs_mapping():
+    """spot-train derives the factory schedule/clip kwargs from TrainConfig."""
+    from cvml_goalnet_tpu.cli import _spot_opt_kwargs
+    from cvml_goalnet_tpu.config import TrainConfig
+    from cvml_goalnet_tpu.train.spotting import make_spotting_train_step
+
+    assert _spot_opt_kwargs(TrainConfig()) == {}
+    kw = _spot_opt_kwargs(TrainConfig(
+        lr_schedule="cosine", lr_warmup_steps=3, lr_decay_steps=50,
+        lr_min_ratio=0.2, grad_clip_norm=2.0))
+    assert kw == {"lr_schedule": ("cosine", 3, 50, 0.2), "grad_clip_norm": 2.0}
+    # hashable: the lru_cached factories must accept it
+    make_spotting_train_step(8, **kw)
