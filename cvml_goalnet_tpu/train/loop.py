@@ -379,6 +379,15 @@ def train_importance_model(
             save_checkpoint(checkpoint_dir, state, cfg, tag="ckp")
         if on_epoch_end is not None:
             on_epoch_end(epoch, history, best)
+        patience = cfg.train.early_stop_patience
+        if patience and epoch - best["epoch"] >= patience:
+            # early stopping on the SAME optimum metric the best-state
+            # policy tracks; the initial eval is the first baseline
+            history["early_stopped"] = True
+            if verbose:
+                print(f"Early stop: no train-F-avg improvement in "
+                      f"{patience} epochs (best epoch {best['epoch']}).")
+            break
         if preemption_guard is not None and preemption_guard.requested:
             # graceful preemption: persist the rolling state and exit early;
             # --checkpoint resume continues from this epoch with Adam intact

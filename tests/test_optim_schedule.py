@@ -349,3 +349,23 @@ def test_cli_spot_opt_kwargs_mapping():
     assert kw == {"lr_schedule": ("cosine", 3, 50, 0.2), "grad_clip_norm": 2.0}
     # hashable: the lru_cached factories must accept it
     make_spotting_train_step(8, **kw)
+
+
+def test_early_stopping_on_flat_runs(small_cfg):
+    """lr=0 freezes the model, so train-F-avg can never IMPROVE — patience
+    must end the run after exactly `patience` post-baseline epochs."""
+    from cvml_goalnet_tpu.data.dataset import VideoDataset
+    from cvml_goalnet_tpu.train.loop import train_importance_model
+    from tests.test_train import _make_item
+
+    cfg = dataclasses.replace(
+        small_cfg, train=dataclasses.replace(
+            small_cfg.train, learning_rate=0.0, early_stop_patience=2))
+    train_ds = VideoDataset([_make_item(cfg, n=10, seed=0)])
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    _, history = train_importance_model(
+        cfg, train_ds, VideoDataset([]), state, num_epochs=50, verbose=False)
+    assert history.get("early_stopped") is True
+    # initial eval + 2 patience epochs recorded, nothing more
+    assert len(history["train_loss"]) == 3
+    assert history["best_epoch"] == -1
