@@ -848,6 +848,53 @@ def cmd_export_torch(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """Evaluate a trained checkpoint on a dataset — no training.
+
+    The reference can only evaluate inside ``--train``'s initial pass
+    (``main.py:82-146``); this verb is the standalone journey: build the
+    same train/val split, load the opt (or rolling) checkpoint with the
+    npz/orbax auto-detection infer uses, and print eval-mode loss/F-scores
+    per split.  Fails hard rather than scoring a random trunk.
+    """
+    import jax
+
+    from cvml_goalnet_tpu.data.dataset import build_datasets
+    from cvml_goalnet_tpu.train.checkpoint import CheckpointMismatchError
+    from cvml_goalnet_tpu.train.loop import evaluate_dataset
+    from cvml_goalnet_tpu.train.state import create_train_state
+
+    cfg = _load_cfg(args)
+    data = _resolve_data(args)
+    paths = _artifact_paths(args.workdir, cfg.model.audio_included)
+
+    train_ds, val_ds = build_datasets(
+        data["videos"], cfg, data["annotation_fp"], data["mat_fp"], data["h5_fp"],
+        data["info_fp"], audio_included=cfg.model.audio_included,
+    )
+    state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
+    try:
+        state = _load_trunk(paths, state, args)
+    except FileNotFoundError as e:
+        print(f"E: {e}", file=sys.stderr)
+        return 2
+    except CheckpointMismatchError as e:
+        print(f"E: {e}\nE: pass the matching --config/--no-audio/"
+              "--commentary combination", file=sys.stderr)
+        return 2
+
+    for name, ds in (("train", train_ds), ("val", val_ds)):
+        res = evaluate_dataset(state, ds, cfg)
+        if res is None:
+            print(f"[eval] {name:5s} - (empty split)")
+        else:
+            print(f"[eval] {name:5s} - loss: {res[0]:.4f} - "
+                  f"F-avg: {res[1]:.4f} - F-max: {res[2]:.4f}")
+    print("Operation completed")
+    return 0
+
+
+
 def cmd_baseline(args) -> int:
     from cvml_goalnet_tpu.baseline import run_random_baseline
 
@@ -885,6 +932,15 @@ def main(argv=None) -> int:
                    help="swap the first fusion hidden layer for a top-k "
                         "gated mixture of this many experts (models/moe.py)")
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval", help="evaluate a trained checkpoint (no training)")
+    _add_data_args(p)
+    p.add_argument("--no-audio", action="store_true")
+    p.add_argument("--commentary", action="store_true",
+                   help="the checkpoint was trained with the text branch")
+    p.add_argument("--checkpoint-backend", choices=["npz", "orbax"], default=None,
+                   help="pin the checkpoint layout (default: auto-detect)")
+    p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("infer", help="summarize one video")
     _add_data_args(p)

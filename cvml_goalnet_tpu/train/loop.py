@@ -229,6 +229,25 @@ def _video_fscores(item, preds, cfg: PipelineConfig):
     return fscore_against_users_host(res.frame_mask, item.gd_summary_masks)
 
 
+def evaluate_dataset(state: TrainState, ds, cfg: PipelineConfig,
+                     classifier: bool = False):
+    """Eval-mode (loss, F-avg, F-max) means over a dataset, or None when
+    empty (e.g. a one-video dataset under train_ratio=0.8 — callers skip
+    rather than np.mean([])-ing into NaN history entries).  The shared eval
+    path of the train loop's initial/per-epoch evals (reference
+    ``main.py:82-146``) and the ``goalnet eval`` verb."""
+    if len(ds) == 0:
+        return None
+    losses, favgs, fmaxs = [], [], []
+    for item in ds:
+        preds, loss = eval_video(state, item, cfg, classifier)
+        fa, fm = _video_fscores(item, preds, cfg)
+        losses.append(loss)
+        favgs.append(fa)
+        fmaxs.append(fm)
+    return float(np.mean(losses)), float(np.mean(favgs)), float(np.mean(fmaxs))
+
+
 def train_importance_model(
     cfg: PipelineConfig,
     train_ds,
@@ -299,18 +318,7 @@ def train_importance_model(
                 )
 
     def evaluate(ds):
-        # Empty val sets (e.g. a one-video dataset under train_ratio=0.8)
-        # are skipped rather than np.mean([])-ing into NaN history entries.
-        if len(ds) == 0:
-            return None
-        losses, favgs, fmaxs = [], [], []
-        for item in ds:
-            preds, loss = eval_video(state, item, cfg, classifier)
-            fa, fm = _video_fscores(item, preds, cfg)
-            losses.append(loss)
-            favgs.append(fa)
-            fmaxs.append(fm)
-        return float(np.mean(losses)), float(np.mean(favgs)), float(np.mean(fmaxs))
+        return evaluate_dataset(state, ds, cfg, classifier)
 
     def record(tr, vl):
         for k, v in zip(("train_loss", "train_f_avg", "train_f_max"), tr):

@@ -281,6 +281,27 @@ class TestCLISpotTransformer:
         assert payload["summary_frames"] > 0
 
 
+class TestCLIEval:
+    def test_eval_after_train_and_missing_checkpoint(self, cli_env, tmp_path):
+        root = cli_env["root"]
+        wd = str(tmp_path / "evalwd")
+        r = _run(["train", *_data_args(cli_env), "--workdir", wd,
+                  "--epochs", "1"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+
+        r = _run(["eval", *_data_args(cli_env), "--workdir", wd], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "[eval] train - loss:" in r.stdout
+        assert "[eval] val" in r.stdout
+        assert "Operation completed" in r.stdout
+
+        # no checkpoint → fail hard, never score a random trunk
+        r = _run(["eval", *_data_args(cli_env),
+                  "--workdir", str(tmp_path / "nothing")], root)
+        assert r.returncode == 2
+        assert "no opt/ckp checkpoint" in r.stderr
+
+
 class TestCLISpotTrain:
     def test_spot_train_then_spot_with_head(self, cli_env):
         root = cli_env["root"]
