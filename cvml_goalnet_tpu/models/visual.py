@@ -156,4 +156,7 @@ def _visual_encoder_apply_folded(params, state, x, quant: bool = False):
         x, w_hwio, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    return jax.nn.relu(y.reshape(x.shape[0], -1) + b_folded)
+    # explicit flat dim (not -1): reshape(-1) infers by dividing the element
+    # count, which ZeroDivisionErrors on an empty batch (B=0 serving edge)
+    return jax.nn.relu(
+        y.reshape(x.shape[0], y.shape[1] * y.shape[2] * y.shape[3]) + b_folded)

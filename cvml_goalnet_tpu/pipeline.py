@@ -93,6 +93,10 @@ def fuse(params, state, features: dict, cfg: PipelineConfig, text=None) -> np.nd
     Jitted eval-mode forward of the AVM model (reference ``utils.py:260-272``);
     late-fuses audio ‖ visual (‖ text when ``cfg.model.text_included``).
     """
+    if len(features["visual"]) == 0:
+        # empty batch: a zero-length stream tail / empty request must yield
+        # an empty score vector, not a ZeroDivisionError mid-trace
+        return np.zeros((0,), np.float32)
     fn = _jitted_fuse(cfg.model)
     visual = jnp.asarray(features["visual"])
     audio = None

@@ -520,6 +520,10 @@ class DynamicBatcher:
         shape ``warmup()`` did not compile."""
         from cvml_goalnet_tpu.pipeline import fuse
 
+        if len(visual) == 0:
+            # a 0-frame rider (or an all-empty batch) must behave like the
+            # unbatched path: empty scores, not a concatenate-of-nothing error
+            return np.zeros((0,), np.float32)
         cap = self.buckets[-1]
         outs = []
         for i in range(0, len(visual), cap):

@@ -369,3 +369,27 @@ def test_early_stopping_on_flat_runs(small_cfg):
     # initial eval + 2 patience epochs recorded, nothing more
     assert len(history["train_loss"]) == 3
     assert history["best_epoch"] == -1
+
+
+def test_empty_batch_fuse_and_folded_head(small_cfg):
+    """B=0: fuse yields an empty score vector and the conv-formulated head
+    no longer ZeroDivisionErrors on reshape(-1) inference (serving edge)."""
+    import jax.numpy as jnp
+
+    from cvml_goalnet_tpu.models.visual import visual_encoder_apply
+    from cvml_goalnet_tpu.pipeline import fuse
+
+    cfg = small_cfg
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    h, w = cfg.preprocess.frame_size
+    out = fuse(state.params, state.model_state,
+               {"visual": np.zeros((0, h, w, 3), np.float32),
+                "audio": np.zeros((0, cfg.audio.bin_length, cfg.audio.n_mfcc),
+                                  np.float32),
+                "text": None}, cfg)
+    assert out.shape == (0,) and out.dtype == np.float32
+    y, _ = visual_encoder_apply(
+        state.params["visual"], state.model_state["visual"],
+        jnp.zeros((0, h, w, 3)), train=False, rng=jax.random.PRNGKey(0),
+        dropout_rate=0.0)
+    assert y.shape == (0, cfg.model.vis_feature_dim)

@@ -453,6 +453,29 @@ class TestDynamicBatching:
         assert batcher.stats["batches"] < 4
         assert batcher.stats["batched_frames"] == sum(len(r) for r in reqs)
 
+    def test_empty_request_matches_unbatched(self, small_cfg):
+        """A 0-frame rider yields empty scores (like the unbatched path),
+        not a concatenate-of-nothing error, and never kills the worker."""
+        import dataclasses
+
+        from cvml_goalnet_tpu.serve import DynamicBatcher
+
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False)
+        )
+        s = Summarizer(cfg)
+        batcher = DynamicBatcher(s, max_batch_frames=64, max_wait_ms=20.0,
+                                 buckets=(64,))
+        empty = np.zeros((0, 32, 40, 3), np.uint8)
+        want = s.summarize_frames("e", empty)
+        got = batcher.submit("e", empty).result(timeout=120)
+        assert got.scores.shape == want.scores.shape == (0,)
+        assert got.frame_mask.shape == want.frame_mask.shape == (0,)
+        # the worker survives and serves the next request
+        frames = np.random.default_rng(0).integers(
+            0, 255, (4, 32, 40, 3), dtype=np.uint8)
+        assert batcher.submit("v", frames).result(timeout=120).scores.shape == (4,)
+
     def test_batched_equals_unbatched_with_text(self, small_cfg):
         # 3-modality batching: commentary tokens ride the batch like the
         # other modalities — batched == unbatched, and the commentary
