@@ -24,6 +24,11 @@ def _fnv1a(s: str) -> int:
 
 def tokenize(texts: list[str], vocab_size: int, max_len: int) -> np.ndarray:
     """(N,) strings → (N, max_len) int32 token ids; 0 = padding."""
+    if vocab_size < 2:
+        # id 0 is the padding slot, so hashing needs ≥ 1 real id — a
+        # vocab_size of 1 would otherwise die in an opaque modulo-by-zero
+        raise ValueError(f"text_vocab_size must be >= 2 (got {vocab_size}); "
+                         "id 0 is reserved for padding")
     out = np.zeros((len(texts), max_len), dtype=np.int32)
     for i, text in enumerate(texts):
         words = _WORD.findall(text.lower())[:max_len]

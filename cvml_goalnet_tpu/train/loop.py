@@ -287,7 +287,10 @@ def train_importance_model(
         _ck = AsyncCheckpointer()
         save_checkpoint = _ck.save  # noqa: F811 — same signature, off-thread
 
+    from cvml_goalnet_tpu.train.optim import schedule_from_config
+
     train_fn = make_train_video_fn(cfg, classifier)
+    _lr_of = schedule_from_config(cfg.train)
     num_epochs = cfg.train.num_epochs if num_epochs is None else num_epochs
     rng = jax.random.PRNGKey(cfg.train.seed)
 
@@ -364,6 +367,10 @@ def train_importance_model(
             ep_favg.append(fa)
             ep_fmax.append(fm)
         state = TrainState(params, model_state, opt_state, epoch + 1)
+        # observability: the lr the NEXT optimizer step will use (the
+        # schedule is a pure function of the step counter)
+        history.setdefault("lr", []).append(float(np.asarray(
+            _lr_of(int(np.asarray(state.opt_state.step))))))
 
         tr = (float(np.mean(ep_losses)), float(np.mean(ep_favg)), float(np.mean(ep_fmax)))
         vl = evaluate(val_ds)

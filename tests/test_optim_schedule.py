@@ -393,3 +393,28 @@ def test_empty_batch_fuse_and_folded_head(small_cfg):
         jnp.zeros((0, h, w, 3)), train=False, rng=jax.random.PRNGKey(0),
         dropout_rate=0.0)
     assert y.shape == (0, cfg.model.vis_feature_dim)
+
+
+def test_tokenize_vocab_guard():
+    from cvml_goalnet_tpu.data.text import tokenize
+
+    with pytest.raises(ValueError, match="reserved for padding"):
+        tokenize(["x"], 1, 4)
+
+
+def test_history_records_effective_lr(small_cfg):
+    """The train loop logs the scheduled lr per epoch (observability)."""
+    from cvml_goalnet_tpu.data.dataset import VideoDataset
+    from cvml_goalnet_tpu.train.loop import train_importance_model
+    from tests.test_train import _make_item
+
+    cfg = dataclasses.replace(
+        small_cfg, train=dataclasses.replace(
+            small_cfg.train, learning_rate=1e-3, lr_schedule="linear",
+            lr_decay_steps=4))
+    train_ds = VideoDataset([_make_item(cfg, n=10, seed=0)])
+    state = create_train_state(jax.random.PRNGKey(0), cfg)
+    _, history = train_importance_model(
+        cfg, train_ds, VideoDataset([]), state, num_epochs=2, verbose=False)
+    # 2 sub-batches/epoch → steps 2 then 4; linear decay over 4 steps
+    assert history["lr"] == pytest.approx([1e-3 * 0.5, 0.0])
