@@ -211,10 +211,16 @@ class TrainConfig:
     # reference's raw-grad plain Adam (main.py:70).
     grad_clip_norm: float = 0.0
     weight_decay: float = 0.0
-    # Stop after this many epochs without a new best train-F-avg (the
-    # reference's optimum metric, main.py:255-263); 0 = off = the
-    # reference's fixed 150-epoch run.
+    # Stop after this many epochs without a new best optimum metric
+    # (below); 0 = off = the reference's fixed 150-epoch run.
     early_stop_patience: int = 0
+    # Which metric picks the "opt" checkpoint (and drives early stopping):
+    # "train_f_avg" = the reference's policy (best TRAIN F-avg,
+    # main.py:255-263); "val_f_avg" / "val_loss" = the production
+    # held-out-selection policies the reference lacked (its train-side
+    # policy can reward overfitting).  val metrics require a non-empty
+    # val split (checked up front).
+    optimum_metric: str = "train_f_avg"
     # True gradient accumulation: mean grads over K consecutive sub-batches,
     # ONE Adam step per K.  1 = the reference's step-per-sub-batch semantics
     # (main.py:177-196 — "not accumulation proper", SURVEY.md §2.3); >1 is

@@ -301,6 +301,20 @@ def train_importance_model(
 
     if len(train_ds) == 0:
         raise ValueError("train_ds is empty — nothing to train on")
+    metric = cfg.train.optimum_metric
+    if metric not in ("train_f_avg", "val_f_avg", "val_loss"):
+        raise ValueError(f"unknown optimum_metric {metric!r} "
+                         "(train_f_avg | val_f_avg | val_loss)")
+    if metric.startswith("val") and len(val_ds) == 0:
+        raise ValueError(
+            f"optimum_metric={metric!r} needs a non-empty val split — "
+            "this dataset's split left none (train_ratio / video count)")
+
+    def policy_value(tr, vl):
+        # larger = better (val_loss is negated)
+        if metric == "train_f_avg":
+            return tr[1]
+        return vl[1] if metric == "val_f_avg" else -vl[0]
     for ds_name, ds in (("train_ds", train_ds), ("val_ds", val_ds)):
         for item in ds:
             # fail loudly up front: _pad_video's zero-label fallback exists
@@ -339,7 +353,11 @@ def train_importance_model(
     if metrics_logger is not None:
         metrics_logger.log_epoch(-1, tr, vl)
 
-    best = {"state": state, "epoch": -1, "f_avg": tr[1], "metrics": (tr, vl)}
+    best = {"state": state, "epoch": -1, "value": policy_value(tr, vl),
+            "metrics": (tr, vl)}
+    # lr series aligns with the other history series (index 0 = initial)
+    history["lr"] = [float(np.asarray(
+        _lr_of(int(np.asarray(state.opt_state.step)))))]
     if checkpoint_dir:
         # Guarantee an "opt" checkpoint exists even if no epoch improves on
         # the initial eval (the reference only wrote opt_* on improvement,
@@ -369,7 +387,7 @@ def train_importance_model(
         state = TrainState(params, model_state, opt_state, epoch + 1)
         # observability: the lr the NEXT optimizer step will use (the
         # schedule is a pure function of the step counter)
-        history.setdefault("lr", []).append(float(np.asarray(
+        history["lr"].append(float(np.asarray(
             _lr_of(int(np.asarray(state.opt_state.step))))))
 
         tr = (float(np.mean(ep_losses)), float(np.mean(ep_favg)), float(np.mean(ep_fmax)))
@@ -385,9 +403,11 @@ def train_importance_model(
         if vl is not None:
             prev_val_loss = vl[0]
 
-        # Optimum policy: best train-F-score-avg (reference main.py:255-263).
-        if tr[1] > best["f_avg"]:
-            best = {"state": state, "epoch": epoch, "f_avg": tr[1], "metrics": (tr, vl)}
+        # Optimum policy: best train-F-avg by default (reference
+        # main.py:255-263); val_f_avg / val_loss select on the held-out set.
+        if policy_value(tr, vl) > best["value"]:
+            best = {"state": state, "epoch": epoch,
+                    "value": policy_value(tr, vl), "metrics": (tr, vl)}
             if checkpoint_dir:
                 save_checkpoint(checkpoint_dir, state, cfg, tag="opt")
         if checkpoint_dir and (epoch + 1) % cfg.train.checkpoint_every == 0:

@@ -416,5 +416,47 @@ def test_history_records_effective_lr(small_cfg):
     state = create_train_state(jax.random.PRNGKey(0), cfg)
     _, history = train_importance_model(
         cfg, train_ds, VideoDataset([]), state, num_epochs=2, verbose=False)
-    # 2 sub-batches/epoch → steps 2 then 4; linear decay over 4 steps
-    assert history["lr"] == pytest.approx([1e-3 * 0.5, 0.0])
+    # index 0 = initial (step 0); 2 sub-batches/epoch → steps 2 then 4;
+    # linear decay over 4 steps
+    assert history["lr"] == pytest.approx([1e-3, 1e-3 * 0.5, 0.0])
+
+
+class TestOptimumMetricPolicy:
+    def _run(self, small_cfg, metric, with_val=True):
+        from cvml_goalnet_tpu.data.dataset import VideoDataset
+        from cvml_goalnet_tpu.train.loop import train_importance_model
+        from tests.test_train import _make_item
+
+        cfg = dataclasses.replace(
+            small_cfg, train=dataclasses.replace(
+                small_cfg.train, optimum_metric=metric))
+        train_ds = VideoDataset([_make_item(cfg, n=10, seed=0)])
+        val_ds = VideoDataset([_make_item(cfg, n=10, seed=1)] if with_val else [])
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        return train_importance_model(
+            cfg, train_ds, val_ds, state, num_epochs=3, verbose=False)
+
+    def test_val_policy_tracks_val_best(self, small_cfg):
+        _, history = self._run(small_cfg, "val_f_avg")
+        # the recorded best epoch must be the argmax of the VAL F-avg series
+        # (index 0 = initial eval = epoch -1)
+        series = history["val_f_avg"]
+        assert history["best_epoch"] == int(np.argmax(series)) - 1
+
+    def test_val_loss_policy(self, small_cfg):
+        _, history = self._run(small_cfg, "val_loss")
+        series = history["val_loss"]
+        assert history["best_epoch"] == int(np.argmin(series)) - 1
+
+    def test_val_policy_requires_val_split(self, small_cfg):
+        with pytest.raises(ValueError, match="non-empty val split"):
+            self._run(small_cfg, "val_f_avg", with_val=False)
+
+    def test_unknown_metric_rejected(self, small_cfg):
+        with pytest.raises(ValueError, match="unknown optimum_metric"):
+            self._run(small_cfg, "test_f_avg")
+
+    def test_default_is_reference_policy(self, small_cfg):
+        _, history = self._run(small_cfg, "train_f_avg")
+        series = history["train_f_avg"]
+        assert history["best_epoch"] == int(np.argmax(series)) - 1
