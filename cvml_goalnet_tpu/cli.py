@@ -771,8 +771,6 @@ def cmd_import_torch(args) -> int:
     find the weights with no further flags.  The reference writes these
     files with ``torch.save(model.state_dict())`` (``main.py:263,282``).
     """
-    import jax
-
     from cvml_goalnet_tpu.compat import import_reference_state_dict
     from cvml_goalnet_tpu.train.checkpoint import save_checkpoint
     from cvml_goalnet_tpu.train.optim import adam_init

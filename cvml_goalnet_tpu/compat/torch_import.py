@@ -81,6 +81,19 @@ def _cl_to_lc_flat_perm(c: int, length: int) -> np.ndarray:
     return idx.transpose(1, 0).reshape(-1)
 
 
+def _require_reference_backbone(cfg: ModelConfig, direction: str) -> None:
+    """The reference's ``VisBl`` is the only visual topology with a
+    state_dict schema (``utils.py:145-195``) — resnet/vit pytrees have no
+    reference-format counterpart, so migration fails loudly at the boundary
+    instead of KeyError-ing mid-transform."""
+    if cfg.vis_backbone != "reference":
+        raise ValueError(
+            f"checkpoint {direction} requires vis_backbone='reference' (the "
+            f"topology the reference's state_dict schema describes) — got "
+            f"{cfg.vis_backbone!r}"
+        )
+
+
 def import_reference_state_dict(
     state_dict,
     cfg: ModelConfig,
@@ -92,6 +105,7 @@ def import_reference_state_dict(
     The returned pytrees are congruent with ``avm_init``'s and drop into
     ``avm_apply``/``TrainState`` directly.
     """
+    _require_reference_backbone(cfg, "import")
     sd = dict(state_dict)
     params: dict = {"visual": {}, "fusion": []}
     state: dict = {"visual": {}}
@@ -162,6 +176,7 @@ def export_reference_state_dict(
     ``load_state_dict(strict=True)`` requires the key; the reference never
     reads it (default-momentum BN ignores the counter).
     """
+    _require_reference_backbone(cfg, "export")
     sd: dict = {}
     for i in range(len(cfg.vis_channels)):
         c = params["visual"][f"conv{i}"]

@@ -114,10 +114,17 @@ class ModelConfig:
     text_included: bool = False
 
     # Visual branch (reference VisBl, utils.py:145-195); "resnet" swaps in the
-    # ResNet-18-class backbone (models/resnet.py, BASELINE.json config 1)
+    # ResNet-18-class backbone (models/resnet.py, BASELINE.json config 1),
+    # "vit" the patch-transformer backbone (models/vit.py)
     vis_backbone: str = "reference"
     vis_channels: tuple[int, ...] = (64, 256, 512)
     vis_feature_dim: int = 512
+    # ViT backbone geometry (vis_backbone="vit"): patch must divide
+    # PreprocessConfig.frame_size; embed_dim must divide by num_heads
+    vit_patch_size: int = 8
+    vit_embed_dim: int = 192
+    vit_depth: int = 4
+    vit_num_heads: int = 4
     # Audio branch (reference AudBl, utils.py:197-227)
     aud_channels: tuple[int, ...] = (64, 128)
     aud_feature_dim: int = 128

@@ -27,25 +27,25 @@ from cvml_goalnet_tpu.models.visual import visual_encoder_apply, visual_encoder_
 
 N_CLASSES = 5  # classifier-mode output arity (importance grades 1..5)
 
-_RESNET_QUANT_WARNED = False
+_QUANT_WARNED: set = set()
 
 
-def _warn_resnet_quant_ignored():
-    """One-time warning: quantized_inference has no int8 path for resnet.
+def _warn_quant_ignored(backbone: str):
+    """One-time warning: quantized_inference has an int8 path only for the
+    reference conv backbone.
 
-    Without this a user benchmarking resnet with the int8 flag set would
+    Without this a user benchmarking resnet/vit with the int8 flag set would
     silently get float numbers (advisor finding, round 2).
     """
-    global _RESNET_QUANT_WARNED
-    if not _RESNET_QUANT_WARNED:
+    if backbone not in _QUANT_WARNED:
         import warnings
 
         warnings.warn(
-            "quantized_inference=True is ignored for vis_backbone='resnet' "
-            "(no int8 path); running the float resnet encoder",
+            f"quantized_inference=True is ignored for vis_backbone="
+            f"{backbone!r} (no int8 path); running the float encoder",
             stacklevel=3,
         )
-        _RESNET_QUANT_WARNED = True
+        _QUANT_WARNED.add(backbone)
 
 
 def fusion_input_dim(cfg: ModelConfig) -> int:
@@ -62,6 +62,25 @@ def _visual_init(cfg: ModelConfig):
         from cvml_goalnet_tpu.models.resnet import resnet_encoder_apply, resnet_encoder_init
 
         return resnet_encoder_init, resnet_encoder_apply
+    if cfg.vis_backbone == "vit":
+        from cvml_goalnet_tpu.models.vit import vit_encoder_apply, vit_encoder_init
+
+        # close over the static geometry so every call site keeps the
+        # backbone-agnostic apply(params, state, x, train=, rng=,
+        # dropout_rate=) contract the other backbones use
+        def apply(params, state, x, **kw):
+            return vit_encoder_apply(
+                params, state, x,
+                num_heads=cfg.vit_num_heads, patch=cfg.vit_patch_size, **kw)
+
+        return vit_encoder_init, apply
+    if cfg.vis_backbone != "reference":
+        # a typo'd name would otherwise silently build the reference conv
+        # stack — same shapes, wrong architecture, no signal
+        raise ValueError(
+            f"unknown vis_backbone {cfg.vis_backbone!r} "
+            "(reference | resnet | vit)"
+        )
     return visual_encoder_init, visual_encoder_apply
 
 
@@ -132,8 +151,8 @@ def avm_apply(
     _, vis_apply = _visual_init(cfg)
     vis_kw = {}
     if not train and cfg.quantized_inference:
-        if cfg.vis_backbone == "resnet":
-            _warn_resnet_quant_ignored()   # float path; no int8 for resnet
+        if cfg.vis_backbone != "reference":
+            _warn_quant_ignored(cfg.vis_backbone)   # float path; no int8
         else:
             vis_kw["quant"] = True   # int8 MXU path for the dominant convs
     if train and valid is not None:

@@ -183,6 +183,37 @@ def layernorm_apply(params, x, eps: float = 1e-5):
     return (x - mean) * jax.lax.rsqrt(var + eps) * params["scale"] + params["bias"]
 
 
+# -------------------------------------------------- multi-head self-attention
+
+def multihead_attention(layer, x, num_heads: int, mask=None):
+    """Batched multi-head self-attention over (N, T, D) token sequences.
+
+    ``layer`` holds ``wq/wk/wv/wo`` linear pytrees (``linear_init(d, d)``).
+    ``mask`` (N, T) marks valid KEY positions (None = all visible).  Shared
+    by the token-scale encoders (text branch, ViT patches) — the T≈135k
+    timeline scorer uses the flash/ring kernels instead
+    (``ops/pallas/flash_attention.py``), which stream KV tiles; at T ≤ a few
+    hundred tokens the materialized (T, T) logits here are cheap and XLA
+    fuses the softmax chain.
+    """
+    n, t, d = x.shape
+    hd = d // num_heads
+
+    def split(h):
+        return h.reshape(n, t, num_heads, hd).transpose(0, 2, 1, 3)
+
+    q = split(linear_apply(layer["wq"], x))
+    k = split(linear_apply(layer["wk"], x))
+    v = split(linear_apply(layer["wv"], x))
+    logits = jnp.einsum("nhqd,nhkd->nhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None, :], logits, -1e30)
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(n, t, d)
+    return linear_apply(layer["wo"], out)
+
+
 # ------------------------------------------------------------ misc utilities
 
 def count_params(tree) -> int:

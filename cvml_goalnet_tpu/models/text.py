@@ -65,21 +65,8 @@ def text_encoder_init(key, cfg: ModelConfig):
 
 
 def _attention(layer, x, mask, num_heads: int):
-    n, t, d = x.shape
-    hd = d // num_heads
-
-    def split(h):
-        return h.reshape(n, t, num_heads, hd).transpose(0, 2, 1, 3)
-
-    q = split(L.linear_apply(layer["wq"], x))
-    k = split(L.linear_apply(layer["wk"], x))
-    v = split(L.linear_apply(layer["wv"], x))
-    logits = jnp.einsum("nhqd,nhkd->nhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
-    logits = jnp.where(mask[:, None, None, :], logits, -1e30)
-    attn = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
-    out = out.transpose(0, 2, 1, 3).reshape(n, t, d)
-    return L.linear_apply(layer["wo"], out)
+    # shared primitive (models/layers.py) — also serves the ViT backbone
+    return L.multihead_attention(layer, x, num_heads, mask=mask)
 
 
 def text_encoder_apply(params, token_ids, *, cfg: ModelConfig):

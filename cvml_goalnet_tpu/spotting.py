@@ -40,14 +40,14 @@ from cvml_goalnet_tpu.pipeline import SummaryResult, summarize
 def _jitted_trunk(cfg_model):
     # dispatch the visual backbone the way avm_apply does (_visual_init) —
     # hardcoding visual_encoder_apply crashed every spotting entry point for
-    # vis_backbone="resnet" checkpoints (round-3 review); resnet has no int8
-    # path, so quant only flows to the conv backbone
+    # vis_backbone="resnet" checkpoints (round-3 review); only the reference
+    # conv backbone has an int8 path, so quant flows to it alone
     from cvml_goalnet_tpu.models.avm import _visual_init
 
     _, vis_apply = _visual_init(cfg_model)
     vis_kw = (
         {"quant": cfg_model.quantized_inference}   # int8 MXU path (ops/quant.py)
-        if cfg_model.vis_backbone != "resnet" else {}
+        if cfg_model.vis_backbone == "reference" else {}
     )
 
     def trunk(params, state, visual, audio, text):

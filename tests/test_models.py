@@ -249,3 +249,145 @@ class TestFoldedBatchnormEval:
             params, state, x, train=False, rng=jax.random.PRNGKey(0), dropout_rate=0.2)
         assert got.shape == (3, 24)
         np.testing.assert_allclose(np.asarray(got), ref, atol=5e-5)
+
+
+class TestViTBackbone:
+    """Third visual model family (models/vit.py): patch-transformer encoder
+    behind the same init/apply contract as the conv backbones."""
+
+    def _cfg(self, small_cfg):
+        return dataclasses.replace(
+            small_cfg,
+            model=dataclasses.replace(
+                small_cfg.model, vis_backbone="vit",
+                vit_patch_size=8, vit_embed_dim=32, vit_depth=2,
+                vit_num_heads=2),
+        )
+
+    def test_forward_shape_state_and_determinism(self, small_cfg):
+        from cvml_goalnet_tpu.models.vit import vit_encoder_apply, vit_encoder_init
+
+        cfg = self._cfg(small_cfg)
+        params, state = vit_encoder_init(jax.random.PRNGKey(0), cfg.model, cfg.preprocess)
+        assert state == {}  # no batch statistics — LayerNorm only
+        # 24×24 at patch 8 → 3×3 grid = 9 tokens
+        assert params["pos"].shape == (9, cfg.model.vit_embed_dim)
+        x = jnp.asarray(np.random.default_rng(0).random((4, 24, 24, 3)).astype(np.float32))
+        out, new_state = vit_encoder_apply(
+            params, state, x, train=False, rng=jax.random.PRNGKey(1),
+            dropout_rate=0.2, num_heads=2, patch=8)
+        assert out.shape == (4, cfg.model.vis_feature_dim)
+        assert new_state == {}
+        out2, _ = vit_encoder_apply(
+            params, state, x, train=False, rng=jax.random.PRNGKey(99),
+            dropout_rate=0.2, num_heads=2, patch=8)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))  # eval: no rng
+
+    def test_patchify_matches_manual_slices(self, small_cfg):
+        from cvml_goalnet_tpu.models.vit import _patchify
+
+        rng = np.random.default_rng(1)
+        x = rng.random((2, 24, 16, 3)).astype(np.float32)  # non-square
+        toks = np.asarray(_patchify(jnp.asarray(x), 8))
+        assert toks.shape == (2, 3 * 2, 8 * 8 * 3)
+        # token (i, j) must be the raster-order flatten of the (i, j) patch
+        for i in range(3):
+            for j in range(2):
+                expect = x[:, i * 8:(i + 1) * 8, j * 8:(j + 1) * 8, :].reshape(2, -1)
+                np.testing.assert_array_equal(toks[:, i * 2 + j], expect)
+
+    def test_full_avm_trains(self, small_cfg):
+        from cvml_goalnet_tpu.train.optim import adam_init, adam_update
+
+        cfg = self._cfg(small_cfg)
+        # dropout off: the smoke asserts a deterministic loss decrease
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, dropout_rate=0.0))
+        p, s = avm_init(jax.random.PRNGKey(0), cfg.model, cfg.preprocess, cfg.audio)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((8, 24, 24, 3)).astype(np.float32))
+        aud = jnp.asarray(rng.random(
+            (8, cfg.audio.bin_length, cfg.audio.n_mfcc)).astype(np.float32))
+        y = jnp.asarray(rng.uniform(1, 5, 8).astype(np.float32))
+
+        def loss_fn(pp, key):
+            o, _ = avm_apply(pp, s, x, aud, cfg=cfg.model, train=True, rng=key)
+            d = o[:, 0] - y
+            return jnp.mean(d * d)
+
+        opt = adam_init(p)
+        losses = []
+        for i in range(20):
+            l, g = jax.value_and_grad(loss_fn)(p, jax.random.PRNGKey(i))
+            p, opt = adam_update(g, opt, p, 3e-3)
+            losses.append(float(l))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.8
+
+    def test_geometry_validation(self, small_cfg):
+        import pytest
+
+        from cvml_goalnet_tpu.models.vit import vit_encoder_init
+
+        cfg = self._cfg(small_cfg)
+        bad_patch = dataclasses.replace(cfg.model, vit_patch_size=7)
+        with pytest.raises(ValueError, match="vit_patch_size"):
+            vit_encoder_init(jax.random.PRNGKey(0), bad_patch, cfg.preprocess)
+        bad_heads = dataclasses.replace(cfg.model, vit_num_heads=5)
+        with pytest.raises(ValueError, match="vit_num_heads"):
+            vit_encoder_init(jax.random.PRNGKey(0), bad_heads, cfg.preprocess)
+
+    def test_unknown_backbone_fails_loudly(self, small_cfg):
+        import pytest
+
+        from cvml_goalnet_tpu.models.avm import _visual_init
+
+        bad = dataclasses.replace(small_cfg.model, vis_backbone="resnett")
+        with pytest.raises(ValueError, match="unknown vis_backbone"):
+            _visual_init(bad)
+
+    def test_quant_flag_warns_and_runs_float(self, small_cfg):
+        import warnings
+
+        cfg = self._cfg(small_cfg)
+        mc = dataclasses.replace(cfg.model, quantized_inference=True, audio_included=False)
+        p, s = avm_init(jax.random.PRNGKey(0), mc, cfg.preprocess, cfg.audio)
+        x = jnp.asarray(np.random.default_rng(0).random((2, 24, 24, 3)).astype(np.float32))
+        import cvml_goalnet_tpu.models.avm as avm_mod
+
+        avm_mod._QUANT_WARNED.discard("vit")
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            out, _ = avm_apply(p, s, x, None, cfg=mc, train=False)
+        assert out.shape == (2, 1)
+        assert any("vit" in str(w.message) for w in rec)
+
+    def test_checkpoint_roundtrip(self, small_cfg, tmp_path):
+        from cvml_goalnet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+        from cvml_goalnet_tpu.train.state import create_train_state
+
+        cfg = self._cfg(small_cfg)
+        state = create_train_state(jax.random.PRNGKey(3), cfg)
+        save_checkpoint(str(tmp_path), state, cfg, tag="opt")
+        fresh = create_train_state(jax.random.PRNGKey(4), cfg)
+        restored = load_checkpoint(str(tmp_path), fresh, tag="opt")
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_torch_migration_guard(self, small_cfg):
+        import pytest
+
+        from cvml_goalnet_tpu.compat import (
+            export_reference_state_dict,
+            import_reference_state_dict,
+        )
+        from cvml_goalnet_tpu.train.state import create_train_state
+
+        cfg = self._cfg(small_cfg)
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        with pytest.raises(ValueError, match="vis_backbone='reference'"):
+            export_reference_state_dict(
+                state.params, state.model_state, cfg.model, cfg.preprocess, cfg.audio)
+        with pytest.raises(ValueError, match="vis_backbone='reference'"):
+            import_reference_state_dict({}, cfg.model, cfg.preprocess, cfg.audio)

@@ -90,6 +90,30 @@ class TestTrunkBackbones:
             state.params, state.model_state, jnp.asarray(frames), None, cfg)
         assert feats.shape == (6, cfg.model.vis_feature_dim)
 
+    def test_encode_timeline_vit_backbone(self, small_cfg):
+        # third model family (models/vit.py) through the spotting trunk —
+        # same dispatch contract as resnet
+        import dataclasses
+
+        import jax
+
+        from cvml_goalnet_tpu.spotting import encode_timeline
+        from cvml_goalnet_tpu.train.state import create_train_state
+
+        cfg = dataclasses.replace(
+            small_cfg,
+            model=dataclasses.replace(
+                small_cfg.model, vis_backbone="vit", audio_included=False,
+                vit_patch_size=8, vit_embed_dim=32, vit_depth=1,
+                vit_num_heads=2),
+        )
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        h, w = cfg.preprocess.frame_size
+        frames = np.random.default_rng(0).random((6, h, w, 3)).astype(np.float32)
+        feats = encode_timeline(
+            state.params, state.model_state, jnp.asarray(frames), None, cfg)
+        assert feats.shape == (6, cfg.model.vis_feature_dim)
+
 
 class TestEncodeTimelineText:
     """3-modality (commentary) trunks through the spotting path — the text
