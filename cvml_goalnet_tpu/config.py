@@ -233,6 +233,15 @@ class TrainConfig:
     # (main.py:177-196 — "not accumulation proper", SURVEY.md §2.3); >1 is
     # the production large-effective-batch mode the reference lacked.
     grad_accum_steps: int = 1
+    # Non-finite-loss guard (the reference records whatever the loss was):
+    # "off" = reference semantics; "raise" = fail loudly on the first
+    # non-finite per-video loss; "rollback" = discard that video's updates
+    # (params, BN stats, Adam moments — the whole scan's effect) and continue
+    # from the last finite-loss state, raising only after nan_guard_limit
+    # rollbacks.  Rollback is the production mode: one poisoned video (bad
+    # decode, corrupt labels) costs its own updates, not the run.
+    nan_guard: str = "off"
+    nan_guard_limit: int = 3
     # Mixed precision: "bfloat16" runs forward/backward compute in bf16 with
     # f32 master params, Adam state, and loss (standard TPU mixed precision).
     compute_dtype: str = "float32"

@@ -309,6 +309,10 @@ def train_importance_model(
         raise ValueError(
             f"optimum_metric={metric!r} needs a non-empty val split — "
             "this dataset's split left none (train_ratio / video count)")
+    guard = cfg.train.nan_guard
+    if guard not in ("off", "raise", "rollback"):
+        raise ValueError(f"unknown nan_guard {guard!r} (off | raise | rollback)")
+    nan_rollbacks = 0
 
     def policy_value(tr, vl):
         # larger = better (val_loss is negated)
@@ -371,6 +375,7 @@ def train_importance_model(
             log_epoch_header(epoch, num_epochs)
         ep_losses, ep_favg, ep_fmax = [], [], []
         params, model_state, opt_state = state.params, state.model_state, state.opt_state
+        last_good = (params, model_state, opt_state)  # refs, not copies
         for item in train_ds:
             visual, audio, labels, valid, n, text = _pad_video(item, cfg.train.subbatch_size)
             rng, vrng = jax.random.split(rng)
@@ -380,8 +385,30 @@ def train_importance_model(
                 params, model_state, opt_state, jnp.asarray(visual), audio_in,
                 jnp.asarray(labels), jnp.asarray(valid), vrng, text_in,
             )
+            loss_f = float(loss)
+            if guard != "off" and not np.isfinite(loss_f):
+                # the scan already committed this video's updates (params,
+                # BN stats, Adam moments) — a non-finite loss means they are
+                # poisoned (inf/NaN propagates through grads into Adam)
+                if guard == "raise" or nan_rollbacks >= cfg.train.nan_guard_limit:
+                    raise FloatingPointError(
+                        f"non-finite training loss ({loss_f}) on video "
+                        f"{item.video_id!r} at epoch {epoch}"
+                        + ("" if guard == "raise" else
+                           f" after {nan_rollbacks} rollbacks "
+                           f"(nan_guard_limit={cfg.train.nan_guard_limit})")
+                    )
+                nan_rollbacks += 1
+                history["nan_rollbacks"] = nan_rollbacks
+                params, model_state, opt_state = last_good
+                if verbose:
+                    print(f"W: non-finite loss on {item.video_id!r}; rolled "
+                          f"back its updates ({nan_rollbacks}/"
+                          f"{cfg.train.nan_guard_limit})")
+                continue  # skip this video's metrics; its updates are gone
+            last_good = (params, model_state, opt_state)
             fa, fm = _video_fscores(item, np.asarray(preds)[:n], cfg)
-            ep_losses.append(float(loss))
+            ep_losses.append(loss_f)
             ep_favg.append(fa)
             ep_fmax.append(fm)
         state = TrainState(params, model_state, opt_state, epoch + 1)
@@ -390,6 +417,13 @@ def train_importance_model(
         history["lr"].append(float(np.asarray(
             _lr_of(int(np.asarray(state.opt_state.step))))))
 
+        if not ep_losses:
+            # every video this epoch rolled back — the run cannot progress
+            raise FloatingPointError(
+                f"epoch {epoch}: every training video produced a non-finite "
+                "loss (all rolled back) — the data or config is bad, not one "
+                "video"
+            )
         tr = (float(np.mean(ep_losses)), float(np.mean(ep_favg)), float(np.mean(ep_fmax)))
         vl = evaluate(val_ds)
         record(tr, vl)
@@ -420,7 +454,7 @@ def train_importance_model(
             # policy tracks; the initial eval is the first baseline
             history["early_stopped"] = True
             if verbose:
-                print(f"Early stop: no train-F-avg improvement in "
+                print(f"Early stop: no {metric} improvement in "
                       f"{patience} epochs (best epoch {best['epoch']}).")
             break
         if preemption_guard is not None and preemption_guard.requested:

@@ -456,3 +456,89 @@ class TestAsyncCheckpointInLoop:
         template = create_train_state(jax.random.PRNGKey(0), small_cfg)
         restored = load_checkpoint(str(tmp_path), template, tag="ckp")
         assert restored.epoch == 2
+
+
+class TestNanGuard:
+    """Non-finite-loss guard (TrainConfig.nan_guard): one poisoned video must
+    cost its own updates, not the run (rollback), or fail loudly (raise) —
+    the reference records whatever the loss was (off)."""
+
+    def _poisoned(self, cfg, n=10, seed=3):
+        # labels at 1e25 overflow the f32 squared error → inf loss/grads
+        item = _make_item(cfg, n=n, seed=seed)
+        return dataclasses.replace(
+            item, video_id="poison", labels=np.full(n, 1e25, np.float32))
+
+    def _cfg(self, small_cfg, guard, limit=3, epochs=1):
+        return dataclasses.replace(
+            small_cfg,
+            train=dataclasses.replace(
+                small_cfg.train, nan_guard=guard, nan_guard_limit=limit,
+                num_epochs=epochs),
+        )
+
+    def test_rollback_discards_exactly_the_poisoned_updates(self, small_cfg, tmp_path):
+        cfg = self._cfg(small_cfg, "rollback", limit=5, epochs=1)
+        good = _make_item(cfg, n=10, seed=0)
+        state0 = create_train_state(jax.random.PRNGKey(1), cfg)
+
+        dir_a, dir_b = str(tmp_path / "a"), str(tmp_path / "b")
+        _, hist_a = train_importance_model(
+            cfg, VideoDataset([good, self._poisoned(cfg)]), VideoDataset([]),
+            state0, checkpoint_dir=dir_a, verbose=False)
+        _, hist_b = train_importance_model(
+            cfg, VideoDataset([good]), VideoDataset([]),
+            state0, checkpoint_dir=dir_b, verbose=False)
+
+        assert hist_a["nan_rollbacks"] == 1
+        assert "nan_rollbacks" not in hist_b
+        # index 0 is the initial EVAL (epoch -1), which legitimately records
+        # the poisoned video's inf; the TRAINING epochs must be finite
+        assert np.isfinite(hist_a["train_loss"][1:]).all()
+        # the rolling checkpoints after epoch 0 must be IDENTICAL: the
+        # poisoned video's params/BN/Adam updates were fully discarded
+        sa = load_checkpoint(dir_a, create_train_state(jax.random.PRNGKey(2), cfg), tag="ckp")
+        sb = load_checkpoint(dir_b, create_train_state(jax.random.PRNGKey(3), cfg), tag="ckp")
+        for a, b in zip(jax.tree_util.tree_leaves((sa.params, sa.model_state, sa.opt_state)),
+                        jax.tree_util.tree_leaves((sb.params, sb.model_state, sb.opt_state))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_raise_mode_fails_loudly(self, small_cfg):
+        cfg = self._cfg(small_cfg, "raise")
+        state0 = create_train_state(jax.random.PRNGKey(1), cfg)
+        with pytest.raises(FloatingPointError, match="poison"):
+            train_importance_model(
+                cfg, VideoDataset([_make_item(cfg, seed=0), self._poisoned(cfg)]),
+                VideoDataset([]), state0, verbose=False)
+
+    def test_rollback_limit_exhausted_raises(self, small_cfg):
+        cfg = self._cfg(small_cfg, "rollback", limit=1, epochs=3)
+        state0 = create_train_state(jax.random.PRNGKey(1), cfg)
+        with pytest.raises(FloatingPointError, match="after 1 rollbacks"):
+            train_importance_model(
+                cfg, VideoDataset([_make_item(cfg, seed=0), self._poisoned(cfg)]),
+                VideoDataset([]), state0, verbose=False)
+
+    def test_all_videos_poisoned_raises(self, small_cfg):
+        cfg = self._cfg(small_cfg, "rollback", limit=10, epochs=1)
+        state0 = create_train_state(jax.random.PRNGKey(1), cfg)
+        with pytest.raises(FloatingPointError, match="every training video"):
+            train_importance_model(
+                cfg, VideoDataset([self._poisoned(cfg)]), VideoDataset([]),
+                state0, verbose=False)
+
+    def test_off_preserves_reference_semantics(self, small_cfg):
+        cfg = self._cfg(small_cfg, "off", epochs=1)
+        state0 = create_train_state(jax.random.PRNGKey(1), cfg)
+        _, hist = train_importance_model(
+            cfg, VideoDataset([_make_item(cfg, seed=0), self._poisoned(cfg)]),
+            VideoDataset([]), state0, verbose=False)
+        assert not np.isfinite(hist["train_loss"][-1])  # recorded, not raised
+
+    def test_unknown_guard_rejected(self, small_cfg):
+        cfg = self._cfg(small_cfg, "explode")
+        state0 = create_train_state(jax.random.PRNGKey(1), cfg)
+        with pytest.raises(ValueError, match="nan_guard"):
+            train_importance_model(
+                cfg, VideoDataset([_make_item(cfg, seed=0)]), VideoDataset([]),
+                state0, verbose=False)
