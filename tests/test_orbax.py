@@ -77,6 +77,52 @@ class TestOrbaxCheckpoint:
         assert any_sharded, "expected at least one multi-device leaf"
 
 
+class TestOrbaxElasticResume:
+    """Elasticity across mesh sizes: a checkpoint written from an N-device
+    job must restore into an M-device (or single-device) template — orbax
+    re-lays every leaf out to the TEMPLATE's sharding, so resume after
+    losing/gaining chips needs no reshard step."""
+
+    def test_restore_8dev_checkpoint_on_4dev_mesh(self, small_cfg, tmp_path):
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+        from cvml_goalnet_tpu.parallel.sharding import place_params
+
+        st = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        st8 = st._replace(
+            params=place_params(st.params, cpu_mesh(8), tensor_parallel=True),
+            epoch=5)
+        save_checkpoint_orbax(str(tmp_path), st8, small_cfg)
+
+        mesh4 = cpu_mesh(4)
+        tpl = create_train_state(jax.random.PRNGKey(1), small_cfg)
+        tpl = tpl._replace(
+            params=place_params(tpl.params, mesh4, tensor_parallel=True))
+        st4 = load_checkpoint_orbax(str(tmp_path), tpl)
+        _leaves_equal(st.params, st4.params)
+        assert st4.epoch == 5
+        # every restored leaf lives on the 4-device mesh's devices only
+        devs4 = set(mesh4.devices.flat)
+        for leaf in jax.tree_util.tree_leaves(st4.params):
+            if isinstance(leaf, jax.Array):
+                assert leaf.sharding.device_set <= devs4
+
+    def test_restore_sharded_checkpoint_single_device(self, small_cfg, tmp_path):
+        from cvml_goalnet_tpu.parallel.mesh import cpu_mesh
+        from cvml_goalnet_tpu.parallel.sharding import place_params
+
+        st = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        st8 = st._replace(
+            params=place_params(st.params, cpu_mesh(8), tensor_parallel=True),
+            epoch=2)
+        save_checkpoint_orbax(str(tmp_path), st8, small_cfg)
+        tpl = create_train_state(jax.random.PRNGKey(1), small_cfg)  # unsharded
+        st1 = load_checkpoint_orbax(str(tmp_path), tpl)
+        _leaves_equal(st.params, st1.params)
+        for leaf in jax.tree_util.tree_leaves(st1.params):
+            if isinstance(leaf, jax.Array):
+                assert len(leaf.sharding.device_set) == 1
+
+
 class TestOrbaxAtomicity:
     """The rolling 'ckp' must never have a window with no valid checkpoint
     (advisor finding, round 2): saves go to a side path and swap in by
