@@ -114,12 +114,37 @@ class Summarizer:
     ):
         self.cfg = cfg
         self.store = store
+        self._checkpoint = (checkpoint_dir, checkpoint_tag)
         if state is None:
             state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
             if checkpoint_dir is not None:
                 state = load_checkpoint(checkpoint_dir, state, tag=checkpoint_tag)
         self.state = state
+        self.reload_count = 0
         self._lock = threading.Lock()
+
+    def reload(self) -> int:
+        """Hot-swap the trunk weights from the configured checkpoint dir.
+
+        Re-reads the SAME location the service was constructed with (never a
+        caller-supplied path — a remote client must not choose what file the
+        server loads).  The candidate state is built and validated entirely
+        OUTSIDE the lock; only the reference swap holds it, so in-flight
+        requests finish on the old weights and the old state survives any
+        load failure.  The jit cache keys on shapes/config, not params, so
+        no recompile follows.  → the new reload count.
+        """
+        ckp_dir, tag = self._checkpoint
+        if ckp_dir is None:
+            raise ValueError(
+                "this Summarizer was constructed from an in-memory state — "
+                "there is no checkpoint directory to reload from")
+        template = create_train_state(jax.random.PRNGKey(self.cfg.train.seed), self.cfg)
+        candidate = load_checkpoint(ckp_dir, template, tag=tag)  # may raise
+        with self._lock:
+            self.state = candidate
+            self.reload_count += 1
+            return self.reload_count
 
     def warmup(self, shapes: "tuple[tuple[int, int, int], ...] | None" = None) -> None:
         """Compile the scoring program for each production ``(N, H, W)`` shape.
@@ -222,14 +247,22 @@ class Spotter:
     ):
         self.cfg = cfg
         self.classes = list(classes) if classes else None
+        self._checkpoint = (checkpoint_dir, checkpoint_tag)
+        self._temporal_checkpoint = temporal_checkpoint
         if state is None:
             state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
             if checkpoint_dir is not None:
                 state = load_checkpoint(checkpoint_dir, state, tag=checkpoint_tag)
         self.state = state
+        self.temporal_params = self._build_temporal(temporal_checkpoint)
+        self.reload_count = 0
+        self._lock = threading.Lock()
 
+    def _build_temporal(self, temporal_checkpoint: "str | None"):
+        """Init the configured temporal head and load the checkpoint into it."""
         from cvml_goalnet_tpu.train.spotting import load_spotting_checkpoint
 
+        cfg = self.cfg
         d = (cfg.model.vis_feature_dim
              + (cfg.model.aud_feature_dim if cfg.model.audio_included else 0)
              + (cfg.model.text_feature_dim if cfg.model.text_included else 0))
@@ -258,8 +291,34 @@ class Spotter:
         if temporal_checkpoint is not None:
             tparams = load_spotting_checkpoint(
                 temporal_checkpoint, tparams, classes=self.classes)
-        self.temporal_params = tparams
-        self._lock = threading.Lock()
+        return tparams
+
+    def reload(self) -> int:
+        """Hot-swap trunk AND temporal-head weights from their configured
+        locations (same contract as :meth:`Summarizer.reload`: candidates
+        built outside the lock, old weights survive any failure, no
+        caller-supplied paths)."""
+        ckp_dir, tag = self._checkpoint
+        if ckp_dir is None and self._temporal_checkpoint is None:
+            raise ValueError(
+                "this Spotter was constructed from in-memory weights — "
+                "there is no checkpoint to reload from")
+        new_state = self.state
+        if ckp_dir is not None:
+            template = create_train_state(
+                jax.random.PRNGKey(self.cfg.train.seed), self.cfg)
+            new_state = load_checkpoint(ckp_dir, template, tag=tag)
+        # only rebuild the head from ITS file — with no head checkpoint,
+        # rebuilding would silently replace an in-memory (externally
+        # assigned) trained head with fresh random weights
+        new_tparams = (self._build_temporal(self._temporal_checkpoint)
+                       if self._temporal_checkpoint is not None
+                       else self.temporal_params)
+        with self._lock:
+            self.state = new_state
+            self.temporal_params = new_tparams
+            self.reload_count += 1
+            return self.reload_count
 
     def warmup(self, n_frames: int | None = None) -> None:
         """Compile encode + score for one production timeline length."""
@@ -697,17 +756,50 @@ def serve_http(
             # metrics key on the KNOWN endpoint set only: raw self.path would
             # let a client mint unbounded counter/ring entries (one deque per
             # unique 404 path → memory growth on an exposed host)
-            endpoint = self.path if self.path in ("/spot", "/summarize") else "(other)"
+            endpoint = (self.path
+                        if self.path in ("/spot", "/summarize", "/reload")
+                        else "(other)")
             try:
                 if self.path == "/spot":
                     self._do_spot()
                 elif self.path == "/summarize":
                     self._do_summarize()
+                elif self.path == "/reload":
+                    self._do_reload()
                 else:
                     self._reply(404, {"error": "unknown path"})
             finally:
                 metrics.observe(endpoint, time.perf_counter() - t0,
                                 self._status >= 400)
+
+        def _do_reload(self):
+            """POST /reload → hot-swap weights from the services' CONFIGURED
+            checkpoint locations (a training job just wrote a better opt_*;
+            pick it up without dropping the server).  Never takes a path from
+            the request — remote callers must not choose what the server
+            loads.  On any load failure the previous weights keep serving."""
+            from cvml_goalnet_tpu.train.checkpoint import CheckpointMismatchError
+
+            out, skipped = {}, {}
+            for name, svc in (("summarizer", summarizer), ("spotter", spotter)):
+                if svc is None:
+                    continue
+                try:
+                    out[name] = svc.reload()
+                except CheckpointMismatchError as e:
+                    self._reply(500, {"error": str(e),
+                                      "note": "previous weights still serving"})
+                    return
+                except ValueError as e:
+                    skipped[name] = str(e)  # in-memory service: not reloadable
+                except Exception as e:  # missing/corrupt file → keep serving
+                    self._reply(500, {"error": repr(e),
+                                      "note": "previous weights still serving"})
+                    return
+            if not out:
+                self._reply(400, {"error": "nothing reloadable", "detail": skipped})
+                return
+            self._reply(200, {"reloaded": out, "skipped": skipped})
 
         def _do_summarize(self):
             try:

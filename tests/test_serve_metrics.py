@@ -664,3 +664,124 @@ class TestHTTPWithBatcher:
         condensed = np.load(fp)["frames"][:: cfg.preprocess.skip_frames]
         silent = s.summarize_frames("ctrl", condensed, None, n_frames, None)
         assert not np.allclose(silent.scores, unbatched.scores, atol=1e-5)
+
+
+class TestHotReload:
+    """POST /reload: hot-swap weights from the CONFIGURED checkpoint
+    locations without dropping the server; failures keep the old weights."""
+
+    def _frames(self):
+        return np.random.default_rng(5).integers(
+            0, 255, (8, 32, 32, 3), dtype=np.uint8)
+
+    def test_reload_swaps_weights_and_survives_failure(self, small_cfg, tmp_path):
+        import dataclasses
+        import os
+
+        import jax
+
+        from cvml_goalnet_tpu.train.checkpoint import save_checkpoint
+        from cvml_goalnet_tpu.train.state import create_train_state
+
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False))
+        ckp = str(tmp_path / "models")
+        save_checkpoint(ckp, create_train_state(jax.random.PRNGKey(0), cfg), cfg, tag="opt")
+
+        s = Summarizer(cfg, checkpoint_dir=ckp)
+        server = start_http_background(s, port=0)
+        port = server.server_address[1]
+        try:
+            frames = self._frames()
+            s1 = s.summarize_frames("v", frames).scores
+
+            # a training job writes a better checkpoint; /reload picks it up
+            save_checkpoint(ckp, create_train_state(jax.random.PRNGKey(99), cfg), cfg, tag="opt")
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/reload", data=b"{}", method="POST")
+            with urllib.request.urlopen(req) as r:
+                payload = json.load(r)
+            assert payload["reloaded"]["summarizer"] == 1
+            s2 = s.summarize_frames("v", frames).scores
+            assert not np.allclose(s1, s2)  # different weights, same input
+
+            # load failure (checkpoint gone) → 500, OLD weights keep serving
+            os.remove(os.path.join(ckp, "opt_state.npz"))
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(urllib.request.Request(
+                    f"http://127.0.0.1:{port}/reload", data=b"{}", method="POST"))
+            assert e.value.code == 500
+            s3 = s.summarize_frames("v", frames).scores
+            np.testing.assert_array_equal(s2, s3)
+
+            # /reload appears in the metrics endpoint set
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as r:
+                snap = json.load(r)
+            assert "/reload" in snap["endpoints"]
+        finally:
+            server.shutdown()
+
+    def test_reload_nothing_reloadable_is_400(self, small_cfg):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False))
+        server = start_http_background(Summarizer(cfg), port=0)  # in-memory
+        port = server.server_address[1]
+        try:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(urllib.request.Request(
+                    f"http://127.0.0.1:{port}/reload", data=b"{}", method="POST"))
+            assert e.value.code == 400
+        finally:
+            server.shutdown()
+
+    def test_spotter_reload_rebuilds_head(self, small_cfg, tmp_path):
+        import dataclasses
+
+        import jax
+
+        from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
+        from cvml_goalnet_tpu.serve import Spotter
+        from cvml_goalnet_tpu.train.spotting import save_spotting_checkpoint
+
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False))
+        d = cfg.model.vis_feature_dim
+        head_fp = str(tmp_path / "head.npz")
+        save_spotting_checkpoint(
+            head_fp, temporal_scorer_init(jax.random.PRNGKey(2), d, cfg.model.temporal_hidden))
+        sp = Spotter(cfg, temporal_checkpoint=head_fp)
+        frames = self._frames()
+        r1 = sp.spot_frames("v", frames).scores
+
+        save_spotting_checkpoint(
+            head_fp, temporal_scorer_init(jax.random.PRNGKey(7), d, cfg.model.temporal_hidden))
+        assert sp.reload() == 1
+        r2 = sp.spot_frames("v", frames).scores
+        assert not np.allclose(r1, r2)
+
+    def test_reload_preserves_in_memory_head(self, small_cfg, tmp_path):
+        # trunk from a checkpoint dir, head assigned in memory: /reload must
+        # refresh the trunk WITHOUT clobbering the head with a fresh init
+        import dataclasses
+
+        import jax
+
+        from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
+        from cvml_goalnet_tpu.serve import Spotter
+        from cvml_goalnet_tpu.train.checkpoint import save_checkpoint
+        from cvml_goalnet_tpu.train.state import create_train_state
+
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False))
+        ckp = str(tmp_path / "models")
+        save_checkpoint(ckp, create_train_state(jax.random.PRNGKey(0), cfg), cfg, tag="opt")
+        sp = Spotter(cfg, checkpoint_dir=ckp)
+        trained_head = temporal_scorer_init(
+            jax.random.PRNGKey(123), cfg.model.vis_feature_dim, cfg.model.temporal_hidden)
+        sp.temporal_params = trained_head
+        sp.reload()
+        for a, b in zip(jax.tree_util.tree_leaves(trained_head),
+                        jax.tree_util.tree_leaves(sp.temporal_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
