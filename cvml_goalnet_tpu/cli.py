@@ -543,6 +543,31 @@ def cmd_spot_train(args) -> int:
         print("E: --cp needs the transformer scorer (--temporal-model transformer)",
               file=sys.stderr)
         return 2
+    npp = max(1, int(getattr(args, "pp", 1) or 1))
+    if npp > 1:
+        if cfg.model.temporal_model != "transformer":
+            print("E: --pp needs the transformer scorer "
+                  "(--temporal-model transformer)", file=sys.stderr)
+            return 2
+        if getattr(args, "cp", False):
+            print("E: --pp and --cp are mutually exclusive (pipeline stages "
+                  "and context shards lay the mesh out differently)",
+                  file=sys.stderr)
+            return 2
+        if cfg.model.temporal_num_layers % npp:
+            print(f"E: --pp {npp} must divide temporal_num_layers "
+                  f"({cfg.model.temporal_num_layers}) — one stage per device "
+                  "needs an even split of blocks", file=sys.stderr)
+            return 2
+        if len(jax.devices()) < npp:
+            print(f"E: --pp {npp} needs {npp} devices, have "
+                  f"{len(jax.devices())}", file=sys.stderr)
+            return 2
+        if len({int(f.shape[0]) for _, f, _ in pairs}) > 1:
+            print("E: --pp requires equal-length timelines (the GPipe path "
+                  "does not mask pad rows out of attention) — use --cp for "
+                  "variable lengths", file=sys.stderr)
+            return 2
     if cfg.model.temporal_model == "transformer":
         from cvml_goalnet_tpu.models.temporal_attention import temporal_transformer_init
 
@@ -627,6 +652,26 @@ def cmd_spot_train(args) -> int:
                     window=cfg.model.temporal_window,
                     **_spot_opt_kwargs(cfg.train),
                 )
+        elif npp > 1:
+            # GPipe pipeline parallelism (parallel/pp.py): the transformer's
+            # blocks shard one-stage-per-device over a "model" mesh axis;
+            # microbatches drain through a lax.scan-of-ppermute tick loop and
+            # jax.grad derives the reverse pipeline from the AD transpose.
+            from jax.sharding import Mesh
+
+            from cvml_goalnet_tpu.parallel.pp import make_pp_spotting_train_step
+
+            b = len(pairs)
+            n_micro = max(k for k in range(1, min(b, npp) + 1) if b % k == 0)
+            mesh = Mesh(np.array(jax.devices()[:npp]), ("model",))
+            print(f"pipeline-parallel: {npp} stages x {n_micro} microbatches")
+            step = make_pp_spotting_train_step(
+                mesh, "model", num_heads=cfg.model.temporal_num_heads,
+                lr=args.lr, pos_weight=args.pos_weight, n_micro=n_micro,
+                use_flash=jax.default_backend() not in ("cpu",),
+                window=cfg.model.temporal_window,
+                **_spot_opt_kwargs(cfg.train),
+            )
         else:
             step = make_spotting_train_step(
                 0, lr=args.lr, pos_weight=args.pos_weight,
@@ -648,6 +693,12 @@ def cmd_spot_train(args) -> int:
     # the 3-D (--tp) step consumes batched (B, T, D) input even at B=1
     batched = ndp_batch > 1 or (getattr(args, "cp", False)
                                 and max(1, int(getattr(args, "tp", 1) or 1)) > 1)
+    if npp > 1:
+        # PP consumes ONE (B, T, D) batch of all (equal-length, checked
+        # above) timelines — the group builder below pads nothing and fills
+        # no dummies at ndp_batch == len(pairs)
+        ndp_batch = len(pairs)
+        batched = True
     if batched:
         # DP×CP: group timelines into batches of ndp, padded to the longest
         # (labels -1 on pads → zero loss weight; short groups fill with
@@ -1005,6 +1056,11 @@ def main(argv=None) -> int:
                         "DP×CP — the full 3-D DP×TP×CP layout; N must divide "
                         "the head count (--heads) and, with --dp-timelines, "
                         "the device count")
+    p.add_argument("--pp", type=int, default=1, metavar="N",
+                   help="pipeline-parallel training (GPipe): shard the "
+                        "transformer's blocks one-stage-per-device over N "
+                        "devices; N must divide temporal_num_layers; needs "
+                        "equal-length timelines; exclusive with --cp")
     p.add_argument("--heads", type=int, default=None,
                    help="override temporal_num_heads for the transformer scorer")
     p.add_argument("--classes", default=None,

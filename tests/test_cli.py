@@ -444,6 +444,69 @@ class TestCLISpotTrainCP:
         assert "must divide the head count" in r.stderr
 
 
+class TestCLISpotTrainPP:
+    """GPipe pipeline parallelism from the CLI (spot-train --pp N)."""
+
+    def _one_video_args(self, cli_env):
+        # PP needs equal-length timelines; a single video satisfies that
+        # trivially (the fixture's videos have distinct lengths by design —
+        # the mat↔h5 mapping requires it)
+        args = _data_args(cli_env)
+        i = args.index("--videos")
+        return args[: i + 2] + args[i + 3 :]
+
+    def test_spot_train_pipeline_parallel(self, cli_env):
+        root = cli_env["root"]
+        for fp in cli_env["video_fps"]:
+            side = fp.rsplit(".", 1)[0] + ".events.json"
+            with open(side, "w") as f:
+                json.dump([0, 60, 150], f)
+        head_fp = os.path.join(root, "models", "spot_head_pp.npz")
+        r = _run(["spot-train", *self._one_video_args(cli_env),
+                  "--workdir", root, "--no-audio",
+                  "--temporal-model", "transformer", "--pp", "2",
+                  "--epochs", "2", "--out", head_fp], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "pipeline-parallel: 2 stages x 1 microbatches" in r.stdout
+        assert os.path.exists(head_fp)
+        # the PP-trained head loads back into the single-device spot verb
+        r = _run(["spot", *self._one_video_args(cli_env),
+                  cli_env["video_fps"][0], "--workdir", root, "--no-audio",
+                  "--temporal-model", "transformer",
+                  "--temporal-checkpoint", head_fp], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    def test_pp_cp_exclusive(self, cli_env):
+        root = cli_env["root"]
+        r = _run(["spot-train", *self._one_video_args(cli_env),
+                  "--workdir", root, "--no-audio",
+                  "--temporal-model", "transformer",
+                  "--pp", "2", "--cp", "--epochs", "1"], root)
+        assert r.returncode == 2
+        assert "mutually exclusive" in r.stderr
+
+    def test_pp_must_divide_layers(self, cli_env):
+        root = cli_env["root"]
+        r = _run(["spot-train", *self._one_video_args(cli_env),
+                  "--workdir", root, "--no-audio",
+                  "--temporal-model", "transformer",
+                  "--pp", "3", "--epochs", "1"], root)  # default 2 layers
+        assert r.returncode == 2
+        assert "must divide temporal_num_layers" in r.stderr
+
+    def test_pp_rejects_unequal_lengths(self, cli_env):
+        root = cli_env["root"]
+        for fp in cli_env["video_fps"]:
+            side = fp.rsplit(".", 1)[0] + ".events.json"
+            with open(side, "w") as f:
+                json.dump([0, 60], f)
+        r = _run(["spot-train", *_data_args(cli_env), "--workdir", root,
+                  "--no-audio", "--temporal-model", "transformer",
+                  "--pp", "2", "--epochs", "1"], root)
+        assert r.returncode == 2
+        assert "equal-length timelines" in r.stderr
+
+
 class TestCLIMultiClassSpotting:
     def test_spot_train_and_spot_multiclass(self, cli_env):
         root = cli_env["root"]
