@@ -382,3 +382,147 @@ def summarize_match(
         importances, clip_intervals, skip, full_n, kcfg or cfg.knapsack
     )
     return MatchSummary(events=events, scores=scores, summary=res)
+
+
+@dataclass
+class SpotStreamUpdate:
+    """One emission from :func:`spot_stream`.
+
+    ``scores``: the newly emitted (k,) or (k, C) condensed-frame scores
+    (concatenation over all updates = the full streamed timeline).
+    ``events``: event frame indices (global, condensed) that became STABLE
+    with this emission — a frame is stable once its full ±peak_window
+    neighborhood has been emitted, so every event is final when reported.
+    Single-class heads report an array; multi-class a {class_idx: array} dict
+    keyed by head channel.
+    """
+
+    scores: np.ndarray
+    events: "np.ndarray | dict[int, np.ndarray]"
+
+
+def _stable_new_events(scores: np.ndarray, stable_upto: int, prev_stable: int,
+                       window: int, threshold: float):
+    """Host peak scan over [prev_stable, stable_upto) of the emitted prefix.
+
+    NumPy (not the jitted ``detect_peaks``): the prefix length grows every
+    chunk, and a jit per length would recompile on each emission.  Semantics
+    are identical (±window local max AND > threshold).
+    """
+    lo, hi = prev_stable, stable_upto
+    if hi <= lo:
+        return np.empty((0,), np.int64)
+    out = []
+    for i in range(lo, hi):
+        a, b = max(0, i - window), min(len(scores), i + window + 1)
+        s = scores[i]
+        if s > threshold and s >= scores[a:b].max():
+            out.append(i)
+    return np.asarray(out, np.int64)
+
+
+def spot_stream(
+    params,
+    state,
+    temporal_params,
+    frame_chunks,
+    cfg: PipelineConfig,
+    *,
+    halo: int = 64,
+    peak_window: int = 5,
+    peak_threshold: float = 0.0,
+    audio_chunks=None,
+    text_chunks=None,
+):
+    """Online event spotting over a LIVE stream of frame chunks.
+
+    Bounded-latency spotting for footage still being produced (the offline
+    verbs need the whole timeline first): each yielded
+    :class:`SpotStreamUpdate` carries scores/events that are FINAL —
+    emission of chunk *i*'s scores waits for ``halo`` frames of chunk
+    *i+1* (the GRU's right context), and an event is reported only once its
+    full ±``peak_window`` neighborhood is emitted.  Worst-case decision
+    latency = one chunk + ``halo`` + ``peak_window`` condensed frames.
+
+    Scoring runs the bidirectional GRU over [left-halo ‖ chunk ‖ right-halo]
+    windows of REAL frames (the same clamped-window construction as
+    :func:`score_timeline_chunked`), so the streamed scores match the
+    monolithic offline scan up to GRU state decay across the halo — and the
+    emitted events match ``detect_peaks`` on the streamed scores EXACTLY.
+
+    GRU scorer only (``cfg.model.temporal_model == "gru"``): the transformer
+    scorer's banded kernels want the whole timeline resident; a streaming
+    attention variant would be a different program.  Steady state compiles
+    one trunk program per distinct chunk shape (fixed-size chunks + one
+    short final chunk = two) and at most three scorer shapes (first window,
+    steady window, final flush).
+
+    ``audio_chunks`` / ``text_chunks``: per-chunk modality blocks on the
+    SAME boundaries as ``frame_chunks`` (required when the trunk includes
+    the modality).
+    """
+    if cfg.model.temporal_model != "gru":
+        raise ValueError(
+            "spot_stream supports the GRU scorer; the transformer scorer "
+            "needs the full timeline (use goalnet spot / spot_events offline)"
+        )
+    hidden = cfg.model.temporal_hidden
+    n_out = int(temporal_params["head"]["w"].shape[-1])
+
+    audio_iter = iter(audio_chunks) if audio_chunks is not None else None
+    text_iter = iter(text_chunks) if text_chunks is not None else None
+
+    def encode(chunk, k):
+        audio = text = None
+        if audio_iter is not None:
+            audio = jnp.asarray(next(audio_iter))
+        if text_iter is not None:
+            text = jnp.asarray(next(text_iter))
+        feats = encode_timeline(
+            params, state, jnp.asarray(chunk), audio, cfg, text=text)
+        return np.asarray(feats)[:k]
+
+    def score(feats_np):
+        s = np.asarray(temporal_scorer_apply(
+            temporal_params, jnp.asarray(feats_np), hidden))
+        return s[:, None] if s.ndim == 1 else s
+
+    emitted = np.empty((0, n_out), np.float32)
+    prev_stable = 0
+
+    def drain(new_scores, final: bool):
+        """Append an emission, report newly stable events, yield an update."""
+        nonlocal emitted, prev_stable
+        emitted = np.concatenate([emitted, new_scores.astype(np.float32)])
+        stable_upto = len(emitted) if final else max(0, len(emitted) - peak_window)
+        per_class = {
+            c: _stable_new_events(emitted[:, c], stable_upto, prev_stable,
+                                  peak_window, peak_threshold)
+            for c in range(n_out)
+        }
+        prev_stable = stable_upto
+        events = per_class[0] if n_out == 1 else per_class
+        sc = new_scores[:, 0] if n_out == 1 else new_scores
+        return SpotStreamUpdate(scores=sc, events=events)
+
+    left_ctx = np.empty((0, 0), np.float32)   # (≤halo, D) once D is known
+    pending = None                            # features of the unemitted chunk
+
+    for chunk in frame_chunks:
+        k = len(chunk)
+        feats = encode(chunk, k)
+        if pending is None:
+            left_ctx = feats[:0]
+            pending = feats
+            continue
+        head = feats[:halo]
+        window = np.concatenate([left_ctx, pending, head])
+        s = score(window)[len(left_ctx):len(left_ctx) + len(pending)]
+        tail = np.concatenate([left_ctx, pending])[-halo:]
+        yield drain(s, final=False)
+        left_ctx, pending = tail, feats
+
+    if pending is not None:
+        window = np.concatenate([left_ctx, pending])
+        s = score(window)[len(left_ctx):]
+        yield drain(s, final=True)

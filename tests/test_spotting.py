@@ -755,3 +755,106 @@ class TestSpottingCheckpointClasses:
         save_spotting_checkpoint(fp, self._head(2))  # no classes recorded
         out = load_spotting_checkpoint(fp, self._head(2), classes=["goal", "card"])
         assert out["head"]["w"].shape[-1] == 2
+
+
+class TestSpotStream:
+    """Online spotting (spot_stream): bounded-latency streamed scores must
+    match the offline scan up to GRU halo decay, and the streamed EVENTS
+    must equal detect_peaks on the streamed scores exactly."""
+
+    def _setup(self, small_cfg, n_classes=1, t=60, seed=0):
+        import dataclasses
+
+        from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
+        from cvml_goalnet_tpu.train.state import create_train_state
+
+        cfg = dataclasses.replace(
+            small_cfg,
+            model=dataclasses.replace(small_cfg.model, audio_included=False),
+        )
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        tparams = temporal_scorer_init(
+            jax.random.PRNGKey(2), cfg.model.vis_feature_dim,
+            cfg.model.temporal_hidden, n_classes=n_classes)
+        h, w = cfg.preprocess.frame_size
+        frames = np.random.default_rng(seed).integers(
+            0, 255, (t, h, w, 3), dtype=np.uint8).astype(np.float32) / 255.0
+        return cfg, state, tparams, frames
+
+    def _stream(self, frames, chunk):
+        for i in range(0, len(frames), chunk):
+            yield frames[i:i + chunk]
+
+    def test_streamed_scores_and_events_match_offline(self, small_cfg):
+        from cvml_goalnet_tpu.models.temporal import detect_peaks
+        from cvml_goalnet_tpu.spotting import (
+            encode_timeline,
+            score_timeline,
+            spot_stream,
+        )
+
+        cfg, state, tparams, frames = self._setup(small_cfg, t=60)
+        updates = list(spot_stream(
+            state.params, state.model_state, tparams,
+            self._stream(frames, 16), cfg, halo=8, peak_window=3))
+        streamed = np.concatenate([u.scores for u in updates])
+        assert streamed.shape == (60,)
+
+        feats = encode_timeline(
+            state.params, state.model_state, jnp.asarray(frames), None, cfg)
+        offline = np.asarray(score_timeline(
+            tparams, feats, cfg.model.temporal_hidden))
+        # GRU state decay across the halo bounds the streamed-vs-monolithic
+        # difference (same contract as score_timeline_chunked)
+        np.testing.assert_allclose(streamed, offline, atol=2e-2)
+
+        # events are EXACT vs detect_peaks on the streamed scores, and final
+        ev_stream = np.concatenate([np.asarray(u.events) for u in updates])
+        ev_offline = np.nonzero(
+            np.asarray(detect_peaks(jnp.asarray(streamed), 3, 0.0)))[0]
+        np.testing.assert_array_equal(np.sort(ev_stream), ev_offline)
+        assert len(np.unique(ev_stream)) == len(ev_stream)
+
+    def test_single_chunk_is_exact(self, small_cfg):
+        from cvml_goalnet_tpu.spotting import (
+            encode_timeline,
+            score_timeline,
+            spot_stream,
+        )
+
+        cfg, state, tparams, frames = self._setup(small_cfg, t=20)
+        updates = list(spot_stream(
+            state.params, state.model_state, tparams,
+            self._stream(frames, 64), cfg, halo=8))
+        assert len(updates) == 1
+        feats = encode_timeline(
+            state.params, state.model_state, jnp.asarray(frames), None, cfg)
+        offline = np.asarray(score_timeline(
+            tparams, feats, cfg.model.temporal_hidden))
+        np.testing.assert_allclose(updates[0].scores, offline, atol=1e-5)
+
+    def test_multiclass_stream(self, small_cfg):
+        from cvml_goalnet_tpu.spotting import spot_stream
+
+        cfg, state, tparams, frames = self._setup(small_cfg, n_classes=3, t=40)
+        updates = list(spot_stream(
+            state.params, state.model_state, tparams,
+            self._stream(frames, 16), cfg, halo=8, peak_window=2))
+        streamed = np.concatenate([u.scores for u in updates])
+        assert streamed.shape == (40, 3)
+        for u in updates:
+            assert set(u.events) == {0, 1, 2}
+
+    def test_transformer_scorer_rejected(self, small_cfg):
+        import dataclasses
+
+        import pytest
+
+        from cvml_goalnet_tpu.spotting import spot_stream
+
+        cfg, state, tparams, frames = self._setup(small_cfg, t=20)
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, temporal_model="transformer"))
+        with pytest.raises(ValueError, match="GRU"):
+            list(spot_stream(state.params, state.model_state, tparams,
+                             self._stream(frames, 16), cfg))
