@@ -297,7 +297,12 @@ def cmd_spot(args) -> int:
         if os.path.exists(data["mat_fp"]) and os.path.exists(data["h5_fp"])
         else None
     )
-    item = build_video_item(args.video, cfg, None, store, cfg.model.audio_included)
+    # --stream never holds the whole timeline (that is its point), so the
+    # one-shot decode is skipped entirely in that mode
+    item = None
+    if not args.stream:
+        item = build_video_item(
+            args.video, cfg, None, store, cfg.model.audio_included)
 
     state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
     try:
@@ -346,6 +351,9 @@ def cmd_spot(args) -> int:
     # utils.py:523, and the npz-fixture fallback) — serve.py /spot already
     # does this; keep the CLI consistent
     fps = probe_video_fps(args.video) or 30.0
+
+    if args.stream:
+        return _run_spot_stream(args, cfg, state, tparams, classes, fps)
 
     if classes:
         # multi-class: per-class event streams; the knapsack summary uses the
@@ -448,6 +456,77 @@ def cmd_spot(args) -> int:
     print(json.dumps(payload, indent=2))
     return 0
 
+
+def _run_spot_stream(args, cfg, state, tparams, classes, fps) -> int:
+    """``goalnet spot --stream``: bounded-latency LIVE spotting.
+
+    Decodes the video in chunks and emits one jsonl line per event the
+    moment it becomes FINAL (:func:`spotting.spot_stream` — scores wait for
+    a halo of right context, events for their full peak window), then a
+    closing summary payload.  For footage still being produced: worst-case
+    decision latency is one chunk + halo + peak-window condensed frames,
+    and nothing ever holds the whole timeline.
+    """
+    import json
+
+    from cvml_goalnet_tpu.data.video import stream_condensed_frames
+    from cvml_goalnet_tpu.ops.preprocess import preprocess_frames_host
+    from cvml_goalnet_tpu.spotting import spot_stream
+
+    if cfg.model.temporal_model != "gru":
+        print("E: --stream needs the GRU scorer (the transformer scorer wants "
+              "the whole timeline resident); drop --temporal-model transformer "
+              "or spot offline", file=sys.stderr)
+        return 2
+    if cfg.model.audio_included or cfg.model.text_included:
+        print("E: --stream supports visual-only trunks — audio/commentary ride "
+              "sidecar files that do not exist for footage still being "
+              "produced; use a --no-audio trunk or spot offline", file=sys.stderr)
+        return 2
+
+    skip = cfg.preprocess.skip_frames
+
+    def chunks():
+        for raw in stream_condensed_frames(args.video, skip, args.stream_chunk):
+            # host preprocess: the trunk's timeline encoder consumes
+            # normalized+resized frames (same contract as build_video_item)
+            yield preprocess_frames_host(
+                raw, cfg.preprocess.frame_size, cfg.preprocess.eps)
+
+    names = classes or [None]
+    all_events: dict[int, list[int]] = {c: [] for c in range(len(names))}
+    n_scores = 0
+    for u in spot_stream(
+        state.params, state.model_state, tparams, chunks(), cfg,
+        halo=args.stream_halo, peak_window=args.peak_window,
+        peak_threshold=args.peak_threshold,
+    ):
+        n_scores += len(u.scores)
+        per_class = u.events if isinstance(u.events, dict) else {0: u.events}
+        for c, ev in sorted(per_class.items()):
+            all_events[c].extend(int(e) for e in ev)
+            for e in ev:
+                line = {"event_condensed_frame": int(e),
+                        "event_seconds": round(float(e * skip) / fps, 2)}
+                if names[c] is not None:
+                    line["class"] = names[c]
+                print(json.dumps(line), flush=True)
+
+    video_id = os.path.basename(args.video).rsplit(".", 1)[0]
+    payload = {"video_id": video_id, "streamed_frames": n_scores}
+    if names[0] is None:
+        payload["events_condensed_frames"] = all_events[0]
+        payload["events_seconds"] = [
+            round(float(e * skip) / fps, 2) for e in all_events[0]]
+    else:
+        payload["classes"] = list(names)
+        payload["events_condensed_frames"] = {
+            c: all_events[i] for i, c in enumerate(names)}
+        payload["events_seconds"] = {
+            c: [round(float(e * skip) / fps, 2) for e in all_events[i]]
+            for i, c in enumerate(names)}
+    print(json.dumps(payload, indent=2))
+    return 0
 
 
 def _spot_opt_kwargs(tc) -> dict:
@@ -1023,6 +1102,15 @@ def main(argv=None) -> int:
                         "the same classes")
     p.add_argument("--peak-window", type=int, default=5)
     p.add_argument("--peak-threshold", type=float, default=0.0)
+    p.add_argument("--stream", action="store_true",
+                   help="LIVE bounded-latency spotting: decode in chunks and "
+                        "emit each event as a jsonl line the moment it is "
+                        "final (GRU scorer, visual-only trunks)")
+    p.add_argument("--stream-chunk", type=int, default=256,
+                   help="condensed frames per decoded chunk in --stream mode")
+    p.add_argument("--stream-halo", type=int, default=64,
+                   help="right-context frames an emission waits for "
+                        "(--stream; bounds the streamed-vs-offline drift)")
     p.add_argument("--eval-events", action="store_true",
                    help="evaluate vs <video>.events.json (tolerance P/R + average-mAP)")
     p.add_argument("--eval-tolerance", type=int, default=5,

@@ -89,7 +89,17 @@ def decode_all_frames(path: str, drop_last: bool = False) -> np.ndarray:
 def stream_condensed_frames(
     path: str, skip_frames: int, chunk: int = 256
 ) -> Iterator[np.ndarray]:
-    """Yield decimated frames in chunks for double-buffered host→device feed."""
+    """Yield decimated frames in chunks for double-buffered host→device feed.
+
+    ``.npz`` frame archives are accepted alongside real videos (the same
+    convention as the one-shot loaders), sliced into the same chunk shapes
+    a real decoder would produce.
+    """
+    if path.endswith(".npz"):
+        frames = np.load(path)["frames"][::skip_frames]
+        for i in range(0, len(frames), chunk):
+            yield frames[i:i + chunk]
+        return
     cap = _open_cv2(path)
     if cap is None:
         raise RuntimeError(f"no decoder available for {path}")

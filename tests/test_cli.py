@@ -667,3 +667,64 @@ class TestCLIServe:
                   "--max-requests", "1"], root)
         assert r.returncode == 2
         assert "media_root" in r.stderr or "media root" in r.stderr
+
+
+class TestSpotStreamCLI:
+    """`goalnet spot --stream`: the live bounded-latency spotting journey —
+    jsonl event lines as they become final, then a closing payload."""
+
+    def _parse(self, stdout):
+        # the closing payload is pretty-printed: its first line is a bare "{"
+        rows = stdout.splitlines()
+        start = rows.index("{")
+        payload = json.loads("\n".join(rows[start:]))
+        events = [json.loads(ln) for ln in rows[:start]
+                  if ln.startswith("{") and "event_condensed_frame" in ln]
+        return events, payload
+
+    def test_stream_emits_final_events_then_payload(self, cli_env):
+        root = cli_env["root"]
+        r = _run(["spot", cli_env["video_fps"][0], "--no-audio",
+                  "--config", cli_env["cfg"], "--workdir", root,
+                  "--stream", "--stream-chunk", "4", "--stream-halo", "2",
+                  "--peak-window", "1", "--peak-threshold=-1e9"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        events, payload = self._parse(r.stdout)
+        # 240 raw frames / skip 30 = 8 condensed frames streamed
+        assert payload["streamed_frames"] == 8
+        assert payload["video_id"] == "vidA"
+        # threshold -1e9 guarantees events; the jsonl lines and the closing
+        # payload must agree
+        assert payload["events_condensed_frames"]
+        assert [e["event_condensed_frame"] for e in events] == \
+            payload["events_condensed_frames"]
+        assert [e["event_seconds"] for e in events] == payload["events_seconds"]
+
+    def test_stream_multiclass(self, cli_env):
+        root = cli_env["root"]
+        r = _run(["spot", cli_env["video_fps"][0], "--no-audio",
+                  "--config", cli_env["cfg"], "--workdir", root,
+                  "--stream", "--stream-chunk", "4", "--stream-halo", "2",
+                  "--classes", "goal,card", "--peak-window", "1",
+                  "--peak-threshold=-1e9"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        events, payload = self._parse(r.stdout)
+        assert payload["classes"] == ["goal", "card"]
+        assert set(payload["events_condensed_frames"]) == {"goal", "card"}
+        assert all(e["class"] in ("goal", "card") for e in events)
+
+    def test_stream_rejects_transformer_scorer(self, cli_env):
+        root = cli_env["root"]
+        r = _run(["spot", cli_env["video_fps"][0], "--no-audio",
+                  "--config", cli_env["cfg"], "--workdir", root,
+                  "--stream", "--temporal-model", "transformer"], root)
+        assert r.returncode == 2
+        assert "GRU" in r.stderr
+
+    def test_stream_rejects_sidecar_modalities(self, cli_env):
+        root = cli_env["root"]
+        r = _run(["spot", cli_env["video_fps"][0],
+                  "--config", cli_env["cfg"], "--workdir", root,
+                  "--stream"], root)
+        assert r.returncode == 2
+        assert "visual-only" in r.stderr

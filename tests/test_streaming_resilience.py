@@ -472,3 +472,17 @@ class TestPreemptionGuard:
             small_cfg, ds, ds, restored, num_epochs=4, verbose=False,
         )
         assert "preempted" not in history2
+
+
+class TestNpzStreaming:
+    def test_npz_chunks_match_one_shot_loader(self, tmp_path):
+        """`.npz` archives stream in the same chunk shapes a decoder would
+        produce (the `spot --stream` journey runs on fixtures too)."""
+        from cvml_goalnet_tpu.data.video import stream_condensed_frames
+
+        frames = np.arange(50 * 4 * 4 * 3, dtype=np.uint8).reshape(50, 4, 4, 3)
+        fp = str(tmp_path / "clip.npz")
+        np.savez(fp, frames=frames)
+        chunks = list(stream_condensed_frames(fp, skip_frames=3, chunk=7))
+        assert [len(c) for c in chunks] == [7, 7, 3]  # ceil(50/3)=17 frames
+        np.testing.assert_array_equal(np.concatenate(chunks), frames[::3])
