@@ -840,7 +840,15 @@ def cmd_serve(args) -> int:
         print(f"E: {e}", file=sys.stderr)
         return 2
 
-    summarizer = Summarizer(cfg, state=state)
+    def trunk_reloader():
+        # POST /reload → re-run the SAME npz/orbax auto-detecting load the
+        # server booted with (never a request-supplied path).  Also makes a
+        # random-init boot upgradeable: once a training job writes the first
+        # opt_*, /reload picks it up.
+        template = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
+        return _load_trunk(paths, template, args, tags=("opt", "ckp"))
+
+    summarizer = Summarizer(cfg, state=state, reloader=trunk_reloader)
     batcher = DynamicBatcher(summarizer) if args.batch else None
     spotter = None
     if args.spot:
@@ -852,6 +860,7 @@ def cmd_serve(args) -> int:
             spotter = Spotter(
                 cfg, state=state,
                 temporal_checkpoint=args.temporal_checkpoint, classes=classes,
+                reloader=trunk_reloader,
             )
         except (ValueError, OSError, zipfile.BadZipFile) as e:
             # OSError covers a missing/unreadable --temporal-checkpoint path,

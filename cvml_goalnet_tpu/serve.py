@@ -111,10 +111,16 @@ class Summarizer:
         checkpoint_tag: str = "opt",
         store: AnnotationStore | None = None,
         state=None,
+        reloader=None,
     ):
         self.cfg = cfg
         self.store = store
         self._checkpoint = (checkpoint_dir, checkpoint_tag)
+        # server-side zero-arg callable → fresh TrainState; lets launchers
+        # with their own checkpoint discovery (the CLI's npz/orbax
+        # auto-detect) make an in-memory `state=` service hot-reloadable
+        # without ever taking a path from a request
+        self._reloader = reloader
         if state is None:
             state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
             if checkpoint_dir is not None:
@@ -135,12 +141,16 @@ class Summarizer:
         no recompile follows.  → the new reload count.
         """
         ckp_dir, tag = self._checkpoint
-        if ckp_dir is None:
+        if self._reloader is not None:
+            candidate = self._reloader()  # may raise
+        elif ckp_dir is None:
             raise ValueError(
                 "this Summarizer was constructed from an in-memory state — "
                 "there is no checkpoint directory to reload from")
-        template = create_train_state(jax.random.PRNGKey(self.cfg.train.seed), self.cfg)
-        candidate = load_checkpoint(ckp_dir, template, tag=tag)  # may raise
+        else:
+            template = create_train_state(
+                jax.random.PRNGKey(self.cfg.train.seed), self.cfg)
+            candidate = load_checkpoint(ckp_dir, template, tag=tag)  # may raise
         with self._lock:
             self.state = candidate
             self.reload_count += 1
@@ -244,11 +254,13 @@ class Spotter:
         temporal_checkpoint: str | None = None,
         classes: "list[str] | None" = None,
         state=None,
+        reloader=None,
     ):
         self.cfg = cfg
         self.classes = list(classes) if classes else None
         self._checkpoint = (checkpoint_dir, checkpoint_tag)
         self._temporal_checkpoint = temporal_checkpoint
+        self._reloader = reloader  # same contract as Summarizer's
         if state is None:
             state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
             if checkpoint_dir is not None:
@@ -299,12 +311,15 @@ class Spotter:
         built outside the lock, old weights survive any failure, no
         caller-supplied paths)."""
         ckp_dir, tag = self._checkpoint
-        if ckp_dir is None and self._temporal_checkpoint is None:
+        if (ckp_dir is None and self._reloader is None
+                and self._temporal_checkpoint is None):
             raise ValueError(
                 "this Spotter was constructed from in-memory weights — "
                 "there is no checkpoint to reload from")
         new_state = self.state
-        if ckp_dir is not None:
+        if self._reloader is not None:
+            new_state = self._reloader()
+        elif ckp_dir is not None:
             template = create_train_state(
                 jax.random.PRNGKey(self.cfg.train.seed), self.cfg)
             new_state = load_checkpoint(ckp_dir, template, tag=tag)

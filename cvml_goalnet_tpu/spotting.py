@@ -466,18 +466,48 @@ def spot_stream(
             "spot_stream supports the GRU scorer; the transformer scorer "
             "needs the full timeline (use goalnet spot / spot_events offline)"
         )
+    if cfg.model.audio_included and audio_chunks is None:
+        # the trunk would otherwise encode WITHOUT the audio dims and the
+        # scorer head would fail (or worse, score) on the wrong feature width
+        raise ValueError(
+            "cfg.model.audio_included=True but spot_stream got no "
+            "audio_chunks — yield (k, B, n_mfcc) blocks on the frame-chunk "
+            "boundaries, or stream with a trunk trained --no-audio")
+    if cfg.model.text_included and text_chunks is None:
+        raise ValueError(
+            "cfg.model.text_included=True but spot_stream got no "
+            "text_chunks — yield (k, text_max_len) token chunks on the "
+            "frame-chunk boundaries, or stream with a trunk trained "
+            "without --commentary")
     hidden = cfg.model.temporal_hidden
     n_out = int(temporal_params["head"]["w"].shape[-1])
 
     audio_iter = iter(audio_chunks) if audio_chunks is not None else None
     text_iter = iter(text_chunks) if text_chunks is not None else None
 
+    def _next_aligned(it, name, k):
+        # same loud contract as streaming.score_video_stream: exhaustion
+        # would otherwise surface as a PEP-479 RuntimeError and a mismatched
+        # boundary as an opaque concat shape error deep inside jit
+        try:
+            a = next(it)
+        except StopIteration:
+            raise ValueError(
+                f"{name} exhausted before frame_chunks — the stream must "
+                "yield one chunk per frame chunk") from None
+        if len(a) != k:
+            raise ValueError(
+                f"{name} chunk has {len(a)} rows but the frame chunk has "
+                f"{k} — chunk the modalities on the same boundaries as "
+                "frame_chunks")
+        return jnp.asarray(a)
+
     def encode(chunk, k):
         audio = text = None
         if audio_iter is not None:
-            audio = jnp.asarray(next(audio_iter))
+            audio = _next_aligned(audio_iter, "audio_chunks", k)
         if text_iter is not None:
-            text = jnp.asarray(next(text_iter))
+            text = _next_aligned(text_iter, "text_chunks", k)
         feats = encode_timeline(
             params, state, jnp.asarray(chunk), audio, cfg, text=text)
         return np.asarray(feats)[:k]

@@ -728,3 +728,53 @@ class TestSpotStreamCLI:
                   "--stream"], root)
         assert r.returncode == 2
         assert "visual-only" in r.stderr
+
+
+class TestServeReloadCLI:
+    def test_reload_works_on_cli_launched_server(self, cli_env):
+        """POST /reload on a `goalnet serve` process must hot-swap from the
+        workdir's checkpoints (the CLI passes an in-memory state; without the
+        reloader wiring every reload answered 400 'nothing reloadable')."""
+        import json as _json
+        import urllib.request
+
+        root = cli_env["root"]
+        # guarantee a checkpoint exists regardless of test ordering
+        r = _run(["train", *_data_args(cli_env), "--workdir", root,
+                  "--no-audio", "--epochs", "1"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+
+        env = dict(os.environ)
+        env["GOALNET_PLATFORM"] = "cpu"
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "cvml_goalnet_tpu.cli", "serve",
+             "--config", cli_env["cfg"], "--workdir", root, "--no-audio",
+             "--port", "0",
+             "--media-root", os.path.dirname(cli_env["video_fps"][0]),
+             "--max-requests", "2"],
+            cwd=root, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        try:
+            line = ""
+            for _ in range(120):
+                line = proc.stdout.readline()
+                if "serving on" in line:
+                    break
+            assert "serving on" in line, line
+            port = int(line.split("http://127.0.0.1:")[1].split(" ")[0])
+
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/reload", data=b"{}", method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                payload = _json.load(r)
+            assert payload["reloaded"]["summarizer"] == 1
+
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=60) as r:
+                assert _json.load(r)["status"] == "ok"
+            assert proc.wait(timeout=120) == 0
+        finally:
+            if proc.poll() is None:
+                proc.kill()

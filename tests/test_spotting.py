@@ -858,3 +858,38 @@ class TestSpotStream:
         with pytest.raises(ValueError, match="GRU"):
             list(spot_stream(state.params, state.model_state, tparams,
                              self._stream(frames, 16), cfg))
+
+    def test_missing_or_misaligned_modalities_fail_loudly(self, small_cfg):
+        import dataclasses
+
+        import pytest
+
+        from cvml_goalnet_tpu.spotting import spot_stream
+
+        cfg, state, tparams, frames = self._setup(small_cfg, t=32)
+        audio_cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, audio_included=True))
+        with pytest.raises(ValueError, match="audio_chunks"):
+            list(spot_stream(state.params, state.model_state, tparams,
+                             self._stream(frames, 16), audio_cfg))
+        text_cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, text_included=True))
+        with pytest.raises(ValueError, match="text_chunks"):
+            list(spot_stream(state.params, state.model_state, tparams,
+                             self._stream(frames, 16), text_cfg))
+        # misaligned / exhausted modality streams need a trunk that HAS the
+        # audio branch (otherwise the trunk itself fails first)
+        from cvml_goalnet_tpu.train.state import create_train_state
+
+        astate = create_train_state(jax.random.PRNGKey(0), audio_cfg)
+        B, C = audio_cfg.audio.bin_length, audio_cfg.audio.n_mfcc
+        bad_audio = iter([np.zeros((7, B, C), np.float32)] * 4)
+        with pytest.raises(ValueError, match="same boundaries"):
+            list(spot_stream(astate.params, astate.model_state, tparams,
+                             self._stream(frames, 16), audio_cfg,
+                             audio_chunks=bad_audio))
+        short_audio = iter([np.zeros((16, B, C), np.float32)] * 1)
+        with pytest.raises(ValueError, match="exhausted"):
+            list(spot_stream(astate.params, astate.model_state, tparams,
+                             self._stream(frames, 16), audio_cfg,
+                             audio_chunks=short_audio))
