@@ -598,21 +598,41 @@ def cmd_spot_train(args) -> int:
         return 2
 
     # encode every labelled video once
-    pairs = []
-    for fp in data["videos"]:
-        events_fp = fp.rsplit(".", 1)[0] + ".events.json"
-        if not os.path.exists(events_fp):
-            print(f"W: {fp}: no events sidecar, skipping")
-            continue
-        item = build_video_item(fp, cfg, None, store, cfg.model.audio_included)
-        feats = encode_timeline(
-            state.params, state.model_state, jnp.asarray(item.visual),
-            jnp.asarray(item.audio) if item.audio is not None else None, cfg,
-            text=jnp.asarray(item.text) if item.text is not None else None,
-        )
-        labels = load_event_labels(
-            events_fp, len(item.visual), cfg.preprocess.skip_frames, classes)
-        pairs.append((item.video_id, feats, jnp.asarray(labels)))
+    def encode_pairs(video_fps, required: bool):
+        out = []
+        for fp in video_fps:
+            events_fp = fp.rsplit(".", 1)[0] + ".events.json"
+            if not os.path.exists(events_fp):
+                if required:
+                    # a val video with no labels cannot validate anything —
+                    # silently skipping would select/early-stop on less data
+                    # than the user asked for
+                    print(f"E: val video {fp}: no .events.json sidecar",
+                          file=sys.stderr)
+                    return None
+                print(f"W: {fp}: no events sidecar, skipping")
+                continue
+            item = build_video_item(fp, cfg, None, store, cfg.model.audio_included)
+            feats = encode_timeline(
+                state.params, state.model_state, jnp.asarray(item.visual),
+                jnp.asarray(item.audio) if item.audio is not None else None, cfg,
+                text=jnp.asarray(item.text) if item.text is not None else None,
+            )
+            labels = load_event_labels(
+                events_fp, len(item.visual), cfg.preprocess.skip_frames, classes)
+            out.append((item.video_id, feats, jnp.asarray(labels)))
+        return out
+
+    val_fps = list(getattr(args, "val_videos", None) or [])
+    if getattr(args, "early_stop", 0) and not val_fps:
+        print("E: --early-stop needs --val-videos (a held-out metric to "
+              "stop on)", file=sys.stderr)
+        return 2
+    train_fps = [fp for fp in data["videos"] if fp not in set(val_fps)]
+    pairs = encode_pairs(train_fps, required=False)
+    val_pairs = encode_pairs(val_fps, required=True)
+    if val_pairs is None:
+        return 2
     if not pairs:
         print("E: no videos with .events.json sidecars", file=sys.stderr)
         return 2
@@ -797,7 +817,24 @@ def cmd_spot_train(args) -> int:
                 ls.append(jnp.full_like(ls[0], -1.0))
             groups.append((jnp.stack(fs), jnp.stack(ls)))
 
+    def val_loss_of(tp) -> float:
+        # held-out loss on the SAME objective the steps train (scores are
+        # logits; weighted_bce is the one shared spotting loss) — scored
+        # single-device via the public dispatch, independent of the train
+        # step's mesh layout
+        from cvml_goalnet_tpu.spotting import score_timeline_auto
+        from cvml_goalnet_tpu.train.spotting import weighted_bce
+
+        # a one-name --classes head scores (T,) against (T, 1) labels —
+        # reshape instead of letting the subtraction broadcast to (T, T)
+        return float(np.mean([
+            float(weighted_bce(
+                jnp.reshape(score_timeline_auto(tp, f, cfg), l.shape), l,
+                args.pos_weight))
+            for _, f, l in val_pairs]))
+
     opt = init_spotting_opt(tparams)
+    best = {"val": float("inf"), "params": tparams, "epoch": -1}
     for epoch in range(args.epochs):
         losses = []
         if batched:
@@ -808,8 +845,24 @@ def cmd_spot_train(args) -> int:
             for _, feats, labels in pairs:
                 tparams, opt, loss = step(tparams, opt, feats, labels)
                 losses.append(float(loss))
-        print(f"epoch {epoch}: loss {np.mean(losses):.4f}")
+        if val_pairs:
+            vloss = val_loss_of(tparams)
+            print(f"epoch {epoch}: loss {np.mean(losses):.4f} "
+                  f"val-loss {vloss:.4f}")
+            if vloss < best["val"]:
+                best = {"val": vloss, "params": tparams, "epoch": epoch}
+            elif (getattr(args, "early_stop", 0)
+                  and epoch - best["epoch"] >= args.early_stop):
+                print(f"Early stop: no val-loss improvement in "
+                      f"{args.early_stop} epochs (best epoch {best['epoch']}).")
+                break
+        else:
+            print(f"epoch {epoch}: loss {np.mean(losses):.4f}")
 
+    if val_pairs:
+        # held-out selection: save the best-val head, not the last one
+        tparams = best["params"]
+        print(f"best val-loss {best['val']:.4f} at epoch {best['epoch']}")
     out_fp = args.out or os.path.join(args.workdir, "models", "spotting_head.npz")
     save_spotting_checkpoint(out_fp, tparams, classes=classes)
     print(f"Saved temporal head: {out_fp}")
@@ -1166,6 +1219,13 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--pos-weight", type=float, default=10.0)
+    p.add_argument("--val-videos", nargs="*", default=None,
+                   help="held-out videos (with .events.json sidecars): "
+                        "per-epoch val loss, best-val head selection; any "
+                        "path also in --videos is removed from training")
+    p.add_argument("--early-stop", type=int, default=0, metavar="N",
+                   help="stop after N epochs without val-loss improvement "
+                        "(needs --val-videos); 0 = off")
     p.add_argument("--out", default=None, help="output npz for the temporal head")
     p.add_argument("--checkpoint-backend", choices=["npz", "orbax"], default=None,
                    help="pin the trunk checkpoint layout (default: auto-detect)")
