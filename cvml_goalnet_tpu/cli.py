@@ -353,6 +353,12 @@ def cmd_spot(args) -> int:
     fps = probe_video_fps(args.video) or 30.0
 
     if args.stream:
+        if getattr(args, "eval_events", False):
+            # silently ignoring the flag would read as "evaluated, no output"
+            print("E: --eval-events is an offline option (it compares against "
+                  "a complete sidecar); run spot without --stream to evaluate",
+                  file=sys.stderr)
+            return 2
         return _run_spot_stream(args, cfg, state, tparams, classes, fps)
 
     if classes:

@@ -713,6 +713,14 @@ class TestSpotStreamCLI:
         assert set(payload["events_condensed_frames"]) == {"goal", "card"}
         assert all(e["class"] in ("goal", "card") for e in events)
 
+    def test_stream_rejects_eval_events(self, cli_env):
+        root = cli_env["root"]
+        r = _run(["spot", cli_env["video_fps"][0], "--no-audio",
+                  "--config", cli_env["cfg"], "--workdir", root,
+                  "--stream", "--eval-events"], root)
+        assert r.returncode == 2
+        assert "offline" in r.stderr
+
     def test_stream_rejects_transformer_scorer(self, cli_env):
         root = cli_env["root"]
         r = _run(["spot", cli_env["video_fps"][0], "--no-audio",
