@@ -226,7 +226,18 @@ def cmd_infer(args) -> int:
     )
 
     print("Input video:\n", args.video)
-    item = build_video_item(args.video, cfg, None, store, cfg.model.audio_included)
+    stream_mode = getattr(args, "stream", False)
+    if stream_mode and (cfg.model.audio_included or cfg.model.text_included):
+        # config validation beats checkpoint discovery: a missing-checkpoint
+        # error for a mode this config can never run would mislead
+        print("E: infer --stream supports visual-only trunks — audio MFCC "
+              "slotting and commentary alignment need the timeline length up "
+              "front; run offline infer or use a --no-audio trunk",
+              file=sys.stderr)
+        return 2
+    item = None
+    if not stream_mode:
+        item = build_video_item(args.video, cfg, None, store, cfg.model.audio_included)
 
     from cvml_goalnet_tpu.train.checkpoint import CheckpointMismatchError
 
@@ -237,6 +248,9 @@ def cmd_infer(args) -> int:
         print(f"E: {e}\nE: re-train with the current flags or pass the matching "
               "--config/--no-audio/--commentary/--moe-experts combination", file=sys.stderr)
         return 2
+
+    if stream_mode:
+        return _run_infer_stream(args, cfg, state, store)
 
     scores = fuse(
         state.params, state.model_state,
@@ -256,6 +270,56 @@ def cmd_infer(args) -> int:
     print(f"\n[Exported video details]\n\nID: {item.video_id}\nTitle: {item.title}\nOutput: {out_fp}")
     return 0
 
+
+def _run_infer_stream(args, cfg, state, store) -> int:
+    """``goalnet infer --stream``: bounded-memory summarization.
+
+    Chunked decode → streaming device scoring (`streaming.score_video_stream`
+    — decode, host/device preprocess, H2D, and compute all pipelined) →
+    knapsack → a SECOND single-pass decode that writes only the selected
+    clips.  Nothing ever holds the full timeline: peak memory is one chunk
+    of condensed frames plus the (N,) score vector, vs the offline path's
+    decode-everything (reference ``get_frame_tensor``, ``utils.py:294-305``).
+    """
+    from cvml_goalnet_tpu.data.video import (
+        export_selected_clips_stream,
+        stream_condensed_frames,
+    )
+    from cvml_goalnet_tpu.pipeline import summarize
+    from cvml_goalnet_tpu.serve import _uniform_clip_intervals
+    from cvml_goalnet_tpu.streaming import score_video_stream
+
+    counter: dict = {}
+    chunks = stream_condensed_frames(
+        args.video, cfg.preprocess.skip_frames, args.stream_chunk,
+        counter=counter)
+    tdtype = {"float16": np.float16, "uint8": np.uint8}.get(
+        args.transfer_dtype or "")
+    if tdtype is not None and not args.host_preprocess:
+        print("E: --transfer-dtype only applies with --host-preprocess "
+              "(device preprocess ships raw frames)", file=sys.stderr)
+        return 2
+    scores, stats = score_video_stream(
+        state.params, state.model_state, chunks, cfg,
+        chunk_size=args.stream_chunk,
+        host_preprocess=args.host_preprocess, transfer_dtype=tdtype)
+    full_n = counter["full_n"]
+    video_id = os.path.basename(args.video).rsplit(".", 1)[0]
+    intervals = (np.asarray(store.change_points(video_id))
+                 if store is not None
+                 else _uniform_clip_intervals(cfg, full_n))
+    res = summarize(scores, intervals, cfg.preprocess.skip_frames, full_n,
+                    cfg.knapsack)
+    print(f"streamed {stats.frames} condensed frames in {stats.chunks} chunks")
+    if not len(res.clip_intervals):
+        print("W: knapsack selected no clips within the budget; nothing to export")
+        return 0
+    out_fp = os.path.join(args.workdir, "tmp", f"{video_id}.mp4")
+    os.makedirs(os.path.dirname(out_fp), exist_ok=True)
+    written = export_selected_clips_stream(args.video, res.clip_intervals, out_fp)
+    print(f"\n[Exported video details]\n\nID: {video_id}\nTitle: {video_id}\n"
+          f"Output: {out_fp}\nFrames: {written}")
+    return 0
 
 
 def _apply_temporal_overrides(cfg, args):
@@ -1148,6 +1212,19 @@ def main(argv=None) -> int:
                    help="pin the checkpoint layout (default: auto-detect)")
     p.add_argument("--moe-experts", type=int, default=None,
                    help="match a trunk trained with --moe-experts N")
+    p.add_argument("--stream", action="store_true",
+                   help="bounded-memory summarization: chunked decode → "
+                        "streaming device scoring → knapsack → single-pass "
+                        "masked export (visual-only trunks)")
+    p.add_argument("--stream-chunk", type=int, default=256,
+                   help="condensed frames per chunk in --stream mode")
+    p.add_argument("--host-preprocess", action="store_true",
+                   help="--stream: normalize+resize on the host and ship "
+                        "small frames (the right trade on tunnel links)")
+    p.add_argument("--transfer-dtype", choices=["float16", "uint8"],
+                   default=None,
+                   help="--stream + --host-preprocess: quantize the H2D "
+                        "transfer (uint8 = 4x less traffic, drift <= 1/510)")
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("spot", help="temporal event spotting over one video")

@@ -87,16 +87,26 @@ def decode_all_frames(path: str, drop_last: bool = False) -> np.ndarray:
 
 
 def stream_condensed_frames(
-    path: str, skip_frames: int, chunk: int = 256
+    path: str, skip_frames: int, chunk: int = 256,
+    counter: "dict | None" = None,
 ) -> Iterator[np.ndarray]:
     """Yield decimated frames in chunks for double-buffered host→device feed.
 
     ``.npz`` frame archives are accepted alongside real videos (the same
     convention as the one-shot loaders), sliced into the same chunk shapes
     a real decoder would produce.
+
+    ``counter``: optional dict — on exhaustion ``counter["full_n"]`` holds
+    the TRUE raw frame count (what the one-shot loaders return as
+    ``full_n_frames``), so streaming consumers get the knapsack capacity
+    without trusting container metadata (which can lie in both directions —
+    see the parallel decoders' reconciliation notes).
     """
     if path.endswith(".npz"):
-        frames = np.load(path)["frames"][::skip_frames]
+        all_frames = np.load(path)["frames"]
+        if counter is not None:
+            counter["full_n"] = len(all_frames)
+        frames = all_frames[::skip_frames]
         for i in range(0, len(frames), chunk):
             yield frames[i:i + chunk]
         return
@@ -116,6 +126,8 @@ def stream_condensed_frames(
                 buf = []
         count += 1
     cap.release()
+    if counter is not None:
+        counter["full_n"] = count
     if buf:
         yield np.stack(buf)
 
@@ -443,6 +455,61 @@ def probe_video_fps(path: str) -> "float | None":
     fps = float(cap.get(cv2.CAP_PROP_FPS))
     cap.release()
     return fps if fps > 0 else None
+
+
+def export_selected_clips_stream(
+    path: str, clip_intervals, output_path: str, fps: int = 30
+) -> int:
+    """Single-pass summary export: re-decode ``path`` and write only the raw
+    frames inside the chosen ``[a, b)`` clip intervals → frames written.
+
+    The streaming counterpart of the offline path's decode-everything +
+    ``export_video`` (reference ``get_frame_tensor`` + ``utils.py:512-523``):
+    memory stays bounded by one frame.  Intervals must be ascending and
+    disjoint — exactly what ``summarize`` returns (``knapsack_select``
+    reverses its traceback into ascending index order), so the written
+    frame order equals the offline export's concatenation order.
+    """
+    iv = [(int(a), int(b)) for a, b in np.asarray(clip_intervals)]
+    if any(b0 > a1 for (_, b0), (a1, _) in zip(iv, iv[1:])):
+        raise ValueError("clip_intervals must be ascending and disjoint")
+    if path.endswith(".npz"):
+        frames = np.load(path)["frames"]
+        chosen = [frames[a:b] for a, b in iv if b > a]
+        if not chosen:
+            return 0
+        out = np.concatenate(chosen)
+        export_video(out, output_path, fps=fps)
+        return len(out)
+    cap = _open_cv2(path)
+    if cap is None:
+        raise RuntimeError(f"no decoder available for {path}")
+    import cv2  # _open_cv2 succeeded, so cv2 is importable
+
+    writer = None
+    written = 0
+    i, k = 0, 0
+    try:
+        while k < len(iv):
+            ok, img = cap.read()
+            if not ok:
+                break
+            a, b = iv[k]
+            if a <= i < b:
+                if writer is None:
+                    h, w = img.shape[:2]
+                    writer = cv2.VideoWriter(
+                        output_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+                writer.write(np.ascontiguousarray(img))
+                written += 1
+            i += 1
+            if i >= b:
+                k += 1
+    finally:
+        cap.release()
+        if writer is not None:
+            writer.release()
+    return written
 
 
 def export_video(frames: np.ndarray, output_path: str, fps: int = 30) -> None:

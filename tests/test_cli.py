@@ -835,3 +835,69 @@ class TestSpotTrainValidation:
                   "--no-audio", "--val-videos", bare], root)
         assert r.returncode == 2
         assert "events.json" in r.stderr
+
+
+class TestInferStreamCLI:
+    """`goalnet infer --stream`: bounded-memory summarization — chunked
+    decode, streaming device scoring, knapsack, single-pass clip export."""
+
+    def test_stream_matches_offline_selection(self, cli_env):
+        import cv2
+
+        root = cli_env["root"]
+        r = _run(["train", *_data_args(cli_env), "--workdir", root,
+                  "--no-audio", "--epochs", "1"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+
+        def frame_count(fp):
+            cap = cv2.VideoCapture(fp)
+            n = 0
+            while cap.read()[0]:
+                n += 1
+            cap.release()
+            return n
+
+        vid = cli_env["video_fps"][0]
+        common = [vid, "--no-audio", "--mat-fp", cli_env["mat_file_path"],
+                  "--h5-fp", cli_env["h5_file_path"],
+                  "--config", cli_env["cfg"], "--workdir", root]
+        r = _run(["infer", *common], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        offline_n = frame_count(os.path.join(root, "tmp", "vidA.mp4"))
+
+        r = _run(["infer", *common, "--stream", "--stream-chunk", "4"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "streamed 8 condensed frames" in r.stdout  # 240 raw / skip 30
+        stream_n = frame_count(os.path.join(root, "tmp", "vidA.mp4"))
+        # same trunk, same scores (chunk padding is sliced off), same
+        # knapsack -> the streamed export selects the same frames
+        assert stream_n == offline_n > 0
+
+    def test_stream_rejects_audio_trunk(self, cli_env):
+        root = cli_env["root"]
+        r = _run(["infer", cli_env["video_fps"][0], "--config", cli_env["cfg"],
+                  "--workdir", root, "--stream"], root)
+        assert r.returncode == 2
+        assert "visual-only" in r.stderr
+
+    def test_transfer_dtype_requires_host_preprocess(self, cli_env):
+        root = cli_env["root"]
+        r = _run(["infer", cli_env["video_fps"][0], "--no-audio",
+                  "--config", cli_env["cfg"], "--workdir", root,
+                  "--stream", "--transfer-dtype", "uint8"], root)
+        assert r.returncode == 2
+        assert "host-preprocess" in r.stderr
+
+    def test_stream_host_preprocess_uint8(self, cli_env):
+        root = cli_env["root"]
+        r = _run(["train", *_data_args(cli_env), "--workdir", root,
+                  "--no-audio", "--epochs", "1"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        r = _run(["infer", cli_env["video_fps"][0], "--no-audio",
+                  "--mat-fp", cli_env["mat_file_path"],
+                  "--h5-fp", cli_env["h5_file_path"],
+                  "--config", cli_env["cfg"], "--workdir", root,
+                  "--stream", "--host-preprocess", "--transfer-dtype", "uint8"],
+                 root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "Exported video details" in r.stdout

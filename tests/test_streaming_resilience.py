@@ -486,3 +486,71 @@ class TestNpzStreaming:
         chunks = list(stream_condensed_frames(fp, skip_frames=3, chunk=7))
         assert [len(c) for c in chunks] == [7, 7, 3]  # ceil(50/3)=17 frames
         np.testing.assert_array_equal(np.concatenate(chunks), frames[::3])
+
+
+class TestStreamCounterAndMaskedExport:
+    def test_counter_reports_true_full_n(self, tmp_path):
+        from cvml_goalnet_tpu.data.video import stream_condensed_frames
+
+        frames = np.zeros((53, 4, 4, 3), np.uint8)
+        fp = str(tmp_path / "clip.npz")
+        np.savez(fp, frames=frames)
+        counter = {}
+        n = sum(len(c) for c in stream_condensed_frames(
+            fp, skip_frames=5, chunk=8, counter=counter))
+        assert n == 11  # ceil(53/5)
+        assert counter["full_n"] == 53
+
+    def test_counter_on_real_decode(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        from cvml_goalnet_tpu.data.video import stream_condensed_frames
+
+        fp = str(tmp_path / "clip.mp4")
+        out = cv2.VideoWriter(fp, cv2.VideoWriter_fourcc(*"mp4v"), 25, (32, 32))
+        rng = np.random.default_rng(0)
+        for _ in range(47):
+            out.write(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+        out.release()
+        counter = {}
+        list(stream_condensed_frames(fp, skip_frames=3, chunk=8, counter=counter))
+        assert counter["full_n"] == 47
+
+    def test_masked_export_single_pass(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        from cvml_goalnet_tpu.data.video import export_selected_clips_stream
+
+        fp = str(tmp_path / "clip.mp4")
+        out = cv2.VideoWriter(fp, cv2.VideoWriter_fourcc(*"mp4v"), 25, (32, 32))
+        rng = np.random.default_rng(1)
+        for _ in range(60):
+            out.write(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+        out.release()
+        out_fp = str(tmp_path / "summary.mp4")
+        written = export_selected_clips_stream(fp, [(5, 12), (30, 35)], out_fp)
+        assert written == 12
+        cap = cv2.VideoCapture(out_fp)
+        n = 0
+        while cap.read()[0]:
+            n += 1
+        cap.release()
+        assert n == 12
+
+    def test_masked_export_npz_matches_offline_concat(self, tmp_path):
+        from cvml_goalnet_tpu.data.video import export_selected_clips_stream
+
+        frames = np.random.default_rng(2).integers(
+            0, 255, (40, 16, 16, 3), dtype=np.uint8)
+        fp = str(tmp_path / "clip.npz")
+        np.savez(fp, frames=frames)
+        out_fp = str(tmp_path / "summary.mp4")
+        written = export_selected_clips_stream(fp, [(0, 4), (10, 13)], out_fp)
+        assert written == 7
+
+    def test_masked_export_rejects_unsorted(self, tmp_path):
+        from cvml_goalnet_tpu.data.video import export_selected_clips_stream
+
+        fp = str(tmp_path / "clip.npz")
+        np.savez(fp, frames=np.zeros((10, 4, 4, 3), np.uint8))
+        with pytest.raises(ValueError, match="ascending"):
+            export_selected_clips_stream(
+                fp, [(5, 8), (0, 3)], str(tmp_path / "s.mp4"))
