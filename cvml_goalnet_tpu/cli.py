@@ -322,6 +322,118 @@ def _run_infer_stream(args, cfg, state, store) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Per-stage wall-clock profile of the summarize pipeline on one video.
+
+    Observability as a CLI journey (the reference only printed epoch-level
+    wall-clock deltas, ``main.py:83,145-146``): decode → features → device
+    scoring → knapsack postprocess, each timed across ``--repeats`` passes
+    (first pass carries the jit compile; per-stage means are reported for
+    the steady-state repeats when ``--repeats > 1``).  ``--trace-dir``
+    additionally captures a ``jax.profiler`` device trace with the same
+    stage names as annotations (viewable in xprof/tensorboard).
+    """
+    import json
+
+    import jax
+
+    from cvml_goalnet_tpu.data.annotations import AnnotationStore
+    from cvml_goalnet_tpu.data.dataset import _load_frames
+    from cvml_goalnet_tpu.pipeline import extract_features, fuse, summarize
+    from cvml_goalnet_tpu.serve import _uniform_clip_intervals
+    from cvml_goalnet_tpu.train.checkpoint import CheckpointMismatchError
+    from cvml_goalnet_tpu.train.state import create_train_state
+    from cvml_goalnet_tpu.utils.profiling import StageTimer, start_trace, stop_trace
+
+    cfg = _load_cfg(args)
+    data = _resolve_data(args)
+    paths = _artifact_paths(args.workdir, cfg.model.audio_included)
+    state = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
+    try:
+        state = _load_trunk(paths, state, args)
+    except FileNotFoundError:
+        print("W: no trained importance checkpoint; profiling a random-init trunk")
+    except CheckpointMismatchError as e:
+        print(f"E: {e}", file=sys.stderr)
+        return 2
+
+    video_id = os.path.basename(args.video).rsplit(".", 1)[0]
+    store = (
+        AnnotationStore(data["mat_fp"], data["h5_fp"])
+        if os.path.exists(data["mat_fp"]) and os.path.exists(data["h5_fp"])
+        else None
+    )
+    repeats = max(1, args.repeats)
+    if args.trace_dir:
+        start_trace(args.trace_dir)
+    timer = StageTimer()
+    first = StageTimer()  # pass 0 carries the jit compiles — report it apart
+    try:
+        for rep in range(repeats):
+            t = first if (rep == 0 and repeats > 1) else timer
+            with t.stage("decode"):
+                frames, full_n = _load_frames(args.video, cfg.preprocess.skip_frames)
+            waveform = None
+            if cfg.model.audio_included:
+                with t.stage("audio_load"):
+                    audio_fp = args.video.rsplit(".", 1)[0] + ".wav"
+                    if not os.path.exists(audio_fp):
+                        from cvml_goalnet_tpu.data.audio_io import demux_audio
+
+                        demux_audio(args.video, audio_fp)
+                    from cvml_goalnet_tpu.data.audio_io import load_waveform
+
+                    waveform, _ = load_waveform(audio_fp, cfg.audio.sample_rate)
+            commentary = None
+            if cfg.model.text_included:
+                commentary_fp = args.video.rsplit(".", 1)[0] + ".commentary.jsonl"
+                if os.path.exists(commentary_fp):
+                    from cvml_goalnet_tpu.data.text import (
+                        commentary_per_frame,
+                        load_commentary_jsonl,
+                    )
+
+                    commentary = commentary_per_frame(
+                        load_commentary_jsonl(commentary_fp), len(frames),
+                        cfg.preprocess.skip_frames)
+                else:
+                    commentary = [""] * len(frames)
+            with t.stage("features"):
+                feats = extract_features(frames, waveform, cfg, commentary=commentary)
+            with t.stage("score"):
+                scores = fuse(state.params, state.model_state, feats, cfg)
+            with t.stage("postprocess"):
+                intervals = (np.asarray(store.change_points(video_id))
+                             if store is not None
+                             else _uniform_clip_intervals(cfg, full_n))
+                res = summarize(scores, intervals, cfg.preprocess.skip_frames,
+                                full_n, cfg.knapsack)
+    finally:
+        if args.trace_dir:
+            stop_trace()
+
+    summary = timer.summary()
+    total_s = sum(v["mean_s"] for v in summary.values())
+    payload = {
+        "video_id": video_id,
+        "backend": jax.default_backend(),
+        "repeats": repeats,
+        "condensed_frames": int(len(scores)),
+        "full_n_frames": int(full_n),
+        "stages_mean_s": {k: round(v["mean_s"], 4) for k, v in summary.items()},
+        "total_mean_s": round(total_s, 4),
+        "condensed_fps": round(len(scores) / total_s, 1) if total_s else None,
+        "selected_clips": int(len(res.clip_intervals)),
+    }
+    if repeats > 1:
+        payload["first_pass_s"] = {
+            k: round(v["mean_s"], 4) for k, v in first.summary().items()}
+    if args.trace_dir:
+        payload["trace_dir"] = args.trace_dir
+    print(json.dumps(payload, indent=2))
+    return 0
+
+
 def _apply_temporal_overrides(cfg, args):
     """Fold --temporal-model / --attn-window / --heads into the config."""
     if getattr(args, "temporal_model", None):
@@ -1192,6 +1304,25 @@ def main(argv=None) -> int:
                    help="swap the first fusion hidden layer for a top-k "
                         "gated mixture of this many experts (models/moe.py)")
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("profile", help="per-stage wall-clock profile of the "
+                                       "summarize pipeline on one video")
+    _add_data_args(p)
+    p.add_argument("video")
+    p.add_argument("--no-audio", action="store_true")
+    p.add_argument("--commentary", action="store_true",
+                   help="enable the text branch (reads <video>.commentary.jsonl)")
+    p.add_argument("--checkpoint-backend", choices=["npz", "orbax"], default=None,
+                   help="pin the checkpoint layout (default: auto-detect)")
+    p.add_argument("--moe-experts", type=int, default=None,
+                   help="match a trunk trained with --moe-experts N")
+    p.add_argument("--repeats", type=int, default=3,
+                   help="timed passes; the first carries jit compiles and is "
+                        "reported separately when repeats > 1")
+    p.add_argument("--trace-dir", default=None,
+                   help="capture a jax.profiler device trace here "
+                        "(xprof/tensorboard)")
+    p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("eval", help="evaluate a trained checkpoint (no training)")
     _add_data_args(p)

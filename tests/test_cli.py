@@ -901,3 +901,23 @@ class TestInferStreamCLI:
                  root)
         assert r.returncode == 0, r.stderr[-2000:]
         assert "Exported video details" in r.stdout
+
+
+class TestProfileCLI:
+    def test_profile_stages_and_trace(self, cli_env, tmp_path):
+        """goalnet profile: per-stage means, compile-carrying first pass
+        reported separately, device trace written to --trace-dir."""
+        root = cli_env["root"]
+        trace = str(tmp_path / "trace")
+        r = _run(["profile", cli_env["video_fps"][0], "--no-audio",
+                  "--mat-fp", cli_env["mat_file_path"],
+                  "--h5-fp", cli_env["h5_file_path"],
+                  "--config", cli_env["cfg"], "--workdir", root,
+                  "--repeats", "2", "--trace-dir", trace], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = json.loads(r.stdout[r.stdout.index("{"):])
+        assert set(payload["stages_mean_s"]) == {
+            "decode", "features", "score", "postprocess"}
+        assert payload["condensed_frames"] == 8  # 240 raw / skip 30
+        assert payload["first_pass_s"]["score"] >= payload["stages_mean_s"]["score"]
+        assert os.path.isdir(os.path.join(trace, "plugins", "profile"))
