@@ -1015,6 +1015,26 @@ def cmd_spot_train(args) -> int:
                 args.pos_weight))
             for _, f, l in val_pairs]))
 
+    def val_map_of(tp) -> float:
+        # the spotting field's quality metric alongside the loss: detect
+        # peaks on each val timeline and average-mAP them against the GT
+        # events (SoccerNet convention — classes without GT are excluded)
+        from cvml_goalnet_tpu.ops.spotting_metrics import multiclass_average_map
+        from cvml_goalnet_tpu.spotting import score_timeline_auto, spot_events_multi
+
+        maps = []
+        for _, f, l in val_pairs:
+            l2 = np.asarray(l)
+            if l2.ndim == 1:
+                l2 = l2[:, None]
+            s2 = np.asarray(score_timeline_auto(tp, f, cfg)).reshape(l2.shape)
+            pred = spot_events_multi(s2, 5, 0.0)
+            gt = [np.nonzero(l2[:, c] > 0.5)[0] for c in range(l2.shape[1])]
+            sc = [s2[ev, c] if len(ev) else np.zeros((0,))
+                  for c, ev in enumerate(pred)]
+            maps.append(multiclass_average_map(pred, sc, gt)["average_map"])
+        return float(np.mean(maps))
+
     opt = init_spotting_opt(tparams)
     best = {"val": float("inf"), "params": tparams, "epoch": -1}
     for epoch in range(args.epochs):
@@ -1030,7 +1050,7 @@ def cmd_spot_train(args) -> int:
         if val_pairs:
             vloss = val_loss_of(tparams)
             print(f"epoch {epoch}: loss {np.mean(losses):.4f} "
-                  f"val-loss {vloss:.4f}")
+                  f"val-loss {vloss:.4f} val-mAP {val_map_of(tparams):.4f}")
             if vloss < best["val"]:
                 best = {"val": vloss, "params": tparams, "epoch": epoch}
             elif (getattr(args, "early_stop", 0)

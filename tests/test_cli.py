@@ -807,6 +807,7 @@ class TestSpotTrainValidation:
                   "--val-videos", val_fp, "--early-stop", "2"], root)
         assert r.returncode == 0, r.stderr[-2000:]
         assert "val-loss" in r.stdout
+        assert "val-mAP" in r.stdout
         assert "best val-loss" in r.stdout
         assert os.path.exists(head_fp)
         # the val video must not be trained on: with one train + one val
