@@ -810,7 +810,17 @@ def cmd_spot_train(args) -> int:
         print("E: --early-stop needs --val-videos (a held-out metric to "
               "stop on)", file=sys.stderr)
         return 2
-    train_fps = [fp for fp in data["videos"] if fp not in set(val_fps)]
+    # dedupe by resolved path, not raw string: `--videos data/vidA.npz
+    # --val-videos ./data/vidA.npz` must NOT silently train on the val video
+    # (a train/val leak would corrupt exactly the held-out selection this
+    # flag exists for)
+    val_real = {os.path.realpath(fp) for fp in val_fps}
+    train_fps = [fp for fp in data["videos"]
+                 if os.path.realpath(fp) not in val_real]
+    if val_fps and not train_fps:
+        print("E: every --videos path is held out by --val-videos; "
+              "nothing left to train on", file=sys.stderr)
+        return 2
     pairs = encode_pairs(train_fps, required=False)
     val_pairs = encode_pairs(val_fps, required=True)
     if val_pairs is None:

@@ -825,6 +825,21 @@ class TestSpotTrainValidation:
         assert r.returncode == 2
         assert "--val-videos" in r.stderr
 
+    def test_val_dedupe_resolves_paths(self, cli_env):
+        """`--videos data/vidA.npz --val-videos ./data/vidA.npz` must NOT
+        silently train on the val video: dedupe is by resolved path, and a
+        split that holds out every train video fails loudly."""
+        root = cli_env["root"]
+        self._sidecars(cli_env)
+        # alternate spellings of ALL the train videos — exact-string
+        # matching would keep them in the train list (a train/val leak)
+        alt = [os.path.join(os.path.dirname(fp), ".", os.path.basename(fp))
+               for fp in cli_env["video_fps"]]
+        r = _run(["spot-train", *_data_args(cli_env), "--workdir", root,
+                  "--no-audio", "--val-videos", *alt], root)
+        assert r.returncode == 2
+        assert "held out" in r.stderr
+
     def test_val_video_without_sidecar_fails(self, cli_env, tmp_path):
         import shutil
 
