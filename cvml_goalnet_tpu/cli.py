@@ -1028,7 +1028,8 @@ def cmd_spot_train(args) -> int:
     def val_map_of(tp) -> float:
         # the spotting field's quality metric alongside the loss: detect
         # peaks on each val timeline and average-mAP them against the GT
-        # events (SoccerNet convention — classes without GT are excluded)
+        # events (SoccerNet convention — classes without GT are excluded),
+        # at the SAME peak window/threshold `goalnet spot` will deploy with
         from cvml_goalnet_tpu.ops.spotting_metrics import multiclass_average_map
         from cvml_goalnet_tpu.spotting import score_timeline_auto, spot_events_multi
 
@@ -1038,7 +1039,7 @@ def cmd_spot_train(args) -> int:
             if l2.ndim == 1:
                 l2 = l2[:, None]
             s2 = np.asarray(score_timeline_auto(tp, f, cfg)).reshape(l2.shape)
-            pred = spot_events_multi(s2, 5, 0.0)
+            pred = spot_events_multi(s2, args.peak_window, args.peak_threshold)
             gt = [np.nonzero(l2[:, c] > 0.5)[0] for c in range(l2.shape[1])]
             sc = [s2[ev, c] if len(ev) else np.zeros((0,))
                   for c, ev in enumerate(pred)]
@@ -1470,6 +1471,11 @@ def main(argv=None) -> int:
     p.add_argument("--early-stop", type=int, default=0, metavar="N",
                    help="stop after N epochs without val-loss improvement "
                         "(needs --val-videos); 0 = off")
+    p.add_argument("--peak-window", type=int, default=5,
+                   help="val-mAP peak detection window (match the value "
+                        "`goalnet spot` will deploy with)")
+    p.add_argument("--peak-threshold", type=float, default=0.0,
+                   help="val-mAP peak detection threshold on the logit scores")
     p.add_argument("--out", default=None, help="output npz for the temporal head")
     p.add_argument("--checkpoint-backend", choices=["npz", "orbax"], default=None,
                    help="pin the trunk checkpoint layout (default: auto-detect)")
