@@ -825,6 +825,24 @@ class TestSpotTrainValidation:
         assert r.returncode == 2
         assert "--val-videos" in r.stderr
 
+    def test_multiclass_validation(self, cli_env, tmp_path):
+        """--classes + --val-videos: the val-loss reshape and the val-mAP
+        per-class peak scan must both handle (T, C) heads."""
+        root = cli_env["root"]
+        for fp in cli_env["video_fps"]:
+            with open(fp.rsplit(".", 1)[0] + ".events.json", "w") as f:
+                json.dump([{"frame": 0, "label": "goal"},
+                           {"frame": 90, "label": "card"},
+                           {"frame": 180, "label": "goal"}], f)
+        head_fp = str(tmp_path / "head_mc.npz")
+        r = _run(["spot-train", *_data_args(cli_env), "--workdir", root,
+                  "--no-audio", "--epochs", "3", "--out", head_fp,
+                  "--classes", "goal,card",
+                  "--val-videos", cli_env["video_fps"][-1]], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "val-loss" in r.stdout and "val-mAP" in r.stdout
+        assert os.path.exists(head_fp)
+
     def test_val_dedupe_resolves_paths(self, cli_env):
         """`--videos data/vidA.npz --val-videos ./data/vidA.npz` must NOT
         silently train on the val video: dedupe is by resolved path, and a
