@@ -56,7 +56,14 @@ def initialize_from_env(
     try:
         if coordinator is None and num_processes is None and process_id is None:
             # TPU pod: the runtime discovers peers from the platform metadata
-            jax.distributed.initialize()
+            try:
+                jax.distributed.initialize()
+            except ValueError:
+                # nothing configured AND the platform offers no peer
+                # auto-detection (single CPU/GPU host): single-process mode
+                # is the intent — running examples/multihost_train.py bare
+                # must work exactly like its docstring says
+                return
         else:
             jax.distributed.initialize(
                 coordinator_address=coordinator,
