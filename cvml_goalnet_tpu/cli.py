@@ -647,7 +647,9 @@ def _run_spot_stream(args, cfg, state, tparams, classes, fps) -> int:
     a halo of right context, events for their full peak window), then a
     closing summary payload.  For footage still being produced: worst-case
     decision latency is one chunk + halo + peak-window condensed frames,
-    and nothing ever holds the whole timeline.
+    and nothing ever holds the whole timeline.  GRU scores are final up to
+    halo decay; banded-transformer scores are EXACTLY the offline banded
+    scorer's (halo = layers·window receptive field).
     """
     import json
 
@@ -655,10 +657,11 @@ def _run_spot_stream(args, cfg, state, tparams, classes, fps) -> int:
     from cvml_goalnet_tpu.ops.preprocess import preprocess_frames_host
     from cvml_goalnet_tpu.spotting import spot_stream
 
-    if cfg.model.temporal_model != "gru":
-        print("E: --stream needs the GRU scorer (the transformer scorer wants "
-              "the whole timeline resident); drop --temporal-model transformer "
-              "or spot offline", file=sys.stderr)
+    if cfg.model.temporal_model == "transformer" and cfg.model.temporal_window <= 0:
+        print("E: --stream with the transformer scorer needs a banded window "
+              "(--attn-window N): full attention has an unbounded receptive "
+              "field so streamed scores could never be final; band it or "
+              "spot offline", file=sys.stderr)
         return 2
     if cfg.model.audio_included or cfg.model.text_included:
         print("E: --stream supports visual-only trunks — audio/commentary ride "
@@ -1412,12 +1415,15 @@ def main(argv=None) -> int:
     p.add_argument("--stream", action="store_true",
                    help="LIVE bounded-latency spotting: decode in chunks and "
                         "emit each event as a jsonl line the moment it is "
-                        "final (GRU scorer, visual-only trunks)")
+                        "final (GRU or banded-transformer scorer, visual-only "
+                        "trunks)")
     p.add_argument("--stream-chunk", type=int, default=256,
                    help="condensed frames per decoded chunk in --stream mode")
     p.add_argument("--stream-halo", type=int, default=64,
                    help="right-context frames an emission waits for "
-                        "(--stream; bounds the streamed-vs-offline drift)")
+                        "(--stream; bounds the streamed-vs-offline drift for "
+                        "the GRU; the banded transformer raises it to its "
+                        "layers*window exactness floor)")
     p.add_argument("--eval-events", action="store_true",
                    help="evaluate vs <video>.events.json (tolerance P/R + average-mAP)")
     p.add_argument("--eval-tolerance", type=int, default=5,

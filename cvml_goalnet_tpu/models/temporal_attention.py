@@ -131,20 +131,28 @@ def temporal_transformer_apply(
     use_flash: bool = False,
     flash_interpret: bool = False,
     window: int = 0,              # attention band radius; 0 = full attention
+    pos_offset=0,                 # global index of features[0] (traced scalar)
 ) -> jax.Array:
-    """(T, D) → (T,) temporal event scores."""
+    """(T, D) → (T,) temporal event scores.
+
+    ``pos_offset``: the GLOBAL timeline index of ``features[0]`` — a traced
+    scalar (no recompile per offset), used by :func:`spotting.spot_stream`'s
+    banded streaming windows so learned/rotary positions agree with the
+    offline full-timeline program.  0 (the default) is the offline case.
+    """
     t = features.shape[0]
     x = L.linear_apply(params["proj_in"], features)
+    pos_offset = jnp.asarray(pos_offset, jnp.int32)
     rope_pos = None
     if "pos" in params:
         max_len = params["pos"].shape[0]
         # learned positions, tiled for timelines beyond max_len: the FULL
         # scorer then cannot distinguish period-max_len aliases — use
         # pos_encoding="rotary" for full attention at match scale
-        idx = jnp.arange(t) % max_len
+        idx = (pos_offset + jnp.arange(t)) % max_len
         x = x + params["pos"][idx]
     else:  # rotary: relative q/k rotation per layer, alias-free at any T
-        rope_pos = jnp.arange(t)
+        rope_pos = pos_offset + jnp.arange(t)
     for layer in params["layers"]:
         h = L.layernorm_apply(layer["ln1"], x)
         x = x + _attend(layer, h, num_heads, use_flash, flash_interpret, window,

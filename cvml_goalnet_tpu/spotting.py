@@ -444,27 +444,42 @@ def spot_stream(
     full ±``peak_window`` neighborhood is emitted.  Worst-case decision
     latency = one chunk + ``halo`` + ``peak_window`` condensed frames.
 
-    Scoring runs the bidirectional GRU over [left-halo ‖ chunk ‖ right-halo]
-    windows of REAL frames (the same clamped-window construction as
-    :func:`score_timeline_chunked`), so the streamed scores match the
-    monolithic offline scan up to GRU state decay across the halo — and the
-    emitted events match ``detect_peaks`` on the streamed scores EXACTLY.
+    Scorer dispatch (``cfg.model.temporal_model``):
 
-    GRU scorer only (``cfg.model.temporal_model == "gru"``): the transformer
-    scorer's banded kernels want the whole timeline resident; a streaming
-    attention variant would be a different program.  Steady state compiles
-    one trunk program per distinct chunk shape (fixed-size chunks + one
-    short final chunk = two) and at most three scorer shapes (first window,
-    steady window, final flush).
+    * **GRU** — scores [left-halo ‖ chunk ‖ right-halo] windows of REAL
+      frames (the same clamped-window construction as
+      :func:`score_timeline_chunked`); streamed scores match the monolithic
+      offline scan up to GRU state decay across the halo.
+    * **banded transformer** (``temporal_window > 0``) — the band gives the
+      scorer a FINITE receptive field of ``num_layers · window`` frames, so
+      streaming with that halo is EXACT: the streamed scores equal the
+      offline monolithic banded scorer (not just up to decay).  ``halo`` is
+      raised to that floor if smaller (larger only delays emission; it never
+      changes scores).  Learned/rotary positions stay GLOBAL via the
+      scorer's ``pos_offset``.  Chunks smaller than the halo simply
+      accumulate: an update is yielded whenever ≥1 frame's full receptive
+      field is resident (at most one update per input chunk).  Full
+      attention (``temporal_window == 0``) has an unbounded receptive field
+      — no finite halo can make streamed scores final — and is rejected.
+
+    In both modes the emitted events match ``detect_peaks`` on the streamed
+    scores EXACTLY.  Steady state compiles one trunk program per distinct
+    chunk shape (fixed-size chunks + one short final chunk = two) and a
+    handful of scorer shapes (warmup windows while the left context grows,
+    one steady window, final flush).
 
     ``audio_chunks`` / ``text_chunks``: per-chunk modality blocks on the
     SAME boundaries as ``frame_chunks`` (required when the trunk includes
     the modality).
     """
-    if cfg.model.temporal_model != "gru":
+    is_transformer = cfg.model.temporal_model == "transformer"
+    if is_transformer and cfg.model.temporal_window <= 0:
         raise ValueError(
-            "spot_stream supports the GRU scorer; the transformer scorer "
-            "needs the full timeline (use goalnet spot / spot_events offline)"
+            "spot_stream with the transformer scorer needs a banded window "
+            "(cfg.model.temporal_window > 0): full attention has an unbounded "
+            "receptive field, so no finite halo can make streamed scores "
+            "final — train/score with a band (spot-train --attn-window) or "
+            "spot offline"
         )
     if cfg.model.audio_included and audio_chunks is None:
         # the trunk would otherwise encode WITHOUT the audio dims and the
@@ -534,6 +549,46 @@ def spot_stream(
         events = per_class[0] if n_out == 1 else per_class
         sc = new_scores[:, 0] if n_out == 1 else new_scores
         return SpotStreamUpdate(scores=sc, events=events)
+
+    if is_transformer:
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_apply,
+        )
+
+        W = cfg.model.temporal_window
+        # exactness floor: score at i depends on inputs in i ± num_layers·W
+        halo = max(halo, len(temporal_params["layers"]) * W)
+        use_flash = jax.default_backend() not in ("cpu",)
+
+        def score_banded(feats_np, global_start: int):
+            s = np.asarray(temporal_transformer_apply(
+                temporal_params, jnp.asarray(feats_np),
+                cfg.model.temporal_num_heads, use_flash, False, W,
+                global_start))
+            return s[:, None] if s.ndim == 1 else s
+
+        left = None          # the halo emitted frames preceding `buf`
+        buf = None           # encoded features not yet emitted
+        emitted_n = 0        # global count of emitted (final) frames
+        for chunk in frame_chunks:
+            feats = encode(chunk, len(chunk))
+            buf = feats if buf is None else np.concatenate([buf, feats])
+            if left is None:
+                left = feats[:0]
+            emit_n = len(buf) - halo
+            if emit_n > 0:
+                window = np.concatenate([left, buf])
+                s = score_banded(window, emitted_n - len(left))
+                s = s[len(left):len(left) + emit_n]
+                left = np.concatenate([left, buf[:emit_n]])[-halo:]
+                emitted_n += emit_n
+                buf = buf[emit_n:]
+                yield drain(s, final=False)
+        if buf is not None and len(buf):
+            window = np.concatenate([left, buf])
+            s = score_banded(window, emitted_n - len(left))[len(left):]
+            yield drain(s, final=True)
+        return
 
     left_ctx = np.empty((0, 0), np.float32)   # (≤halo, D) once D is known
     pending = None                            # features of the unemitted chunk

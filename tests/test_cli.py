@@ -721,13 +721,29 @@ class TestSpotStreamCLI:
         assert r.returncode == 2
         assert "offline" in r.stderr
 
-    def test_stream_rejects_transformer_scorer(self, cli_env):
+    def test_stream_rejects_full_attention_transformer(self, cli_env):
+        # window 0 = unbounded receptive field → never streamable
         root = cli_env["root"]
         r = _run(["spot", cli_env["video_fps"][0], "--no-audio",
                   "--config", cli_env["cfg"], "--workdir", root,
                   "--stream", "--temporal-model", "transformer"], root)
         assert r.returncode == 2
-        assert "GRU" in r.stderr
+        assert "banded" in r.stderr
+
+    def test_stream_banded_transformer(self, cli_env):
+        # the banded transformer streams EXACTLY (finite receptive field);
+        # same journey contract as the GRU: jsonl events, closing payload
+        root = cli_env["root"]
+        r = _run(["spot", cli_env["video_fps"][0], "--no-audio",
+                  "--config", cli_env["cfg"], "--workdir", root,
+                  "--stream", "--stream-chunk", "4",
+                  "--temporal-model", "transformer", "--attn-window", "2",
+                  "--peak-window", "1", "--peak-threshold=-1e9"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        events, payload = self._parse(r.stdout)
+        assert payload["streamed_frames"] == 8
+        assert [e["event_condensed_frame"] for e in events] == \
+            payload["events_condensed_frames"]
 
     def test_stream_rejects_sidecar_modalities(self, cli_env):
         root = cli_env["root"]

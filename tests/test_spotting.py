@@ -845,7 +845,9 @@ class TestSpotStream:
         for u in updates:
             assert set(u.events) == {0, 1, 2}
 
-    def test_transformer_scorer_rejected(self, small_cfg):
+    def test_full_attention_transformer_rejected(self, small_cfg):
+        # window == 0 → unbounded receptive field → no finite halo can make
+        # streamed scores final; the banded scorer is the streamable one
         import dataclasses
 
         import pytest
@@ -855,9 +857,106 @@ class TestSpotStream:
         cfg, state, tparams, frames = self._setup(small_cfg, t=20)
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, temporal_model="transformer"))
-        with pytest.raises(ValueError, match="GRU"):
+        with pytest.raises(ValueError, match="banded"):
             list(spot_stream(state.params, state.model_state, tparams,
                              self._stream(frames, 16), cfg))
+
+    def _setup_transformer(self, small_cfg, n_classes=1, t=60, seed=0, W=4,
+                           pos_encoding="learned", max_len=8192):
+        import dataclasses
+
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_init,
+        )
+        from cvml_goalnet_tpu.train.state import create_train_state
+
+        cfg = dataclasses.replace(
+            small_cfg,
+            model=dataclasses.replace(
+                small_cfg.model, audio_included=False,
+                temporal_model="transformer", temporal_window=W,
+                temporal_pos_encoding=pos_encoding, temporal_max_len=max_len),
+        )
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        tparams = temporal_transformer_init(
+            jax.random.PRNGKey(2), cfg.model.vis_feature_dim,
+            model_dim=cfg.model.temporal_hidden,
+            num_layers=cfg.model.temporal_num_layers,
+            num_heads=cfg.model.temporal_num_heads,
+            max_len=max_len, n_classes=n_classes, pos_encoding=pos_encoding)
+        h, w = cfg.preprocess.frame_size
+        frames = np.random.default_rng(seed).integers(
+            0, 255, (t, h, w, 3), dtype=np.uint8).astype(np.float32) / 255.0
+        return cfg, state, tparams, frames
+
+    def _offline_banded(self, cfg, state, tparams, frames):
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_apply,
+        )
+        from cvml_goalnet_tpu.spotting import encode_timeline
+
+        feats = encode_timeline(
+            state.params, state.model_state, jnp.asarray(frames), None, cfg)
+        return np.asarray(temporal_transformer_apply(
+            tparams, feats, cfg.model.temporal_num_heads, False, False,
+            cfg.model.temporal_window))
+
+    @pytest.mark.parametrize("pos_encoding", ["learned", "rotary"])
+    @pytest.mark.parametrize("chunk", [16, 6])
+    def test_banded_transformer_stream_is_exact(self, small_cfg, pos_encoding,
+                                                chunk):
+        """Streamed banded-transformer scores EQUAL the offline monolithic
+        banded scorer — the band's finite receptive field (layers·window)
+        makes streaming exact, not decay-bounded like the GRU.  chunk=6 <
+        the derived halo (2·4=8) exercises chunk accumulation; halo=0 proves
+        the exactness floor is derived, not caller-supplied."""
+        from cvml_goalnet_tpu.models.temporal import detect_peaks
+        from cvml_goalnet_tpu.spotting import spot_stream
+
+        cfg, state, tparams, frames = self._setup_transformer(
+            small_cfg, t=60, pos_encoding=pos_encoding)
+        updates = list(spot_stream(
+            state.params, state.model_state, tparams,
+            self._stream(frames, chunk), cfg, halo=0, peak_window=3))
+        streamed = np.concatenate([u.scores for u in updates])
+        assert streamed.shape == (60,)
+        offline = self._offline_banded(cfg, state, tparams, frames)
+        np.testing.assert_allclose(streamed, offline, atol=1e-5)
+
+        ev_stream = np.concatenate([np.asarray(u.events) for u in updates])
+        ev_offline = np.nonzero(
+            np.asarray(detect_peaks(jnp.asarray(streamed), 3, 0.0)))[0]
+        np.testing.assert_array_equal(np.sort(ev_stream), ev_offline)
+        assert len(np.unique(ev_stream)) == len(ev_stream)
+
+    def test_banded_transformer_stream_positions_stay_global(self, small_cfg):
+        # max_len < T forces the learned-position mod path: streamed windows
+        # must index the table by GLOBAL frame position (pos_offset), not by
+        # their window-local row — without it every window would restart the
+        # position table at 0 and this parity fails
+        from cvml_goalnet_tpu.spotting import spot_stream
+
+        cfg, state, tparams, frames = self._setup_transformer(
+            small_cfg, t=50, max_len=16)
+        updates = list(spot_stream(
+            state.params, state.model_state, tparams,
+            self._stream(frames, 16), cfg))
+        streamed = np.concatenate([u.scores for u in updates])
+        offline = self._offline_banded(cfg, state, tparams, frames)
+        np.testing.assert_allclose(streamed, offline, atol=1e-5)
+
+    def test_banded_transformer_multiclass_stream(self, small_cfg):
+        from cvml_goalnet_tpu.spotting import spot_stream
+
+        cfg, state, tparams, frames = self._setup_transformer(
+            small_cfg, n_classes=3, t=40)
+        updates = list(spot_stream(
+            state.params, state.model_state, tparams,
+            self._stream(frames, 16), cfg, peak_window=2))
+        streamed = np.concatenate([u.scores for u in updates])
+        assert streamed.shape == (40, 3)
+        for u in updates:
+            assert set(u.events) == {0, 1, 2}
 
     def test_missing_or_misaligned_modalities_fail_loudly(self, small_cfg):
         import dataclasses
