@@ -23,7 +23,10 @@ broken pipeline.
 Prints one JSON line.  Env: ``GOALNET_PLATFORM=cpu`` for smoke runs,
 ``GOALNET_BENCH_T`` (condensed frames, default 5400 = a 90-min match at
 skip 25 over 25-fps footage), ``GOALNET_BENCH_CHUNK`` (default 256),
-``GOALNET_BENCH_HALO`` (default 64).
+``GOALNET_BENCH_HALO`` (default 64), ``GOALNET_BENCH_SCORER``
+(``gru`` default / ``transformer`` = the banded scorer, EXACT streaming,
+halo floored at layers·window), ``GOALNET_BENCH_WINDOW`` (band radius for
+the transformer scorer, default 64).
 """
 
 from __future__ import annotations
@@ -56,14 +59,34 @@ def main() -> None:
     t_total = int(os.environ.get("GOALNET_BENCH_T", "5400"))
     chunk = int(os.environ.get("GOALNET_BENCH_CHUNK", "256"))
     halo = int(os.environ.get("GOALNET_BENCH_HALO", "64"))
+    scorer = os.environ.get("GOALNET_BENCH_SCORER", "gru")
+    window = int(os.environ.get("GOALNET_BENCH_WINDOW", "64"))
     peak_window = 5
     fps, skip = 25.0, 25  # 90-min match: 1 condensed frame per second
 
-    cfg = PipelineConfig(model=ModelConfig(audio_included=False))
+    model = ModelConfig(audio_included=False)
+    if scorer == "transformer":
+        model = dataclasses.replace(
+            model, temporal_model="transformer", temporal_window=window)
+    cfg = PipelineConfig(model=model)
     state = create_train_state(jax.random.PRNGKey(0), cfg)
     d = cfg.model.vis_feature_dim
-    tparams = temporal_scorer_init(jax.random.PRNGKey(1), d,
-                                   cfg.model.temporal_hidden)
+    if scorer == "transformer":
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_init,
+        )
+
+        tparams = temporal_transformer_init(
+            jax.random.PRNGKey(1), d, model_dim=cfg.model.temporal_hidden,
+            num_layers=cfg.model.temporal_num_layers,
+            num_heads=cfg.model.temporal_num_heads,
+            max_len=cfg.model.temporal_max_len)
+        # spot_stream floors the halo at the exactness bound; report it
+        halo_eff = max(halo, cfg.model.temporal_num_layers * window)
+    else:
+        tparams = temporal_scorer_init(jax.random.PRNGKey(1), d,
+                                       cfg.model.temporal_hidden)
+        halo_eff = halo
 
     rng = np.random.default_rng(0)
     raw = rng.integers(0, 255, (t_total, 180, 320, 3), dtype=np.uint8)
@@ -74,7 +97,7 @@ def main() -> None:
                 raw[i:i + chunk], cfg.preprocess.frame_size, cfg.preprocess.eps)
 
     # warm the compile caches (steady window + flush shapes) off the clock
-    warm = min(t_total, 2 * chunk + halo)
+    warm = min(t_total, 2 * chunk + 2 * halo_eff)
     for _ in spot_stream(state.params, state.model_state, tparams,
                          chunks_prefix(raw, warm, chunk, cfg), cfg,
                          halo=halo, peak_window=peak_window,
@@ -108,15 +131,17 @@ def main() -> None:
     out = {
         "bench": "spot_stream",
         "backend": jax.default_backend(),
+        "scorer": scorer,
         "t_condensed": t_total,
         "chunk": chunk,
-        "halo": halo,
+        "halo": halo_eff,
+        **({"window": window} if scorer == "transformer" else {}),
         "frames_per_s": round(frames_per_s, 1),
         "realtime_x": round(frames_per_s * skip / fps, 1),
         "p50_update_ms": round(float(np.percentile(update_s, 50)) * 1e3, 1),
         "p95_update_ms": round(float(np.percentile(update_s, 95)) * 1e3, 1),
         "decision_latency_content_s": round(
-            (chunk + halo + peak_window) * skip / fps, 1),
+            (chunk + halo_eff + peak_window) * skip / fps, 1),
         "events": int(len(ev)),
     }
     print(json.dumps(out))
