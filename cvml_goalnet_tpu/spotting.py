@@ -527,11 +527,6 @@ def spot_stream(
             params, state, jnp.asarray(chunk), audio, cfg, text=text)
         return np.asarray(feats)[:k]
 
-    def score(feats_np):
-        s = np.asarray(temporal_scorer_apply(
-            temporal_params, jnp.asarray(feats_np), hidden))
-        return s[:, None] if s.ndim == 1 else s
-
     emitted = np.empty((0, n_out), np.float32)
     prev_stable = 0
 
@@ -560,54 +555,41 @@ def spot_stream(
         halo = max(halo, len(temporal_params["layers"]) * W)
         use_flash = jax.default_backend() not in ("cpu",)
 
-        def score_banded(feats_np, global_start: int):
+        def score_window(feats_np, global_start: int):
             s = np.asarray(temporal_transformer_apply(
                 temporal_params, jnp.asarray(feats_np),
                 cfg.model.temporal_num_heads, use_flash, False, W,
                 global_start))
             return s[:, None] if s.ndim == 1 else s
+    else:
+        def score_window(feats_np, global_start: int):
+            # the GRU is position-free: global_start is irrelevant
+            s = np.asarray(temporal_scorer_apply(
+                temporal_params, jnp.asarray(feats_np), hidden))
+            return s[:, None] if s.ndim == 1 else s
 
-        left = None          # the halo emitted frames preceding `buf`
-        buf = None           # encoded features not yet emitted
-        emitted_n = 0        # global count of emitted (final) frames
-        for chunk in frame_chunks:
-            feats = encode(chunk, len(chunk))
-            buf = feats if buf is None else np.concatenate([buf, feats])
-            if left is None:
-                left = feats[:0]
-            emit_n = len(buf) - halo
-            if emit_n > 0:
-                window = np.concatenate([left, buf])
-                s = score_banded(window, emitted_n - len(left))
-                s = s[len(left):len(left) + emit_n]
-                left = np.concatenate([left, buf[:emit_n]])[-halo:]
-                emitted_n += emit_n
-                buf = buf[emit_n:]
-                yield drain(s, final=False)
-        if buf is not None and len(buf):
-            window = np.concatenate([left, buf])
-            s = score_banded(window, emitted_n - len(left))[len(left):]
-            yield drain(s, final=True)
-        return
-
-    left_ctx = np.empty((0, 0), np.float32)   # (≤halo, D) once D is known
-    pending = None                            # features of the unemitted chunk
-
+    # One buffered emission loop for both scorers: frames are emitted as
+    # soon as `halo` frames of right context are resident, however the
+    # incoming chunks are sized (chunks smaller than the halo accumulate;
+    # a chunk larger than the halo emits most of itself immediately).
+    left = None          # the ≤halo emitted frames preceding `buf`
+    buf = None           # encoded features not yet emitted
+    emitted_n = 0        # global count of emitted (final) frames
     for chunk in frame_chunks:
-        k = len(chunk)
-        feats = encode(chunk, k)
-        if pending is None:
-            left_ctx = feats[:0]
-            pending = feats
-            continue
-        head = feats[:halo]
-        window = np.concatenate([left_ctx, pending, head])
-        s = score(window)[len(left_ctx):len(left_ctx) + len(pending)]
-        tail = np.concatenate([left_ctx, pending])[-halo:]
-        yield drain(s, final=False)
-        left_ctx, pending = tail, feats
-
-    if pending is not None:
-        window = np.concatenate([left_ctx, pending])
-        s = score(window)[len(left_ctx):]
+        feats = encode(chunk, len(chunk))
+        buf = feats if buf is None else np.concatenate([buf, feats])
+        if left is None:
+            left = feats[:0]
+        emit_n = len(buf) - halo
+        if emit_n > 0:
+            window = np.concatenate([left, buf])
+            s = score_window(window, emitted_n - len(left))
+            s = s[len(left):len(left) + emit_n]
+            left = np.concatenate([left, buf[:emit_n]])[-halo:]
+            emitted_n += emit_n
+            buf = buf[emit_n:]
+            yield drain(s, final=False)
+    if buf is not None and len(buf):
+        window = np.concatenate([left, buf])
+        s = score_window(window, emitted_n - len(left))[len(left):]
         yield drain(s, final=True)
