@@ -96,8 +96,13 @@ def main() -> None:
             yield preprocess_frames_host(
                 raw[i:i + chunk], cfg.preprocess.frame_size, cfg.preprocess.eps)
 
-    # warm the compile caches (steady window + flush shapes) off the clock
-    warm = min(t_total, 2 * chunk + 2 * halo_eff)
+    # warm the compile caches off the clock with a chunk sequence that hits
+    # EVERY scorer shape of the timed run: deferred first chunk, the first
+    # (halo-less) emission window, the steady window, and — when t_total is
+    # not a chunk multiple — the final-partial-chunk window + flush (round-3
+    # ADVICE: the old warmup missed those, landing one compile inside the
+    # timed region; through the remote-compile tunnel that is minutes)
+    warm = min(t_total, 3 * chunk + t_total % chunk)
     for _ in spot_stream(state.params, state.model_state, tparams,
                          chunks_prefix(raw, warm, chunk, cfg), cfg,
                          halo=halo, peak_window=peak_window,

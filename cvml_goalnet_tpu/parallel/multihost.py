@@ -62,7 +62,32 @@ def initialize_from_env(
                 # nothing configured AND the platform offers no peer
                 # auto-detection (single CPU/GPU host): single-process mode
                 # is the intent — running examples/multihost_train.py bare
-                # must work exactly like its docstring says
+                # must work exactly like its docstring says.  But on a
+                # genuine pod a transient metadata failure must not let
+                # every host silently train alone: fail loudly when the
+                # environment carries cluster hints.
+                # single-hostname TPU_WORKER_HOSTNAMES (e.g. "localhost",
+                # injected by single-chip images) is NOT a pod hint — only
+                # genuinely multi-worker signals count
+                hints = [k for k in (
+                    "MEGASCALE_COORDINATOR_ADDRESS", "MEGASCALE_NUM_SLICES",
+                ) if os.environ.get(k)]
+                if "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""):
+                    hints.append("TPU_WORKER_HOSTNAMES")
+                if hints:
+                    raise RuntimeError(
+                        "jax.distributed.initialize() auto-detection failed "
+                        f"but cluster env hints are present ({hints}) — "
+                        "refusing to silently fall back to single-process "
+                        "mode on what looks like a pod; set "
+                        "GOALNET_COORDINATOR/GOALNET_NUM_PROCESSES/"
+                        "GOALNET_PROCESS_ID explicitly")
+                import warnings
+
+                warnings.warn(
+                    "no distributed config detected (no GOALNET_* env, no "
+                    "platform peer auto-detection) — running single-process",
+                    stacklevel=2)
                 return
         else:
             jax.distributed.initialize(

@@ -439,10 +439,12 @@ def spot_stream(
     Bounded-latency spotting for footage still being produced (the offline
     verbs need the whole timeline first): each yielded
     :class:`SpotStreamUpdate` carries scores/events that are FINAL —
-    emission of chunk *i*'s scores waits for ``halo`` frames of chunk
-    *i+1* (the GRU's right context), and an event is reported only once its
-    full ±``peak_window`` neighborhood is emitted.  Worst-case decision
-    latency = one chunk + ``halo`` + ``peak_window`` condensed frames.
+    emission of chunk *i*'s scores waits for ``halo`` frames of right
+    context (the GRU's backward scan), and an event is reported only once
+    its full ±``peak_window`` neighborhood is emitted.  Worst-case decision
+    latency = two chunks + ``halo`` + ``peak_window`` condensed frames (the
+    first chunk defers until the second arrives; steady state is one chunk
+    + ``halo`` + ``peak_window``).
 
     Scorer dispatch (``cfg.model.temporal_model``):
 
@@ -467,6 +469,29 @@ def spot_stream(
     chunk shape (fixed-size chunks + one short final chunk = two) and a
     handful of scorer shapes (warmup windows while the left context grows,
     one steady window, final flush).
+
+    **Emission contract** (tested for chunk<halo, chunk>halo, and
+    single-chunk streams — ``tests/test_spotting.py::TestSpotStream``):
+
+    * The FIRST chunk never emits on arrival — the stream might end right
+      after it, and deferring keeps the single-chunk path monolithic.  A
+      stream that turns out to be one chunk therefore yields EXACTLY ONE
+      update whose scores equal the offline monolithic scorer's to float
+      tolerance (both scorer families).
+    * From the second chunk on, an update is emitted whenever more than
+      ``halo`` frames are buffered — at most one update per input chunk
+      (chunks smaller than the halo accumulate silently).
+    * End of stream: one final update flushes any still-buffered frames
+      (scored with the retained ``halo`` frames of left context — GRU
+      accuracy on this tail is halo-decay-bounded, banded-transformer
+      exact).  If nothing is buffered (possible when ``halo=0``) but
+      frames within ``peak_window`` of the end have unreported events, a
+      final update with EMPTY scores delivers them — every stream with
+      ≥1 emitted frame ends with a final update.
+    * ``halo=0`` is allowed: each emission is scored without retained left
+      context (GRU chunks become independent; the banded transformer
+      re-derives its exactness floor so 0 never truncates its receptive
+      field).  Memory stays bounded by chunk+halo in all modes.
 
     ``audio_chunks`` / ``text_chunks``: per-chunk modality blocks on the
     SAME boundaries as ``frame_chunks`` (required when the trunk includes
@@ -568,24 +593,32 @@ def spot_stream(
                 temporal_params, jnp.asarray(feats_np), hidden))
             return s[:, None] if s.ndim == 1 else s
 
-    # One buffered emission loop for both scorers: frames are emitted as
-    # soon as `halo` frames of right context are resident, however the
-    # incoming chunks are sized (chunks smaller than the halo accumulate;
-    # a chunk larger than the halo emits most of itself immediately).
+    # One buffered emission loop for both scorers: from the second chunk on,
+    # frames are emitted as soon as `halo` frames of right context are
+    # resident, however the incoming chunks are sized (chunks smaller than
+    # the halo accumulate; a chunk larger than the halo emits most of itself
+    # on arrival).  The FIRST chunk always defers — see the emission
+    # contract in the docstring (single-chunk streams stay monolithic+exact).
     left = None          # the ≤halo emitted frames preceding `buf`
     buf = None           # encoded features not yet emitted
     emitted_n = 0        # global count of emitted (final) frames
+    first = True
     for chunk in frame_chunks:
         feats = encode(chunk, len(chunk))
         buf = feats if buf is None else np.concatenate([buf, feats])
         if left is None:
             left = feats[:0]
+        if first:
+            first = False
+            continue
         emit_n = len(buf) - halo
         if emit_n > 0:
             window = np.concatenate([left, buf])
             s = score_window(window, emitted_n - len(left))
             s = s[len(left):len(left) + emit_n]
-            left = np.concatenate([left, buf[:emit_n]])[-halo:]
+            tail = np.concatenate([left, buf[:emit_n]])
+            # tail[-0:] would be the WHOLE array — halo=0 keeps no context
+            left = tail[len(tail) - halo:] if halo else tail[:0]
             emitted_n += emit_n
             buf = buf[emit_n:]
             yield drain(s, final=False)
@@ -593,3 +626,7 @@ def spot_stream(
         window = np.concatenate([left, buf])
         s = score_window(window, emitted_n - len(left))[len(left):]
         yield drain(s, final=True)
+    elif emitted_n and prev_stable < len(emitted):
+        # halo=0 can leave the buffer empty at end of stream with events
+        # inside the trailing peak_window still unreported — deliver them
+        yield drain(np.empty((0, n_out), np.float32), final=True)

@@ -96,3 +96,42 @@ class TestMultiHostRuntime:
         assert g.shape == x.shape
         np.testing.assert_array_equal(np.asarray(g), x)
         np.testing.assert_array_equal(replicated_to_host(g.sum()), x.sum())
+
+
+class TestAutoDetectFallback:
+    """initialize_from_env's bare-call fallback (round-3 ADVICE): silent
+    single-process degradation is only acceptable when NOTHING suggests a
+    pod — multi-worker env hints must fail loudly, not train N independent
+    copies."""
+
+    def _call(self, monkeypatch, env: dict):
+        from cvml_goalnet_tpu.parallel import multihost
+
+        for k in ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+                  "MEGASCALE_NUM_SLICES"):
+            monkeypatch.delenv(k, raising=False)
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+
+        def boom(**kw):
+            raise ValueError("no coordinator address provided")
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        multihost.initialize_from_env()
+
+    def test_bare_host_warns_and_falls_back(self, monkeypatch):
+        with pytest.warns(UserWarning, match="single-process"):
+            self._call(monkeypatch, {})
+
+    def test_single_hostname_is_not_a_pod_hint(self, monkeypatch):
+        # this image's sitecustomize injects TPU_WORKER_HOSTNAMES=localhost
+        with pytest.warns(UserWarning, match="single-process"):
+            self._call(monkeypatch, {"TPU_WORKER_HOSTNAMES": "localhost"})
+
+    def test_multi_worker_hostnames_fail_loudly(self, monkeypatch):
+        with pytest.raises(RuntimeError, match="refusing"):
+            self._call(monkeypatch, {"TPU_WORKER_HOSTNAMES": "host-0,host-1"})
+
+    def test_megascale_env_fails_loudly(self, monkeypatch):
+        with pytest.raises(RuntimeError, match="refusing"):
+            self._call(monkeypatch, {"MEGASCALE_COORDINATOR_ADDRESS": "c:8476"})

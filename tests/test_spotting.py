@@ -992,3 +992,62 @@ class TestSpotStream:
             list(spot_stream(astate.params, astate.model_state, tparams,
                              self._stream(frames, 16), audio_cfg,
                              audio_chunks=short_audio))
+
+    def test_emission_contract_update_counts(self, small_cfg):
+        """The documented emission contract: first chunk defers, then at
+        most one update per chunk (emitted when >halo frames are buffered),
+        plus one final flush — spotting.py::spot_stream docstring."""
+        from cvml_goalnet_tpu.spotting import spot_stream
+
+        cfg, state, tparams, frames = self._setup(small_cfg, t=60)
+        # chunk>halo: chunks 16,16,16,12 → defer, 3 eager updates, 1 flush
+        updates = list(spot_stream(
+            state.params, state.model_state, tparams,
+            self._stream(frames, 16), cfg, halo=8, peak_window=3))
+        assert [len(u.scores) for u in updates] == [24, 16, 12, 8]
+        # chunk<halo: chunks of 6 accumulate until >halo frames are buffered
+        updates = list(spot_stream(
+            state.params, state.model_state, tparams,
+            self._stream(frames[:30], 6), cfg, halo=8, peak_window=3))
+        assert [len(u.scores) for u in updates] == [4, 6, 6, 6, 8]
+
+    def test_halo_zero_stream_reports_trailing_events(self, small_cfg):
+        """halo=0 (reachable via `spot --stream --stream-halo 0`): memory
+        stays bounded (no left-context growth via the `[-0:]` pitfall) and
+        events inside the trailing peak_window are still delivered by an
+        empty final update (round-3 ADVICE.md finding)."""
+        from cvml_goalnet_tpu.models.temporal import detect_peaks
+        from cvml_goalnet_tpu.spotting import spot_stream
+
+        cfg, state, tparams, frames = self._setup(small_cfg, t=40)
+        updates = list(spot_stream(
+            state.params, state.model_state, tparams,
+            self._stream(frames, 10), cfg, halo=0, peak_window=3))
+        streamed = np.concatenate([u.scores for u in updates])
+        assert streamed.shape == (40,)
+        # buffer drains fully every chunk → the final update is the empty
+        # event-stabilization drain
+        assert len(updates[-1].scores) == 0
+        ev_stream = np.concatenate([np.asarray(u.events) for u in updates])
+        ev_offline = np.nonzero(
+            np.asarray(detect_peaks(jnp.asarray(streamed), 3, 0.0)))[0]
+        np.testing.assert_array_equal(np.sort(ev_stream), ev_offline)
+
+    def test_default_chunk_halo_decay_bound(self, small_cfg):
+        """Pin the GRU streamed-vs-offline decay bound at the production
+        default chunk/halo (256/64) — the round-3 eager-emission change
+        shrank effective left context, so the bound is load-bearing."""
+        from cvml_goalnet_tpu.spotting import (
+            encode_timeline, score_timeline, spot_stream)
+
+        cfg, state, tparams, frames = self._setup(small_cfg, t=640)
+        updates = list(spot_stream(
+            state.params, state.model_state, tparams,
+            self._stream(frames, 256), cfg, halo=64))
+        streamed = np.concatenate([u.scores for u in updates])
+        assert streamed.shape == (640,)
+        feats = encode_timeline(
+            state.params, state.model_state, jnp.asarray(frames), None, cfg)
+        offline = np.asarray(score_timeline(
+            tparams, feats, cfg.model.temporal_hidden))
+        np.testing.assert_allclose(streamed, offline, atol=2e-2)
