@@ -6,11 +6,13 @@ executed ``/root/reference/main.py`` next to the rebuild.  This module closes
 that gap: it materializes a synthetic corpus in the reference's exact on-disk
 layout (``ydata-tvsum50-v1_1/{data,ground_truth,video}`` — reference
 ``main.py:39-43``), imports the reference modules unmodified (stubbing only
-the host-absent ``moviepy``/``librosa`` imports, which the no-audio path
-never calls — ``utils.py:7,9``), and drives the real
-``train_importance_model(audio_included=False)`` (``main.py:26-298``)
-in-process with three pieces of *instrumentation* (no reference code is
-edited):
+the host-absent ``moviepy``/``librosa`` imports — ``utils.py:7,9``; the
+no-audio path never calls them, and the audio path replaces the one blocked
+function, ``extract_audio_features``, with the deterministic
+:func:`synthetic_audio_features` IDENTICALLY on both sides), and drives the
+real ``train_importance_model`` (``main.py:26-298``) — both
+``audio_included`` variants — in-process with three pieces of
+*instrumentation* (no reference code is edited):
 
 * the per-epoch metric lists are captured at the reference's own
   ``generate_metric_plots`` call site (``main.py:286``) and training is
@@ -173,6 +175,33 @@ def build_reference_corpus(
     }
 
 
+def synthetic_audio_features(
+    video_id: str, n_frames: int, n_mfcc: int = 30, bin_length: int = 30
+) -> np.ndarray:
+    """Deterministic stand-in for the reference's librosa MFCC frontend.
+
+    The frontend itself (``utils.py:313-349``) is environment-blocked here
+    (no librosa, and its ``infer`` call is broken upstream anyway —
+    ``main.py:321`` omits the required ``bin_length``), but the TRAINING
+    audio path is not: ``get_dataloaders(audio_included=True)`` only needs
+    ``extract_audio_features`` to return an ``(N, n_mfcc, B)`` array
+    (``utils.py:98-99``).  Feeding BOTH sides of the A/B this same
+    deterministic tensor lets the reference's AudBl (``utils.py:197-227``),
+    the 640-dim concat fusion (``utils.py:266``), and the audio checkpoint
+    pair (``main.py:31-38``) execute for real (round-3 VERDICT item 2).
+
+    Returns the REFERENCE layout ``(N, n_mfcc, B)`` float32; the rebuild's
+    NWC audio encoder consumes ``.transpose(0, 2, 1)``.  float32 so the
+    reference's ``torch.tensor(…, dtype=float32)`` cast (``utils.py:42``)
+    is byte-exact against our own ingestion.
+    """
+    import zlib
+
+    seed = zlib.crc32(f"{video_id}:{n_frames}:{n_mfcc}:{bin_length}".encode())
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_frames, n_mfcc, bin_length)).astype(np.float32)
+
+
 def _make_stubs() -> dict:
     """Import-time stubs for moviepy/librosa (absent on this host; never
     CALLED on the no-audio path — any call raises loudly)."""
@@ -199,13 +228,19 @@ def _make_stubs() -> dict:
 
 
 @contextlib.contextmanager
-def reference_session(corpus_root: str):
+def reference_session(corpus_root: str, synthetic_audio: bool = False):
     """Import the reference modules fresh and run with CWD at the corpus.
 
     Yields a namespace with ``utils`` and ``main``.  Restores CWD,
     ``sys.path`` and the touched ``sys.modules`` entries on exit, so the
     generic module names (``utils``, ``main``, ``visualization``) can't leak
     into the rest of the process.
+
+    ``synthetic_audio=True`` replaces ``utils.extract_audio_features`` with
+    the deterministic :func:`synthetic_audio_features` (keyed by the wav's
+    video id + frame count) so the audio-included paths can run live on this
+    librosa-less host; ``get_dataloaders`` calls it as a module global
+    (``utils.py:98-99``), so patching the utils module covers every caller.
     """
     os.environ.setdefault("MPLBACKEND", "Agg")
     touched = ["utils", "main", "visualization", "moviepy", "moviepy.editor", "librosa"]
@@ -221,6 +256,14 @@ def reference_session(corpus_root: str):
         import main as ref_main  # noqa: F401  (resolves inside REFERENCE_DIR)
         import utils as ref_utils
 
+        if synthetic_audio:
+            def _synthetic_extract_audio_features(
+                audio_fp=None, n_frames=None, bin_length=None
+            ):
+                vid = os.path.basename(audio_fp).rsplit(".", 1)[0]
+                return synthetic_audio_features(vid, n_frames, 30, bin_length)
+
+            ref_utils.extract_audio_features = _synthetic_extract_audio_features
         yield types.SimpleNamespace(utils=ref_utils, main=ref_main)
     finally:
         os.chdir(prev_cwd)
@@ -242,9 +285,15 @@ def run_reference_training(
     epochs: int,
     torch_seed: int = 20260817,
     zero_dropout: bool = True,
+    audio_included: bool = False,
 ) -> dict:
-    """Drive the LIVE ``train_importance_model(audio_included=False)`` for
-    ``epochs`` epochs and return everything the A/B comparison needs.
+    """Drive the LIVE ``train_importance_model`` for ``epochs`` epochs and
+    return everything the A/B comparison needs.
+
+    ``audio_included=True`` runs the reference's full audio training path —
+    AudBl, concat fusion, the audio checkpoint pair — live, with the
+    deterministic :func:`synthetic_audio_features` standing in for the
+    environment-blocked librosa frontend on BOTH sides of the A/B.
 
     Returns dict with:
 
@@ -264,7 +313,7 @@ def run_reference_training(
     captured: dict = {}
     init_sd: dict = {}
 
-    with reference_session(corpus_root) as ref:
+    with reference_session(corpus_root, synthetic_audio=audio_included) as ref:
         real_avm = ref.utils.AVM
 
         def capture(opt_val_loss, tr_l, tr_fa, tr_fm, v_l, v_fa, v_fm, exported_image_fp=None):
@@ -280,7 +329,8 @@ def run_reference_training(
             m = real_avm(audio_included=audio_included)
             m.eval()  # materialize lazy layers WITHOUT touching BN stats
             with torch.no_grad():
-                m(None, torch.zeros(2, 3, 40, 40))
+                m(torch.zeros(2, 30, 30) if audio_included else None,
+                  torch.zeros(2, 3, 40, 40))
             if zero_dropout:
                 for mod in m.modules():
                     if isinstance(mod, nn.Dropout):
@@ -292,11 +342,15 @@ def run_reference_training(
         ref.main.generate_metric_plots = capture
         ref.main.AVM = avm_factory
         try:
-            ref.main.train_importance_model(audio_included=False, load_ckp=False)
+            ref.main.train_importance_model(
+                audio_included=audio_included, load_ckp=False)
         except _StopTraining:
             pass
 
-        ckp_fp = os.path.join(corpus_root, "models", "ckp_frame_importance_model_no_audio.pt")
+        # separate checkpoint pairs per variant (main.py:31-38)
+        ckp_name = ("ckp_frame_importance_model.pt" if audio_included
+                    else "ckp_frame_importance_model_no_audio.pt")
+        ckp_fp = os.path.join(corpus_root, "models", ckp_name)
         ckp_sd = torch.load(ckp_fp, map_location="cpu")
 
     to_np = lambda sd: {k: np.asarray(v.detach().cpu()) for k, v in sd.items()}
@@ -308,30 +362,45 @@ def run_reference_training(
     }
 
 
-def reference_eval_and_postprocess(corpus_root: str, state_dict, video_index: int = 0):
+def reference_eval_and_postprocess(
+    corpus_root: str, state_dict, video_index: int = 0,
+    audio_included: bool = False,
+):
     """Deterministic reference inference: load ``state_dict`` into a fresh
     AVM, run ``model.eval()`` over one video's condensed frames, and
     postprocess to the summary mask (``utils.py:606-643``).
 
     This is the reference side of the checkpoint end-to-end lock (VERDICT r2
     item 7): its outputs are compared against the rebuild's ``fuse`` +
-    ``summarize`` on the same imported weights.
+    ``summarize`` on the same imported weights.  ``audio_included=True``
+    feeds the live AVM the deterministic :func:`synthetic_audio_features`
+    (the reference's own ``--infer`` audio call is broken upstream —
+    ``main.py:321`` omits ``bin_length`` — so eval-time parity uses the
+    training-path feature contract).
     Returns (scores (N,), summary_mask (full_n,), full_n_frames).
     """
     import torch
 
-    with reference_session(corpus_root) as ref:
+    with reference_session(corpus_root, synthetic_audio=audio_included) as ref:
         vid = REFERENCE_VIDEO_IDS[video_index]
         video_fp = os.path.join("ydata-tvsum50-v1_1", "video", f"{vid}.mp4")
         frames, full_n = ref.utils.extract_condensed_frame_tensor(video_fp, skip_frames=30)
-        model = ref.utils.AVM(audio_included=False)
+        audio = None
+        if audio_included:
+            audio = torch.tensor(
+                ref.utils.extract_audio_features(
+                    audio_fp=video_fp[:-4] + ".wav", n_frames=len(frames),
+                    bin_length=30),
+                dtype=torch.float32)
+        model = ref.utils.AVM(audio_included=audio_included)
         model.eval()
         with torch.no_grad():
-            model(None, torch.zeros(2, 3, 40, 40))  # materialize lazy layers
+            model(torch.zeros(2, 30, 30) if audio_included else None,
+                  torch.zeros(2, 3, 40, 40))  # materialize lazy layers
             model.load_state_dict(
                 {k: torch.as_tensor(v) for k, v in state_dict.items()}
             )
-            preds = model(None, torch.tensor(frames, dtype=torch.float32))
+            preds = model(audio, torch.tensor(frames, dtype=torch.float32))
         _, mask = ref.utils.postprocess(
             video_id=vid,
             h5_file_path="ydata-tvsum50-v1_1/ground_truth/eccv16_dataset_tvsum_google_pool5.h5",

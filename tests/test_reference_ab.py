@@ -43,14 +43,25 @@ def corpus(tmp_path_factory):
     return build_reference_corpus(str(root))
 
 
-@pytest.fixture(scope="module")
-def ab_cfg():
+@pytest.fixture(scope="module", params=[False, True], ids=["noaudio", "audio"])
+def audio_included(request):
+    """Every trajectory/checkpoint/export lock runs for BOTH reference
+    variants (round-3 VERDICT item 2: the audio path had never been A/B'd
+    against the living reference).  The librosa frontend is environment-
+    blocked, so both sides consume the same deterministic
+    ``synthetic_audio_features`` — AudBl, the 640-dim concat fusion, and the
+    audio checkpoint pair all execute for real."""
+    return request.param
+
+
+def _make_cfg(audio_included: bool):
     from cvml_goalnet_tpu.config import PipelineConfig
 
     base = PipelineConfig()
     return dc.replace(
         base,
-        model=dc.replace(base.model, audio_included=False, dropout_rate=0.0),
+        model=dc.replace(
+            base.model, audio_included=audio_included, dropout_rate=0.0),
         train=dc.replace(
             base.train,
             broadcast_loss_compat=True,
@@ -61,22 +72,60 @@ def ab_cfg():
 
 
 @pytest.fixture(scope="module")
-def our_datasets(corpus, ab_cfg):
-    from cvml_goalnet_tpu.data.dataset import build_datasets
+def ab_cfg(audio_included):
+    return _make_cfg(audio_included)
 
-    return build_datasets(
-        corpus["video_fps"], ab_cfg,
+
+@pytest.fixture(scope="module")
+def noaudio_cfg():
+    """For the locks that are no-audio by the REFERENCE's own construction
+    (baseline.py:14 hard-codes audio_included=False; the short-subbatch BN
+    case is orthogonal to modalities)."""
+    return _make_cfg(False)
+
+
+def _build_datasets(corpus, cfg, audio_included: bool):
+    from cvml_goalnet_tpu.compat.reference_runner import synthetic_audio_features
+    from cvml_goalnet_tpu.data.dataset import VideoDataset, build_datasets
+
+    # the wavs are empty sidecars (they exist only to skip the reference's
+    # moviepy demux), so our own MFCC frontend never runs here: both sides
+    # ingest the SAME synthetic features — ours transposed to the NWC layout
+    train, val = build_datasets(
+        corpus["video_fps"], cfg,
         annotation_fp=corpus["annotation_fp"],
         mat_file_path=corpus["mat_file_path"],
         h5_file_path=corpus["h5_file_path"],
         info_fp=corpus["info_fp"],
         audio_included=False,
     )
+    if not audio_included:
+        return train, val
+
+    def inject(ds):
+        return VideoDataset([
+            dc.replace(i, audio=np.transpose(
+                synthetic_audio_features(i.video_id, len(i.visual)), (0, 2, 1)))
+            for i in ds
+        ])
+
+    return inject(train), inject(val)
 
 
 @pytest.fixture(scope="module")
-def reference_run(corpus):
-    return run_reference_training(corpus["root"], epochs=EPOCHS)
+def our_datasets(corpus, ab_cfg, audio_included):
+    return _build_datasets(corpus, ab_cfg, audio_included)
+
+
+@pytest.fixture(scope="module")
+def noaudio_datasets(corpus, noaudio_cfg):
+    return _build_datasets(corpus, noaudio_cfg, False)
+
+
+@pytest.fixture(scope="module")
+def reference_run(corpus, audio_included):
+    return run_reference_training(
+        corpus["root"], epochs=EPOCHS, audio_included=audio_included)
 
 
 class TestDatasetParityLive:
@@ -84,8 +133,10 @@ class TestDatasetParityLive:
     mp4 corpus (ingest + annotations + per-annotator knapsack GT chain)."""
 
     @pytest.fixture(scope="class")
-    def ref_datasets(self, corpus):
-        with reference_session(corpus["root"]) as ref:
+    def ref_datasets(self, corpus, audio_included):
+        with reference_session(
+            corpus["root"], synthetic_audio=audio_included
+        ) as ref:
             train_ds, val_ds = ref.utils.get_dataloaders(
                 video_fps=[
                     f"./ydata-tvsum50-v1_1/video/{v}.mp4" for v in corpus["video_ids"]
@@ -94,15 +145,17 @@ class TestDatasetParityLive:
                 annotation_fp="ydata-tvsum50-v1_1/data/ydata-tvsum50-anno.tsv",
                 mat_file_path="ydata-tvsum50-v1_1/ground_truth/ydata-tvsum50.mat",
                 h5_file_path="ydata-tvsum50-v1_1/ground_truth/eccv16_dataset_tvsum_google_pool5.h5",
-                audio_included=False,
+                audio_included=audio_included,
             )
             out = []
             for ds in (train_ds, val_ds):
                 for i in range(len(ds)):
-                    vid, frames, _, labels, gd = ds[i]
+                    vid, frames, audios, labels, gd = ds[i]
                     out.append({
                         "video_id": vid,
                         "frames": np.asarray(frames),          # (N, 3, 40, 40)
+                        "audios": (np.asarray(audios)           # (N, 30, B)
+                                   if audio_included else None),
                         "labels": np.asarray(labels),
                         "gd": np.asarray(gd),                   # (20, full_n)
                         "full_n": int(ds.full_n_frames_),
@@ -126,6 +179,13 @@ class TestDatasetParityLive:
             np.testing.assert_allclose(ours_nchw, ref["frames"], atol=1e-5)
             # trimmed mean-annotator labels: exact (round of identical means)
             np.testing.assert_array_equal(item.labels, ref["labels"])
+            # audio features: the reference's dataloader tensor (N, 30, B)
+            # must be OUR NWC tensor transposed, byte-exact
+            if ref["audios"] is not None:
+                np.testing.assert_array_equal(
+                    np.transpose(item.audio, (0, 2, 1)), ref["audios"])
+            else:
+                assert item.audio is None
             # per-annotator knapsack ground-truth masks: exact
             np.testing.assert_array_equal(item.gd_summary_masks, ref["gd"])
             assert ref["gd"].sum() > 0, "degenerate corpus: empty GT summaries"
@@ -215,8 +275,9 @@ class TestShortSubbatchBatchnormParityLive:
         return run_reference_training(short_corpus["root"], epochs=self.N_EPOCHS)
 
     def test_loss_trajectories_match_with_short_subbatches(
-        self, short_corpus, ab_cfg, short_reference_run
+        self, short_corpus, noaudio_cfg, short_reference_run
     ):
+        ab_cfg = noaudio_cfg
         from cvml_goalnet_tpu.compat.torch_import import import_reference_state_dict
         from cvml_goalnet_tpu.data.dataset import build_datasets
         from cvml_goalnet_tpu.train.loop import train_importance_model
@@ -272,7 +333,8 @@ class TestBaselineLive:
     replays through the rebuild's eval path — predictions, broadcast losses,
     and F-scores must match."""
 
-    def test_replay_matches_reference_baseline(self, corpus, ab_cfg, our_datasets):
+    def test_replay_matches_reference_baseline(self, corpus, noaudio_cfg, noaudio_datasets):
+        ab_cfg, our_datasets = noaudio_cfg, noaudio_datasets
         from cvml_goalnet_tpu.compat.reference_runner import run_reference_baseline
         from cvml_goalnet_tpu.compat.torch_import import import_reference_state_dict
         from cvml_goalnet_tpu.train.loop import _video_fscores, eval_video
@@ -309,14 +371,14 @@ class TestCheckpointEndToEndLock:
     scores and knapsack summary mask end to end."""
 
     def test_imported_checkpoint_matches_reference_postprocess(
-        self, corpus, ab_cfg, our_datasets, reference_run
+        self, corpus, ab_cfg, our_datasets, reference_run, audio_included
     ):
         from cvml_goalnet_tpu.compat.torch_import import import_reference_state_dict
         from cvml_goalnet_tpu.pipeline import fuse, summarize
 
         sd = reference_run["ckp_state_dict"]
         ref_scores, ref_mask, full_n = reference_eval_and_postprocess(
-            corpus["root"], sd, video_index=0
+            corpus["root"], sd, video_index=0, audio_included=audio_included
         )
 
         params, model_state = import_reference_state_dict(
@@ -326,7 +388,7 @@ class TestCheckpointEndToEndLock:
         assert item.video_id == REFERENCE_VIDEO_IDS[0]
         scores = np.asarray(fuse(
             params, model_state,
-            {"visual": item.visual, "audio": None, "text": None}, ab_cfg,
+            {"visual": item.visual, "audio": item.audio, "text": None}, ab_cfg,
         ))
         np.testing.assert_allclose(scores, ref_scores, atol=1e-4)
         res = summarize(
@@ -346,7 +408,7 @@ class TestExportToLiveReference:
     checkpoint."""
 
     def test_exported_state_dict_drives_live_reference(
-        self, corpus, ab_cfg, reference_run
+        self, corpus, ab_cfg, reference_run, audio_included
     ):
         from cvml_goalnet_tpu.compat.torch_import import (
             export_reference_state_dict,
@@ -361,10 +423,11 @@ class TestExportToLiveReference:
             params, model_state, ab_cfg.model, ab_cfg.preprocess, ab_cfg.audio
         )
         ref_scores, ref_mask, _ = reference_eval_and_postprocess(
-            corpus["root"], sd, video_index=0
+            corpus["root"], sd, video_index=0, audio_included=audio_included
         )
         exp_scores, exp_mask, _ = reference_eval_and_postprocess(
-            corpus["root"], exported, video_index=0
+            corpus["root"], exported, video_index=0,
+            audio_included=audio_included
         )
         # the live reference, fed our export, equals the live reference fed
         # its own checkpoint — weights round-tripped bit-exactly
