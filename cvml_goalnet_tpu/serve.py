@@ -14,7 +14,14 @@ and re-parsed ground truth per invocation — ``main.py:300-348``).  Here:
   ``{"mask_frames": ..., "clips": [[a, b], ...], "scores": [...]}``;
   ``POST /spot {"video": ..., "peak_window"?, "peak_threshold"?}`` →
   ``{"events_condensed_frames": ..., "events_seconds": ..., "summary_clips":
-  ...}`` (per-class dicts when the Spotter has classes).
+  ...}`` (per-class dicts when the Spotter has classes);
+  ``POST /spot-stream {"video": ..., "chunk"?, "halo"?, ...}`` →
+  a STREAMED ndjson response: one line per event the moment it becomes
+  FINAL (the ``spotting.spot_stream`` finality contract — the same lines
+  ``goalnet spot --stream`` prints), then a closing summary line.  For
+  footage still being produced: a "match in progress" consumer holds one
+  HTTP connection and reacts to events with bounded latency instead of
+  waiting for the whole file.
 """
 
 from __future__ import annotations
@@ -424,6 +431,66 @@ class Spotter:
         resp = self.spot_frames(video_id, frames, full_n, waveform, **kw)
         return dataclasses.replace(resp, fps=probe_video_fps(video_fp))
 
+    def spot_stream_path(
+        self,
+        video_fp: str,
+        chunk: int = 256,
+        halo: int = 64,
+        peak_window: int = 5,
+        peak_threshold: float = 0.0,
+    ):
+        """LIVE spotting over a file being decoded in chunks: yields
+        :class:`spotting.SpotStreamUpdate` with the same finality contract
+        as ``goalnet spot --stream`` (``cli.py::_run_spot_stream``) —
+        bounded memory, events final when reported.
+
+        Weights are SNAPSHOTTED under the lock at stream start: a
+        ``/reload`` mid-stream swaps them for the next request, never
+        mid-timeline (a head swap halfway through would emit scores from
+        two different models into one stream).
+
+        Raises ``ValueError`` up front for trunks whose modalities cannot
+        ride a live stream (audio/commentary sidecars — the same loud
+        contract as the CLI verb) and for the unbounded full-attention
+        scorer; callers surface these as 400s before any bytes stream.
+        """
+        from cvml_goalnet_tpu.data.video import stream_condensed_frames
+        from cvml_goalnet_tpu.ops.preprocess import preprocess_frames_host
+        from cvml_goalnet_tpu.spotting import spot_stream
+
+        cfg = self.cfg
+        # EAGER contract checks: spot_stream is a generator, so its own
+        # raises would surface only after the caller starts consuming —
+        # too late for an HTTP 400 (headers would already be streamed)
+        if cfg.model.audio_included or cfg.model.text_included:
+            raise ValueError(
+                "spot-stream supports visual-only trunks — audio/commentary "
+                "ride sidecar files that do not exist for footage still "
+                "being produced; serve a --no-audio trunk or POST /spot")
+        if (cfg.model.temporal_model == "transformer"
+                and cfg.model.temporal_window <= 0):
+            raise ValueError(
+                "spot-stream needs a banded transformer window "
+                "(temporal_window > 0): full attention has an unbounded "
+                "receptive field, so streamed scores could never be final")
+        if chunk < 1 or halo < 0:
+            raise ValueError(f"chunk must be >=1 and halo >=0 (got {chunk}, {halo})")
+        with self._lock:
+            params, model_state = self.state.params, self.state.model_state
+            tparams = self.temporal_params
+
+        def chunks():
+            for raw in stream_condensed_frames(
+                video_fp, cfg.preprocess.skip_frames, chunk
+            ):
+                yield preprocess_frames_host(
+                    raw, cfg.preprocess.frame_size, cfg.preprocess.eps)
+
+        return spot_stream(
+            params, model_state, tparams, chunks(), cfg,
+            halo=halo, peak_window=peak_window,
+            peak_threshold=peak_threshold)
+
 
 class DynamicBatcher:
     """Cross-request micro-batching for the serving hot path.
@@ -772,11 +839,14 @@ def serve_http(
             # let a client mint unbounded counter/ring entries (one deque per
             # unique 404 path → memory growth on an exposed host)
             endpoint = (self.path
-                        if self.path in ("/spot", "/summarize", "/reload")
+                        if self.path in ("/spot", "/spot-stream",
+                                         "/summarize", "/reload")
                         else "(other)")
             try:
                 if self.path == "/spot":
                     self._do_spot()
+                elif self.path == "/spot-stream":
+                    self._do_spot_stream()
                 elif self.path == "/summarize":
                     self._do_summarize()
                 elif self.path == "/reload":
@@ -815,6 +885,113 @@ def serve_http(
                 self._reply(400, {"error": "nothing reloadable", "detail": skipped})
                 return
             self._reply(200, {"reloaded": out, "skipped": skipped})
+
+        def _do_spot_stream(self):
+            """``POST /spot-stream {"video": ..., "chunk"?, "halo"?,
+            "peak_window"?, "peak_threshold"?, "emit_scores"?}`` → a STREAMED
+            ``application/x-ndjson`` response.
+
+            Lines, in order: one ``{"event_condensed_frame", "event_seconds"
+            [, "class"]}`` per event the moment it becomes FINAL (identical
+            to the jsonl ``goalnet spot --stream`` prints —
+            ``cli.py::_run_spot_stream``); with ``emit_scores`` one
+            ``{"scores": [...]}`` line per emission (the concatenation is
+            the full streamed timeline — what the parity tests pin against
+            offline ``detect_peaks``); finally one closing
+            ``{"video_id", "streamed_frames", "events_condensed_frames",
+            "events_seconds"}`` summary line.  The connection closes after
+            the summary (``Connection: close``) — consumers read lines until
+            EOF.  Contract violations (audio/text trunk, full-attention
+            scorer) are 400s BEFORE any bytes stream; a mid-stream failure
+            emits a final ``{"error": ...}`` line.
+            """
+            if spotter is None:
+                self._reply(404, {"error": "spotting not enabled on this server"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                path = resolve(req["video"])
+                if not os.path.exists(path):
+                    raise FileNotFoundError(path)
+                updates = spotter.spot_stream_path(
+                    path,
+                    chunk=int(req.get("chunk", 256)),
+                    halo=int(req.get("halo", 64)),
+                    peak_window=int(req.get("peak_window", 5)),
+                    peak_threshold=float(req.get("peak_threshold", 0.0)),
+                )
+            except PermissionError as e:
+                self._reply(403, {"error": str(e)})
+                return
+            except FileNotFoundError as e:
+                self._reply(404, {"error": f"video not found: {e}"})
+                return
+            except (KeyError, ValueError, TypeError) as e:
+                self._reply(400, {"error": repr(e)})
+                return
+
+            from cvml_goalnet_tpu.data.video import probe_video_fps
+
+            skip = spotter.cfg.preprocess.skip_frames
+            fps = probe_video_fps(path) or 30.0   # same fallback as /spot
+            names = spotter.classes or [None]
+            emit_scores = bool(req.get("emit_scores", False))
+
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Cache-Control", "no-store")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            self._status = 200
+
+            def line(payload: dict):
+                self.wfile.write(json.dumps(payload).encode() + b"\n")
+                self.wfile.flush()
+
+            all_events: dict[int, list[int]] = {c: [] for c in range(len(names))}
+            n_scores = 0
+            try:
+                for u in updates:
+                    n_scores += len(u.scores)
+                    per_class = (u.events if isinstance(u.events, dict)
+                                 else {0: u.events})
+                    for c, ev in sorted(per_class.items()):
+                        all_events[c].extend(int(e) for e in ev)
+                        for e in ev:
+                            out = {"event_condensed_frame": int(e),
+                                   "event_seconds": round(float(e * skip) / fps, 2)}
+                            if names[c] is not None:
+                                out["class"] = names[c]
+                            line(out)
+                    if emit_scores:
+                        line({"scores": np.round(
+                            np.asarray(u.scores, np.float64), 6).tolist()})
+                summary = {
+                    "video_id": os.path.basename(path).rsplit(".", 1)[0],
+                    "streamed_frames": n_scores,
+                }
+                if names[0] is None:
+                    summary["events_condensed_frames"] = all_events[0]
+                    summary["events_seconds"] = [
+                        round(float(e * skip) / fps, 2) for e in all_events[0]]
+                else:
+                    summary["classes"] = list(names)
+                    summary["events_condensed_frames"] = {
+                        c: all_events[i] for i, c in enumerate(names)}
+                    summary["events_seconds"] = {
+                        c: [round(float(e * skip) / fps, 2) for e in all_events[i]]
+                        for i, c in enumerate(names)}
+                line(summary)
+            except BrokenPipeError:
+                self._status = 499  # client went away; nothing to write
+            except Exception as e:
+                # headers are long gone — the error rides the stream itself
+                self._status = 500
+                try:
+                    line({"error": repr(e)})
+                except Exception:
+                    pass
 
         def _do_summarize(self):
             try:
