@@ -4,8 +4,9 @@ Same program shape as the official ``bench.py`` (on-device preprocess →
 visual encoder → audio branch → fusion MLP) with ``vis_backbone`` swapped:
 ``reference`` (the reference-topology conv stack, ``utils.py:145-195``),
 ``resnet`` (models/resnet.py), ``vit`` (models/vit.py — all-GEMM patch
-transformer).  bf16 everywhere; int8 is measured ONLY for the reference
-backbone (the one with an int8 path — the others warn-and-float).
+transformer).  bf16 everywhere, plus an int8 row per family (since round 4
+every backbone has an int8 MXU path: dominant convs for ``reference``,
+bn-folded block convs for ``resnet``, all block GEMMs for ``vit``).
 
 Prints one JSON line per variant.  Timing uses the verified in-program scan
 chain (benchmarks/_timing.py) so the numbers hold through the axon tunnel.
@@ -85,17 +86,18 @@ def main() -> None:
     batch = int(os.environ.get("GOALNET_BENCH_BATCH", default_batch))
     rng = np.random.default_rng(0)
 
-    variants = {
-        "reference": base,
-        "reference_int8": dataclasses.replace(
-            base, model=dataclasses.replace(base.model, quantized_inference=True)),
-        "resnet": dataclasses.replace(
-            base, model=dataclasses.replace(base.model, vis_backbone="resnet")),
-        "vit": dataclasses.replace(
-            base, model=dataclasses.replace(base.model, vis_backbone="vit")),
-    }
+    variants = {}
+    for family in ("reference", "resnet", "vit"):
+        fam_cfg = dataclasses.replace(
+            base, model=dataclasses.replace(base.model, vis_backbone=family))
+        variants[family] = fam_cfg
+        variants[f"{family}_int8"] = dataclasses.replace(
+            fam_cfg,
+            model=dataclasses.replace(fam_cfg.model, quantized_inference=True))
     if jax.default_backend() == "cpu":
-        variants.pop("reference_int8")  # XLA:CPU int8 conv is pathological
+        # XLA:CPU int8 conv is pathological; keep the GEMM-only vit int8 row
+        variants.pop("reference_int8")
+        variants.pop("resnet_int8")
     for name, cfg in variants.items():
         print(json.dumps(bench_variant(name, cfg, batch, rng)), flush=True)
 

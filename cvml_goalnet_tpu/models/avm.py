@@ -27,27 +27,6 @@ from cvml_goalnet_tpu.models.visual import visual_encoder_apply, visual_encoder_
 
 N_CLASSES = 5  # classifier-mode output arity (importance grades 1..5)
 
-_QUANT_WARNED: set = set()
-
-
-def _warn_quant_ignored(backbone: str):
-    """One-time warning: quantized_inference has an int8 path only for the
-    reference conv backbone.
-
-    Without this a user benchmarking resnet/vit with the int8 flag set would
-    silently get float numbers (advisor finding, round 2).
-    """
-    if backbone not in _QUANT_WARNED:
-        import warnings
-
-        warnings.warn(
-            f"quantized_inference=True is ignored for vis_backbone="
-            f"{backbone!r} (no int8 path); running the float encoder",
-            stacklevel=3,
-        )
-        _QUANT_WARNED.add(backbone)
-
-
 def fusion_input_dim(cfg: ModelConfig) -> int:
     dim = cfg.vis_feature_dim
     if cfg.audio_included:
@@ -151,10 +130,9 @@ def avm_apply(
     _, vis_apply = _visual_init(cfg)
     vis_kw = {}
     if not train and cfg.quantized_inference:
-        if cfg.vis_backbone != "reference":
-            _warn_quant_ignored(cfg.vis_backbone)   # float path; no int8
-        else:
-            vis_kw["quant"] = True   # int8 MXU path for the dominant convs
+        # int8 MXU path: dominant convs (reference), bn-folded block convs
+        # (resnet), or all block GEMMs (vit) — every family has one (r4)
+        vis_kw["quant"] = True
     if train and valid is not None:
         vis_kw["mask"] = valid
     feats, new_state = vis_apply(

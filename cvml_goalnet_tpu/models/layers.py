@@ -185,11 +185,14 @@ def layernorm_apply(params, x, eps: float = 1e-5):
 
 # -------------------------------------------------- multi-head self-attention
 
-def multihead_attention(layer, x, num_heads: int, mask=None):
+def multihead_attention(layer, x, num_heads: int, mask=None, linear_fn=None):
     """Batched multi-head self-attention over (N, T, D) token sequences.
 
     ``layer`` holds ``wq/wk/wv/wo`` linear pytrees (``linear_init(d, d)``).
-    ``mask`` (N, T) marks valid KEY positions (None = all visible).  Shared
+    ``mask`` (N, T) marks valid KEY positions (None = all visible).
+    ``linear_fn`` swaps the projection GEMMs (same ``(params, x)`` signature
+    as :func:`linear_apply` — e.g. ``ops/quant.quantized_linear`` for
+    eval-time int8).  Shared
     by the token-scale encoders (text branch, ViT patches) — the T≈135k
     timeline scorer uses the flash/ring kernels instead
     (``ops/pallas/flash_attention.py``), which stream KV tiles; at T ≤ a few
@@ -198,20 +201,21 @@ def multihead_attention(layer, x, num_heads: int, mask=None):
     """
     n, t, d = x.shape
     hd = d // num_heads
+    lin = linear_apply if linear_fn is None else linear_fn
 
     def split(h):
         return h.reshape(n, t, num_heads, hd).transpose(0, 2, 1, 3)
 
-    q = split(linear_apply(layer["wq"], x))
-    k = split(linear_apply(layer["wk"], x))
-    v = split(linear_apply(layer["wv"], x))
+    q = split(lin(layer["wq"], x))
+    k = split(lin(layer["wk"], x))
+    v = split(lin(layer["wv"], x))
     logits = jnp.einsum("nhqd,nhkd->nhqk", q, k) / jnp.sqrt(hd).astype(x.dtype)
     if mask is not None:
         logits = jnp.where(mask[:, None, None, :], logits, -1e30)
     attn = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
     out = out.transpose(0, 2, 1, 3).reshape(n, t, d)
-    return linear_apply(layer["wo"], out)
+    return lin(layer["wo"], out)
 
 
 # ------------------------------------------------------------ misc utilities

@@ -73,9 +73,70 @@ def resnet_encoder_init(key, cfg: ModelConfig, pre: PreprocessConfig):
     return params, state
 
 
+def _bn_fold(conv, bn_p, bn_s, eps: float = 1e-5):
+    """Fold an OUTPUT-side eval batchnorm into the producing conv: with the
+    bn as per-channel ``y = s·x + t`` (same affine as ``visual._bn_affine``),
+    ``bn(conv(x; w, b)) = conv(x; w·s, b·s + t)`` exactly (the bn consumes
+    the conv's own output channels — no padding subtlety, unlike the
+    reference stack's input-side fold in ``models/visual.py``)."""
+    scale = bn_p["scale"].astype(jnp.float32)
+    inv = jax.lax.rsqrt(bn_s["var"].astype(jnp.float32) + eps)
+    s = scale * inv
+    t = bn_p["bias"].astype(jnp.float32) - bn_s["mean"].astype(jnp.float32) * s
+    w = conv["w"].astype(jnp.float32) * s[None, None, None, :]
+    b = conv["b"].astype(jnp.float32) * s + t
+    return w, b
+
+
+def _block_apply_quant(params, state, x, stride):
+    """Eval-only int8 block: bn-folded 3×3 convs on the int8 MXU.
+
+    The two 3×3 convs carry ~94% of a block's FLOPs (vs the 1×1 projection)
+    — they run int8×int8→int32 with per-channel dequant
+    (``ops/quant.quantized_conv2d``); the projection shortcut and the
+    residual add stay in the float dtype for accuracy of the skip path.
+    """
+    from cvml_goalnet_tpu.ops.quant import quantized_conv2d
+
+    w1, b1 = _bn_fold(params["conv1"], params["bn1"], state["bn1"])
+    y = quantized_conv2d(x, w1, stride=stride, padding=1) + b1.astype(x.dtype)
+    y = jax.nn.relu(y)
+    w2, b2 = _bn_fold(params["conv2"], params["bn2"], state["bn2"])
+    y = quantized_conv2d(y, w2, stride=1, padding=1) + b2.astype(x.dtype)
+    if "proj" in params:
+        wp, bp = _bn_fold(params["proj"], params["bn_proj"], state["bn_proj"])
+        x = L.conv2d_apply(
+            {"w": wp.astype(x.dtype), "b": bp.astype(x.dtype)}, x,
+            stride=stride, padding=0)
+    return jax.nn.relu(x + y)
+
+
 def resnet_encoder_apply(params, state, x, *, train: bool, rng, dropout_rate: float,
-                         mask=None):
-    """x: (N, H, W, C) → (N, vis_feature_dim)."""
+                         quant: bool = False, mask=None):
+    """x: (N, H, W, C) → (N, vis_feature_dim).
+
+    ``quant=True`` (eval only) folds each batchnorm into its producing conv
+    and routes every block's 3×3 convs through the int8 MXU path — the
+    resnet analogue of the reference stack's quantized inference (config 1's
+    named family was the one below the 50× floor in float,
+    docs/BENCHMARKS.md backbone table)."""
+    if quant and not train:
+        x = L.conv2d_apply(params["stem"], x, stride=1, padding=1)
+        # stem bn applied unfolded (cin=3 conv is shape-limited — int8 gains
+        # nothing there, and the unfused bn is one cheap elementwise pass)
+        x, _ = L.batchnorm_apply(params["bn_stem"], state["bn_stem"], x, False)
+        x = jax.nn.relu(x)
+        si = 0
+        while f"s{si}b0" in params:
+            for bi in range(2):
+                stride = 2 if (bi == 0 and si > 0) else 1
+                x = _block_apply_quant(
+                    params[f"s{si}b{bi}"], state[f"s{si}b{bi}"], x, stride)
+            si += 1
+        x = jnp.mean(x, axis=(1, 2))
+        x = jax.nn.relu(L.linear_apply(params["head"], x))
+        return x, state
+
     new_state = {}
     x = L.conv2d_apply(params["stem"], x, stride=1, padding=1)
     x, new_state["bn_stem"] = L.batchnorm_apply(

@@ -95,7 +95,8 @@ def _patchify(x, patch: int):
 
 
 def vit_encoder_apply(params, state, x, *, train: bool, rng, dropout_rate: float,
-                      num_heads: int, patch: int, mask=None):
+                      num_heads: int, patch: int, quant: bool = False,
+                      mask=None):
     """x: (N, S, S, C) preprocessed frames → ((N, vis_feature_dim), state).
 
     ``num_heads``/``patch`` are static config properties — ``avm._visual_init``
@@ -105,15 +106,23 @@ def vit_encoder_apply(params, state, x, *, train: bool, rng, dropout_rate: float
     no cross-sample statistics, so padded rows cannot skew real frames (the
     batchnorm-masking contract in ``layers.batchnorm_apply`` exists for the
     conv backbones' running stats — there is nothing analogous here).
+
+    ``quant=True`` (eval only) routes every block GEMM — the QKV/output
+    projections and both MLP linears, which are all of a ViT's FLOPs —
+    through the int8 MXU path (``ops/quant.quantized_linear``); the tiny
+    patch embedding and feature head stay float.
     """
     del mask
+    lin = L.linear_apply
+    if quant and not train:
+        from cvml_goalnet_tpu.ops.quant import quantized_linear as lin
     h = L.linear_apply(params["patch"], _patchify(x, patch))
     h = h + params["pos"].astype(h.dtype)
     for blk in params["blocks"]:
         a = L.layernorm_apply(blk["ln1"], h)
-        h = h + L.multihead_attention(blk, a, num_heads)
+        h = h + L.multihead_attention(blk, a, num_heads, linear_fn=lin)
         m = L.layernorm_apply(blk["ln2"], h)
-        h = h + L.linear_apply(blk["mlp_out"], jax.nn.gelu(L.linear_apply(blk["mlp_in"], m)))
+        h = h + lin(blk["mlp_out"], jax.nn.gelu(lin(blk["mlp_in"], m)))
     h = L.layernorm_apply(params["ln_out"], h)
     pooled = jnp.mean(h, axis=1)
     feats = jax.nn.relu(L.linear_apply(params["head"], pooled))

@@ -64,6 +64,29 @@ def quantized_conv2d(x: jax.Array, w_f32: jax.Array, stride: int, padding: int,
     return y.astype(x.dtype if out_dtype is None else out_dtype)
 
 
+def linear_int8(x_q: jax.Array, w_q: jax.Array) -> jax.Array:
+    """int8 (..., K) × int8 (K, N) → int32 (..., N) GEMM (MXU int8 path)."""
+    return jax.lax.dot_general(
+        x_q, w_q, (((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def quantized_linear(params, x: jax.Array, out_dtype=None) -> jax.Array:
+    """Float-in/float-out linear routed through the int8 MXU.
+
+    Drop-in for ``layers.linear_apply(params, x)`` (same argument order) so
+    the GEMM-dominant backbones (ViT blocks) can swap it in for eval-time
+    int8.  Per-output-channel weight scales, dynamic per-tensor activation
+    scale, f32 dequant + bias fused into the GEMM epilogue by XLA.
+    """
+    w_q, s_w = quantize_weights_per_channel(params["w"], axis=1)   # (1, N)
+    x_q, s_x = quantize_act_per_tensor(x)
+    y = linear_int8(x_q, w_q).astype(jnp.float32)
+    y = y * (s_x * s_w.reshape(-1)) + params["b"].astype(jnp.float32)
+    return y.astype(x.dtype if out_dtype is None else out_dtype)
+
+
 # --------------------------------------------------------------- host mirrors
 # NumPy mirrors of every device op above (repo convention: each device op
 # has a host mirror + parity test), so the int8 rounding/scale semantics can
@@ -118,3 +141,12 @@ def quantized_conv2d_host(x, w_f32, stride: int, padding: int):
     x_q, s_x = quantize_act_per_tensor_host(x)
     y = conv2d_int8_host(x_q, w_q, stride, padding).astype(np.float32)
     return y * (s_x * s_w.reshape(1, 1, 1, -1))
+
+
+def quantized_linear_host(params, x):
+    import numpy as np
+
+    w_q, s_w = quantize_weights_per_channel_host(np.asarray(params["w"]), axis=1)
+    x_q, s_x = quantize_act_per_tensor_host(x)
+    y = (np.asarray(x_q, np.int32) @ np.asarray(w_q, np.int32)).astype(np.float32)
+    return y * (s_x * s_w.reshape(-1)) + np.asarray(params["b"], np.float32)

@@ -40,15 +40,12 @@ from cvml_goalnet_tpu.pipeline import SummaryResult, summarize
 def _jitted_trunk(cfg_model):
     # dispatch the visual backbone the way avm_apply does (_visual_init) —
     # hardcoding visual_encoder_apply crashed every spotting entry point for
-    # vis_backbone="resnet" checkpoints (round-3 review); only the reference
-    # conv backbone has an int8 path, so quant flows to it alone
+    # vis_backbone="resnet" checkpoints (round-3 review); every family has
+    # an int8 path since round 4, so quant flows to all of them
     from cvml_goalnet_tpu.models.avm import _visual_init
 
     _, vis_apply = _visual_init(cfg_model)
-    vis_kw = (
-        {"quant": cfg_model.quantized_inference}   # int8 MXU path (ops/quant.py)
-        if cfg_model.vis_backbone == "reference" else {}
-    )
+    vis_kw = {"quant": cfg_model.quantized_inference}  # int8 MXU (ops/quant.py)
 
     def trunk(params, state, visual, audio, text):
         feats, _ = vis_apply(

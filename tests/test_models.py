@@ -170,6 +170,31 @@ class TestResNetBackbone:
         total = sum(float(jnp.sum(jnp.abs(t))) for t in jax.tree_util.tree_leaves(g))
         assert np.isfinite(total) and total > 0
 
+    def test_quant_eval_close_to_float(self, small_cfg):
+        # round-4 int8 path: bn-folded block convs on the int8 MXU must track
+        # the float eval path within the shared [1,5]-scale drift gate — with
+        # REAL running stats (one train-mode pass first), so the fold itself
+        # is exercised, not just identity bn
+        import dataclasses
+        from cvml_goalnet_tpu.models.resnet import resnet_encoder_apply, resnet_encoder_init
+
+        cfg = dataclasses.replace(
+            small_cfg,
+            model=dataclasses.replace(small_cfg.model, vis_backbone="resnet", vis_channels=(8, 16)),
+        )
+        params, state = resnet_encoder_init(jax.random.PRNGKey(0), cfg.model, cfg.preprocess)
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.random((4, 24, 24, 3)).astype(np.float32))
+        _, state = resnet_encoder_apply(
+            params, state, x, train=True, rng=jax.random.PRNGKey(1), dropout_rate=0.0)
+        kw = dict(train=False, rng=None, dropout_rate=0.0)
+        out_f, _ = resnet_encoder_apply(params, state, x, **kw)
+        out_q, _ = resnet_encoder_apply(params, state, x, quant=True, **kw)
+        f, q = np.asarray(out_f), np.asarray(out_q)
+        assert not np.array_equal(q, f)  # int8 rounding must be live
+        scale = max(np.abs(f).max(), 1e-6)
+        assert np.abs(q - f).max() / scale < 0.05, np.abs(q - f).max() / scale
+
 
 class TestFoldedBatchnormEval:
     """Round-2 roofline work: eval-mode batchnorm folding into the consuming
@@ -346,21 +371,20 @@ class TestViTBackbone:
         with pytest.raises(ValueError, match="unknown vis_backbone"):
             _visual_init(bad)
 
-    def test_quant_flag_warns_and_runs_float(self, small_cfg):
-        import warnings
-
+    def test_quant_flag_routes_to_int8(self, small_cfg):
+        # round 2-3 warned-and-floated here; since round 4 every backbone
+        # family has an int8 path, so the flag must change the numbers (int8
+        # rounding) while staying inside the shared drift gate
         cfg = self._cfg(small_cfg)
-        mc = dataclasses.replace(cfg.model, quantized_inference=True, audio_included=False)
+        mc = dataclasses.replace(cfg.model, audio_included=False)
+        qc = dataclasses.replace(mc, quantized_inference=True)
         p, s = avm_init(jax.random.PRNGKey(0), mc, cfg.preprocess, cfg.audio)
-        x = jnp.asarray(np.random.default_rng(0).random((2, 24, 24, 3)).astype(np.float32))
-        import cvml_goalnet_tpu.models.avm as avm_mod
-
-        avm_mod._QUANT_WARNED.discard("vit")
-        with warnings.catch_warnings(record=True) as rec:
-            warnings.simplefilter("always")
-            out, _ = avm_apply(p, s, x, None, cfg=mc, train=False)
-        assert out.shape == (2, 1)
-        assert any("vit" in str(w.message) for w in rec)
+        x = jnp.asarray(np.random.default_rng(0).random((4, 24, 24, 3)).astype(np.float32))
+        out_f, _ = avm_apply(p, s, x, None, cfg=mc, train=False)
+        out_q, _ = avm_apply(p, s, x, None, cfg=qc, train=False)
+        assert out_q.shape == (4, 1)
+        assert not np.array_equal(np.asarray(out_q), np.asarray(out_f))
+        np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_f), atol=0.1)
 
     def test_checkpoint_roundtrip(self, small_cfg, tmp_path):
         from cvml_goalnet_tpu.train.checkpoint import load_checkpoint, save_checkpoint

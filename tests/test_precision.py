@@ -185,3 +185,39 @@ class TestInt8HostMirrors:
         np.testing.assert_allclose(
             np.asarray(quantized_conv2d(jnp.asarray(x), jnp.asarray(w), 1, 1)),
             quantized_conv2d_host(x, w, 1, 1), atol=1e-5)
+
+    def test_int8_linear_matches_host(self):
+        # round-4 GEMM path (ViT blocks / attention projections): int8×int8
+        # accumulation is exact, so the int8 GEMM must be EQUAL and the
+        # float-in/float-out wrapper equal to the host mirror up to f32 eps
+        from cvml_goalnet_tpu.ops.quant import (
+            linear_int8,
+            quantized_linear,
+            quantized_linear_host,
+        )
+
+        rng = np.random.default_rng(2)
+        xq = rng.integers(-127, 128, (5, 7, 24)).astype(np.int8)
+        wq = rng.integers(-127, 128, (24, 16)).astype(np.int8)
+        dev = np.asarray(linear_int8(jnp.asarray(xq), jnp.asarray(wq)))
+        host = np.asarray(xq, np.int32).reshape(-1, 24) @ np.asarray(wq, np.int32)
+        np.testing.assert_array_equal(dev, host.reshape(5, 7, 16))
+
+        params = {
+            "w": jnp.asarray(rng.standard_normal((24, 16)).astype(np.float32)),
+            "b": jnp.asarray(rng.standard_normal(16).astype(np.float32)),
+        }
+        x = rng.standard_normal((5, 7, 24)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(quantized_linear(params, jnp.asarray(x))),
+            quantized_linear_host(params, x), atol=1e-4)
+
+    def test_quantized_linear_close_to_float(self):
+        from cvml_goalnet_tpu.models.layers import linear_apply, linear_init
+        from cvml_goalnet_tpu.ops.quant import quantized_linear
+
+        params = linear_init(jax.random.PRNGKey(3), 128, 64)
+        x = jax.random.normal(jax.random.PRNGKey(4), (8, 128))
+        want = np.asarray(linear_apply(params, x))
+        got = np.asarray(quantized_linear(params, x))
+        assert np.abs(got - want).max() / np.abs(want).max() < 0.02
