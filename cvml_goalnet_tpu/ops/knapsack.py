@@ -91,6 +91,48 @@ def knapsack_table_device(values: jax.Array, weights: jax.Array, capacity: int) 
     return jnp.concatenate([row0[None], rows], axis=0)
 
 
+@partial(jax.jit, static_argnums=(2,))
+def knapsack_select_device(values: jax.Array, weights: jax.Array, capacity: int) -> jax.Array:
+    """Fully on-device select for INTEGER values: DP + traceback, → (n,) bool mask.
+
+    The round-3 device engine stopped at the DP table and shipped the whole
+    (n+1)×(W+1) int32 table to the host for traceback — ~36 MB for a 90-min
+    match, which through a tunnel-attached TPU costs more than the DP itself.
+    Here the reference traceback (``utils.py:494-510``) runs on device as a
+    reverse ``lax.scan`` over items with carry ``(res, w)``: item i is taken
+    iff still active (``res > 0``, ``w ≥ 0``) and ``K[i-1][w] != res`` —
+    exact in int32 — and only the (n,) selection mask crosses back to host.
+    """
+    weights = weights.astype(jnp.int32)
+    values = values.astype(jnp.int32)
+    table = knapsack_table_device(values, weights, capacity)   # (n+1, W+1)
+    n = values.shape[0]
+
+    def step(carry, i):
+        res, w = carry
+        cont = (res > 0) & (w >= 0)
+        prev = table[i - 1, jnp.clip(w, 0, capacity)]
+        take = cont & (prev != res)
+        res = jnp.where(take, res - values[i - 1], res)
+        w = jnp.where(take, w - weights[i - 1], w)
+        return (res, w), take
+
+    (_, _), takes = jax.lax.scan(
+        step,
+        (table[n, capacity], jnp.asarray(capacity, jnp.int32)),
+        jnp.arange(n, 0, -1, dtype=jnp.int32),
+    )
+    return takes[::-1]
+
+
+# Measured on the real chip (benchmarks/knapsack_bench.py): e2e device-select
+# latency vs the vectorized NumPy host DP crosses over around this much table
+# work when no native solver is built.  Below it, dispatch+transfer dominate
+# and the host wins; above it, the VPU row sweeps win.  See the bench row in
+# docs/BENCHMARKS.md.
+DEVICE_CROSSOVER_CELLS = 200_000_000
+
+
 def _traceback(table: np.ndarray, values: np.ndarray, weights: np.ndarray, capacity: int) -> list[int]:
     """Reference-exact traceback (``utils.py:494-510``)."""
     n = len(values)
@@ -128,9 +170,15 @@ def knapsack_select(
     traceback — with a choice of DP engine:
 
     * ``"host"``   — NumPy vectorized rows
-    * ``"device"`` — ``lax.scan`` DP on the default JAX device
+    * ``"device"`` — fully on-device ``lax.scan`` DP + traceback
+      (:func:`knapsack_select_device`); integer values only — float values
+      fall back to the host f64 engine (an f32 device table vs the f64
+      traceback is not exact, ADVICE round 1)
     * ``"native"`` — C++ solver from ``runtime/`` (if built)
-    * ``"auto"``   — native if available, else host
+    * ``"auto"``   — native if available; else the device engine when an
+      accelerator backend is up, the values are integral, and the DP table
+      exceeds :data:`DEVICE_CROSSOVER_CELLS` (the no-C++-toolchain,
+      large-capacity case); else host
     """
     values = np.asarray(values, dtype=np.float64)
     w_arr = np.asarray(weights, dtype=np.float64)
@@ -144,28 +192,33 @@ def knapsack_select(
     if len(values) == 0 or int_capacity <= 0:
         return []
 
+    integral = bool(np.all(values == np.floor(values)))
     if engine == "auto":
         from cvml_goalnet_tpu.runtime import native_knapsack_available
 
-        engine = "native" if native_knapsack_available() else "host"
+        if native_knapsack_available():
+            engine = "native"
+        elif (
+            integral
+            and len(values) * (int_capacity + 1) >= DEVICE_CROSSOVER_CELLS
+            and jax.default_backend() != "cpu"
+        ):
+            engine = "device"
+        else:
+            engine = "host"
 
     if engine == "native":
         from cvml_goalnet_tpu.runtime import knapsack_native
 
         return knapsack_native(values, int_weights, int_capacity)
-    if engine == "device":
-        if np.all(values == np.floor(values)):
-            # Integer importances (the pipeline path rounds to int8): run the
-            # device DP in exact int32 so traceback equality always holds.
-            iv = values.astype(np.int64)
-            assert np.abs(iv).sum() < 2**31, "device knapsack int32 overflow"
-            table = np.asarray(knapsack_table_device(
-                jnp.asarray(iv.astype(np.int32)), jnp.asarray(int_weights), int_capacity
-            )).astype(np.float64)
-        else:
-            # Float values: an f32 device table vs the f64 traceback is not
-            # exact (ADVICE round 1) — the host f64 engine is the correct tool.
-            table = knapsack_table_host(values, int_weights, int_capacity)
-    else:
-        table = knapsack_table_host(values, int_weights, int_capacity)
+    if engine == "device" and integral:
+        # Integer importances (the pipeline path rounds to int8): the DP and
+        # the traceback both run on device in exact int32; only the (n,)
+        # selection mask comes back.
+        iv = values.astype(np.int64)
+        assert np.abs(iv).sum() < 2**31, "device knapsack int32 overflow"
+        mask = np.asarray(knapsack_select_device(
+            jnp.asarray(iv.astype(np.int32)), jnp.asarray(int_weights), int_capacity))
+        return np.nonzero(mask)[0].tolist()
+    table = knapsack_table_host(values, int_weights, int_capacity)
     return _traceback(table, values, int_weights, int_capacity)

@@ -182,3 +182,43 @@ class TestKnapsackDeviceExactness:
         import jax.numpy as jnp
         t = knapsack_table_device(jnp.arange(4, dtype=jnp.int32), jnp.ones(4, jnp.int32), 3)
         assert t.dtype == jnp.int32
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_device_traceback_matches_host(self, seed):
+        # round 4: the device engine's traceback moved on-device (reverse
+        # lax.scan) — it must reproduce the reference's skip-when-inherited
+        # rule EXACTLY, including tie-heavy value sets where many rows
+        # inherit (the skip branch) and early-exhaustion (res hits 0)
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(5, 40))
+        values = rng.integers(0, 6, n).astype(float)   # small range → many ties
+        weights = rng.integers(1, 9, n).astype(float)
+        cap = int(rng.integers(1, 50))
+        host = knapsack_select(values, weights, cap, engine="host")
+        device = knapsack_select(values, weights, cap, engine="device")
+        assert host == device
+
+    def test_auto_uses_device_past_crossover(self, monkeypatch):
+        # auto = native > device (accelerator + integral + big table) > host
+        import cvml_goalnet_tpu.ops.knapsack as K
+        import cvml_goalnet_tpu.runtime as rt
+
+        monkeypatch.setattr(rt, "native_knapsack_available", lambda: False)
+        monkeypatch.setattr(K.jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(K, "DEVICE_CROSSOVER_CELLS", 10)
+        called = {}
+        real = K.knapsack_select_device
+
+        def spy(v, w, c):
+            called["hit"] = True
+            return real(v, w, c)
+
+        monkeypatch.setattr(K, "knapsack_select_device", spy)
+        sel = K.knapsack_select([3.0, 4.0, 5.0], [2.0, 3.0, 4.0], 5, engine="auto")
+        assert called.get("hit") and sel == K.knapsack_select(
+            [3.0, 4.0, 5.0], [2.0, 3.0, 4.0], 5, engine="host")
+        # float values must NOT route to the int32 device path even past the
+        # crossover — exactness first (ADVICE round 1)
+        called.clear()
+        K.knapsack_select([3.5, 4.25], [2.0, 3.0], 5, engine="auto")
+        assert "hit" not in called
