@@ -101,14 +101,14 @@ def conv1d_apply(params, x, stride: int = 1, padding: int = 0):
 
 # ------------------------------------------------------------------- pooling
 
-def maxpool2d(x, kernel: int = 3, stride: int = 1):
+def maxpool2d(x, kernel: int = 3, stride: int = 1, padding: int = 0):
     return jax.lax.reduce_window(
         x,
         -jnp.inf,
         jax.lax.max,
         window_dimensions=(1, kernel, kernel, 1),
         window_strides=(1, stride, stride, 1),
-        padding="VALID",
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
     )
 
 

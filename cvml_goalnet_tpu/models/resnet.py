@@ -2,10 +2,22 @@
 
 An alternative to the reference-topology conv stack (``models/visual.py``),
 selected via ``ModelConfig.vis_backbone = "resnet"``.  NHWC basic-block
-ResNet: stem conv → stages of two 3×3 conv blocks with identity/projection
+ResNet: stem → stages of two 3×3 conv blocks with identity/projection
 shortcuts → global average pool → feature head.  Channel widths come from
 ``ModelConfig.vis_channels`` so the small test config stays cheap; the
 default (64, 128, 256, 512) matches ResNet-18's four stages at depth 2.
+
+The stem follows ResNet-18's two canonical variants, picked by frame size at
+init and carried by the checkpoint (the stem kernel's spatial shape):
+
+* frames ≥ 32 px: the ImageNet stem — 7×7 stride-2 conv + 3×3 stride-2
+  maxpool, a 4× spatial reduction BEFORE stage 0.  Running stage 0 at full
+  resolution (the round-1..3 layout) put ~16× more pixels through the
+  widest stage than ResNet-18 actually does — it was the one family below
+  the 50×-real-time production floor purely on that mislayout.
+* frames < 32 px: the CIFAR stem — 3×3 stride-1 conv, no pool (ResNet's own
+  small-input convention; tiny test frames keep spatial room, and existing
+  small-config numerics are unchanged).
 
 Pure init/apply with explicit shapes, batchnorm state threaded like the rest
 of the model zoo.
@@ -56,7 +68,8 @@ def resnet_encoder_init(key, cfg: ModelConfig, pre: PreprocessConfig):
     chans = cfg.vis_channels
     keys = jax.random.split(key, 2 + 2 * len(chans))
     params, state = {}, {}
-    params["stem"] = L.conv2d_init(keys[0], pre.channels, chans[0], 3)
+    stem_k = 7 if min(pre.frame_size) >= 32 else 3
+    params["stem"] = L.conv2d_init(keys[0], pre.channels, chans[0], stem_k)
     bn_p, bn_s = L.batchnorm_init(chans[0])
     params["bn_stem"], state["bn_stem"] = bn_p, bn_s
 
@@ -71,6 +84,22 @@ def resnet_encoder_init(key, cfg: ModelConfig, pre: PreprocessConfig):
             ki += 1
     params["head"] = L.linear_init(keys[-1], chans[-1], cfg.vis_feature_dim)
     return params, state
+
+
+def _stem_apply(params, state, x, train, mask=None):
+    """Stem conv (+pool) in the variant carried by the checkpoint (kernel
+    spatial size: 7 = ImageNet stem with stride-2 conv + stride-2 maxpool,
+    3 = CIFAR stem, stride 1, no pool) → (x, new bn_stem state)."""
+    imagenet = params["stem"]["w"].shape[0] == 7
+    x = L.conv2d_apply(params["stem"], x,
+                       stride=2 if imagenet else 1,
+                       padding=3 if imagenet else 1)
+    x, bn_state = L.batchnorm_apply(
+        params["bn_stem"], state["bn_stem"], x, train, mask=mask)
+    x = jax.nn.relu(x)
+    if imagenet:
+        x = L.maxpool2d(x, kernel=3, stride=2, padding=1)
+    return x, bn_state
 
 
 def _bn_fold(conv, bn_p, bn_s, eps: float = 1e-5):
@@ -121,11 +150,9 @@ def resnet_encoder_apply(params, state, x, *, train: bool, rng, dropout_rate: fl
     named family was the one below the 50× floor in float,
     docs/BENCHMARKS.md backbone table)."""
     if quant and not train:
-        x = L.conv2d_apply(params["stem"], x, stride=1, padding=1)
         # stem bn applied unfolded (cin=3 conv is shape-limited — int8 gains
         # nothing there, and the unfused bn is one cheap elementwise pass)
-        x, _ = L.batchnorm_apply(params["bn_stem"], state["bn_stem"], x, False)
-        x = jax.nn.relu(x)
+        x, _ = _stem_apply(params, state, x, False)
         si = 0
         while f"s{si}b0" in params:
             for bi in range(2):
@@ -138,10 +165,7 @@ def resnet_encoder_apply(params, state, x, *, train: bool, rng, dropout_rate: fl
         return x, state
 
     new_state = {}
-    x = L.conv2d_apply(params["stem"], x, stride=1, padding=1)
-    x, new_state["bn_stem"] = L.batchnorm_apply(
-        params["bn_stem"], state["bn_stem"], x, train, mask=mask)
-    x = jax.nn.relu(x)
+    x, new_state["bn_stem"] = _stem_apply(params, state, x, train, mask=mask)
     si = 0
     while f"s{si}b0" in params:
         for bi in range(2):

@@ -170,6 +170,28 @@ class TestResNetBackbone:
         total = sum(float(jnp.sum(jnp.abs(t))) for t in jax.tree_util.tree_leaves(g))
         assert np.isfinite(total) and total > 0
 
+    def test_imagenet_stem_selected_and_downsamples(self, small_cfg):
+        # frames ≥ 32 px → 7×7/2 conv + 3×3/2 maxpool (4× reduction before
+        # stage 0 — ResNet-18's actual layout; the full-res stage 0 was why
+        # this family sat below the 50× floor).  <32 px keeps the CIFAR stem.
+        import dataclasses
+        from cvml_goalnet_tpu.models.resnet import resnet_encoder_apply, resnet_encoder_init
+
+        mc = dataclasses.replace(small_cfg.model, vis_backbone="resnet", vis_channels=(8, 16))
+        pre40 = dataclasses.replace(small_cfg.preprocess, frame_size=(40, 40))
+        params, state = resnet_encoder_init(jax.random.PRNGKey(0), mc, pre40)
+        assert params["stem"]["w"].shape[:2] == (7, 7)
+        x = jnp.asarray(np.random.default_rng(1).random((2, 40, 40, 3)).astype(np.float32))
+        out, _ = resnet_encoder_apply(
+            params, state, x, train=False, rng=None, dropout_rate=0.0)
+        assert out.shape == (2, mc.vis_feature_dim)
+        out_q, _ = resnet_encoder_apply(
+            params, state, x, train=False, rng=None, dropout_rate=0.0, quant=True)
+        assert out_q.shape == (2, mc.vis_feature_dim)
+
+        p24, _ = resnet_encoder_init(jax.random.PRNGKey(0), mc, small_cfg.preprocess)
+        assert p24["stem"]["w"].shape[:2] == (3, 3)
+
     def test_quant_eval_close_to_float(self, small_cfg):
         # round-4 int8 path: bn-folded block convs on the int8 MXU must track
         # the float eval path within the shared [1,5]-scale drift gate — with
