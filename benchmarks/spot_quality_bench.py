@@ -66,7 +66,7 @@ from cvml_goalnet_tpu.train.spotting import init_spotting_opt, make_spotting_tra
 T = int(os.environ.get("GOALNET_SPOTQ_T", 8192))
 D = 16
 HIDDEN = 32
-EPOCHS = int(os.environ.get("GOALNET_SPOTQ_EPOCHS", 120))
+EPOCHS = int(os.environ.get("GOALNET_SPOTQ_EPOCHS", 240))
 # precursor lead time: a NARROW band 640–768 frames back at the production
 # scale (scaled with T).  The band must be narrow relative to the event
 # spacing: a cue "belongs" to a bump iff it falls in the trailing band, so
@@ -127,8 +127,8 @@ def make_data(seed: int):
     return feats, labels, np.sort(events), np.sort(distractors)
 
 
-TRAIN_SEEDS = tuple(range(8))       # few events per timeline now → more timelines
-EVAL_SEEDS = tuple(range(10, 18))   # HELD OUT: train==eval would let learned
+TRAIN_SEEDS = tuple(range(12))      # few events per timeline now → more timelines
+EVAL_SEEDS = tuple(range(20, 28))   # HELD OUT: train==eval would let learned
                             # positions memorize event locations (the round-2
                             # benchmark's failure mode — everything aced it)
 
@@ -182,11 +182,16 @@ def evaluate(apply, params) -> dict:
 def run(scorer: str, window: int, num_layers: int = 1, model_dim: int = 32):
     if scorer == "oracle":
         return evaluate(None, None)
+    # identical budget + schedule for every contender: cosine decay to 5%
+    # with a short warmup over the full step count (the round-3 fixed-lr
+    # runs left everything undertrained on the cue-validation signal)
+    total_steps = EPOCHS * len(TRAIN_SEEDS)
+    sched = ("cosine", max(1, total_steps // 20), total_steps, 0.05)
     if scorer == "gru":
         from cvml_goalnet_tpu.models.temporal import temporal_scorer_apply
 
         params = temporal_scorer_init(jax.random.PRNGKey(0), D, HIDDEN)
-        step = make_spotting_train_step(HIDDEN, lr=5e-3)
+        step = make_spotting_train_step(HIDDEN, lr=5e-3, lr_schedule=sched)
         apply = lambda p, f: temporal_scorer_apply(p, f, HIDDEN)
     else:
         # rotary positions: attention logits depend on (i − j) only — the
@@ -199,7 +204,7 @@ def run(scorer: str, window: int, num_layers: int = 1, model_dim: int = 32):
             pos_encoding="rotary")
         step = make_spotting_train_step(
             0, lr=5e-3, scorer="transformer", num_heads=2, window=window,
-            use_flash=USE_FLASH)
+            use_flash=USE_FLASH, lr_schedule=sched)
         from cvml_goalnet_tpu.models.temporal_attention import (
             temporal_transformer_apply)
         apply = lambda p, f: temporal_transformer_apply(

@@ -286,6 +286,7 @@ def run_reference_training(
     torch_seed: int = 20260817,
     zero_dropout: bool = True,
     audio_included: bool = False,
+    lr_scale: float = 1.0,
 ) -> dict:
     """Drive the LIVE ``train_importance_model`` for ``epochs`` epochs and
     return everything the A/B comparison needs.
@@ -306,6 +307,12 @@ def run_reference_training(
     * ``ckp_state_dict`` — the rolling checkpoint the reference itself wrote
       at the end of the last completed epoch (``main.py:282``), loaded back
       from its ``.pt`` file (numpy arrays).
+
+    ``lr_scale != 1`` multiplies the lr the reference passes to
+    ``optim.Adam`` (``main.py:70``) — via a module-LOCAL proxy on
+    ``ref.main.optim``, so the shared ``torch.optim`` is untouched.  The
+    strict-trajectory A/B (dropout 0 + reduced lr) uses it to hold TIGHT
+    numerical tolerance across more epochs than the chaotic lr=1e-3 run.
     """
     import torch
     import torch.nn as nn
@@ -341,6 +348,17 @@ def run_reference_training(
 
         ref.main.generate_metric_plots = capture
         ref.main.AVM = avm_factory
+        if lr_scale != 1.0:
+            import types
+
+            real_optim = ref.main.optim
+            proxy = types.SimpleNamespace(**{
+                k: getattr(real_optim, k) for k in dir(real_optim)
+                if not k.startswith("_")
+            })
+            proxy.Adam = lambda params, lr, **kw: real_optim.Adam(
+                params, lr=lr * lr_scale, **kw)
+            ref.main.optim = proxy
         try:
             ref.main.train_importance_model(
                 audio_included=audio_included, load_ckp=False)
