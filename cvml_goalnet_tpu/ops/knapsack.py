@@ -125,12 +125,16 @@ def knapsack_select_device(values: jax.Array, weights: jax.Array, capacity: int)
     return takes[::-1]
 
 
-# Measured on the real chip (benchmarks/knapsack_bench.py): e2e device-select
-# latency vs the vectorized NumPy host DP crosses over around this much table
-# work when no native solver is built.  Below it, dispatch+transfer dominate
-# and the host wins; above it, the VPU row sweeps win.  See the bench row in
-# docs/BENCHMARKS.md.
-DEVICE_CROSSOVER_CELLS = 200_000_000
+# Measured on the real chip (benchmarks/knapsack_bench.py, v5e through the
+# axon tunnel): e2e device-select latency is ~6.8 ns/cell + ~40 ms fixed
+# (dispatch + compile-cache hit + mask transfer) vs ~11 ns/cell for the C++
+# solver and ~15 ns/cell for NumPy — so past the fixed-cost amortization
+# point the VPU row sweep beats BOTH host engines (measured 1.7×/2.1× over
+# native/host at 1.1e8 cells, 1.68×/2.2× at 2.4e8, with ~50× tighter IQR).
+# Analytic breakeven vs native ≈ 1e7 cells; 3e7 is a conservative margin —
+# the 90-min match shape (9.1e6) stays on the native engine where it is
+# (marginally) fastest.  See the engine table in docs/BENCHMARKS.md.
+DEVICE_CROSSOVER_CELLS = 30_000_000
 
 
 def _traceback(table: np.ndarray, values: np.ndarray, weights: np.ndarray, capacity: int) -> list[int]:
@@ -175,10 +179,11 @@ def knapsack_select(
       fall back to the host f64 engine (an f32 device table vs the f64
       traceback is not exact, ADVICE round 1)
     * ``"native"`` — C++ solver from ``runtime/`` (if built)
-    * ``"auto"``   — native if available; else the device engine when an
-      accelerator backend is up, the values are integral, and the DP table
-      exceeds :data:`DEVICE_CROSSOVER_CELLS` (the no-C++-toolchain,
-      large-capacity case); else host
+    * ``"auto"``   — the device engine when an accelerator backend is up,
+      the values are integral, and the DP table exceeds
+      :data:`DEVICE_CROSSOVER_CELLS` (past which the VPU row sweep beats
+      BOTH host engines — measured, see the constant's comment); else
+      native if built; else host
     """
     values = np.asarray(values, dtype=np.float64)
     w_arr = np.asarray(weights, dtype=np.float64)
@@ -196,14 +201,14 @@ def knapsack_select(
     if engine == "auto":
         from cvml_goalnet_tpu.runtime import native_knapsack_available
 
-        if native_knapsack_available():
-            engine = "native"
-        elif (
+        if (
             integral
             and len(values) * (int_capacity + 1) >= DEVICE_CROSSOVER_CELLS
             and jax.default_backend() != "cpu"
         ):
             engine = "device"
+        elif native_knapsack_available():
+            engine = "native"
         else:
             engine = "host"
 

@@ -199,11 +199,13 @@ class TestKnapsackDeviceExactness:
         assert host == device
 
     def test_auto_uses_device_past_crossover(self, monkeypatch):
-        # auto = native > device (accelerator + integral + big table) > host
+        # auto = device (accelerator + integral + table past the measured
+        # crossover, where the VPU sweep beats BOTH host engines) > native
+        # > host — so device must be picked even with the native build up
         import cvml_goalnet_tpu.ops.knapsack as K
         import cvml_goalnet_tpu.runtime as rt
 
-        monkeypatch.setattr(rt, "native_knapsack_available", lambda: False)
+        monkeypatch.setattr(rt, "native_knapsack_available", lambda: True)
         monkeypatch.setattr(K.jax, "default_backend", lambda: "tpu")
         monkeypatch.setattr(K, "DEVICE_CROSSOVER_CELLS", 10)
         called = {}
@@ -220,5 +222,6 @@ class TestKnapsackDeviceExactness:
         # float values must NOT route to the int32 device path even past the
         # crossover — exactness first (ADVICE round 1)
         called.clear()
+        monkeypatch.setattr(rt, "native_knapsack_available", lambda: False)
         K.knapsack_select([3.5, 4.25], [2.0, 3.0], 5, engine="auto")
         assert "hit" not in called
