@@ -1117,7 +1117,16 @@ def cmd_serve(args) -> int:
         template = create_train_state(jax.random.PRNGKey(cfg.train.seed), cfg)
         return _load_trunk(paths, template, args, tags=("opt", "ckp"))
 
-    summarizer = Summarizer(cfg, state=state, reloader=trunk_reloader)
+    mesh = None
+    if getattr(args, "dp", 0):
+        from cvml_goalnet_tpu.parallel.serving import serving_mesh
+
+        try:
+            mesh = serving_mesh(None if args.dp == -1 else args.dp)
+        except ValueError as e:
+            print(f"E: {e}", file=sys.stderr)
+            return 2
+    summarizer = Summarizer(cfg, state=state, reloader=trunk_reloader, mesh=mesh)
     batcher = DynamicBatcher(summarizer) if args.batch else None
     spotter = None
     if args.spot:
@@ -1153,7 +1162,8 @@ def cmd_serve(args) -> int:
         return 2
     print(f"serving on http://{args.host}:{server.server_address[1]}"
           f" (spot={'on' if spotter else 'off'},"
-          f" batch={'on' if batcher else 'off'})", flush=True)
+          f" batch={'on' if batcher else 'off'},"
+          f" dp={mesh.size if mesh is not None else 'off'})", flush=True)
     if args.max_requests:
         # handle_request() returns right after DISPATCHING to a handler
         # thread; ThreadingHTTPServer marks handlers daemon, and daemon
@@ -1501,6 +1511,9 @@ def main(argv=None) -> int:
                         "(REQUIRED for non-loopback --host)")
     p.add_argument("--batch", action="store_true",
                    help="cross-request dynamic batching (serve.DynamicBatcher)")
+    p.add_argument("--dp", type=int, default=0, metavar="N",
+                   help="shard /summarize scoring data-parallel over N local "
+                        "devices (-1 = all); composes with --batch")
     p.add_argument("--spot", action="store_true",
                    help="also serve POST /spot (event spotting)")
     p.add_argument("--temporal-checkpoint", default=None,

@@ -1,0 +1,116 @@
+"""Data-parallel serving: the eval fuse program sharded over a device mesh.
+
+The importance model is strictly per-frame at inference (reference
+``utils.py:260-272``) — no cross-frame coupling survives eval mode (batchnorm
+uses running stats) — so a request batch shards EXACTLY along its frame axis:
+each device scores its shard of the batch and the results concatenate.  This
+is the TPU-native way a serving replica uses all chips of its host/slice:
+ONE jitted program with GSPMD batch shardings (params replicated), not N
+processes with a load balancer in front.  Combined with the
+``serve.DynamicBatcher`` (cross-request micro-batching into bucket-padded
+programs), the hot path becomes: many HTTP requests → one bucket-shaped
+batch → one program dispatch → all devices.
+
+Scores are bit-identical to the single-device program in the sense that each
+frame's math is unchanged (the partition only splits the batch axis, which
+every op treats elementwise/independently); tests pin equality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cvml_goalnet_tpu.models.avm import avm_apply
+
+
+def serving_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    """A 1-D serving mesh over the first ``n_devices`` local devices
+    (all of them when ``None``)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"--dp {n_devices} requested but only {len(devs)} device(s) "
+                "are visible")
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def make_dp_fuse(cfg_model, mesh: Mesh):
+    """Build ``fuse_dp(params, model_state, features) -> (N,) np.float32``.
+
+    Same program as ``pipeline._jitted_fuse`` (bf16/f32 eval forward of the
+    AVM trunk, scores in column 0) with explicit shardings: params/state
+    replicated, every modality tensor and the output sharded on the leading
+    frame axis over the mesh.  Batches whose length does not divide the mesh
+    size are zero-padded up (per-frame independence makes the pad rows
+    inert) and sliced back — callers never see the padding.
+
+    Params/state may be host arrays or pre-placed replicated device arrays
+    (``serve.Summarizer`` places them once per checkpoint (re)load so the
+    per-request path never re-transfers weights).
+    """
+    from cvml_goalnet_tpu.utils import tree_cast
+
+    axis = mesh.axis_names[0]
+    dtype = jnp.bfloat16 if cfg_model.dtype == "bfloat16" else jnp.float32
+    rep = NamedSharding(mesh, P())
+
+    def row(ndim: int) -> NamedSharding:
+        return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+    def fwd(params, state, visual, audio, text):
+        out, _ = avm_apply(
+            tree_cast(params, dtype), tree_cast(state, dtype),
+            visual.astype(dtype),
+            None if audio is None else audio.astype(dtype),
+            text,
+            cfg=cfg_model, train=False,
+        )
+        return out[:, 0].astype(jnp.float32)
+
+    cache: dict = {}
+
+    def fuse_dp(params, model_state, features: dict) -> np.ndarray:
+        visual = features["visual"]
+        n = len(visual)
+        if n == 0:
+            return np.zeros((0,), np.float32)
+        audio = features.get("audio") if cfg_model.audio_included else None
+        text = features.get("text") if cfg_model.text_included else None
+        if cfg_model.audio_included and audio is None:
+            raise ValueError(
+                "cfg.model.audio_included=True but features['audio'] is None "
+                "— substitute silent-audio features as serve.Summarizer does")
+        if cfg_model.text_included and text is None:
+            raise ValueError(
+                "cfg.model.text_included=True but features['text'] is None "
+                "— tokenize commentary (or [''] rows) first")
+
+        pad = (-n) % mesh.size
+        if pad:
+            def padded(x):
+                z = np.zeros((pad,) + tuple(x.shape[1:]), np.asarray(x).dtype)
+                return np.concatenate([np.asarray(x), z])
+            visual = padded(visual)
+            audio = padded(audio) if audio is not None else None
+            text = padded(text) if text is not None else None
+
+        key = (audio is not None, text is not None)
+        if key not in cache:  # one compile per modality arity
+            in_sh = (
+                jax.tree.map(lambda _: rep, params),
+                jax.tree.map(lambda _: rep, model_state),
+                row(4),
+                row(3) if audio is not None else None,
+                row(2) if text is not None else None,
+            )
+            cache[key] = jax.jit(fwd, in_shardings=in_sh, out_shardings=row(1))
+        out = np.asarray(cache[key](params, model_state, visual, audio, text))
+        return out[:n]
+
+    return fuse_dp

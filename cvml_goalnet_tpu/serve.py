@@ -22,6 +22,10 @@ and re-parsed ground truth per invocation — ``main.py:300-348``).  Here:
   footage still being produced: a "match in progress" consumer holds one
   HTTP connection and reacts to events with bounded latency instead of
   waiting for the whole file.
+* ``Summarizer(mesh=...)`` (CLI ``--dp N``) shards the scoring program
+  data-parallel over a device mesh (``parallel/serving.py``) — exact for
+  the per-frame model, weights placed once per (re)load, composes with the
+  DynamicBatcher so one bucket-shaped batch feeds every chip.
 """
 
 from __future__ import annotations
@@ -119,6 +123,7 @@ class Summarizer:
         store: AnnotationStore | None = None,
         state=None,
         reloader=None,
+        mesh=None,
     ):
         self.cfg = cfg
         self.store = store
@@ -135,6 +140,42 @@ class Summarizer:
         self.state = state
         self.reload_count = 0
         self._lock = threading.Lock()
+        # data-parallel serving: ONE fuse program sharded over `mesh` (params
+        # replicated, frame axis split — exact: the model is per-frame at
+        # eval).  Weights are placed once per (re)load so the request path
+        # never re-transfers them; scoring goes through _score() everywhere
+        # (summarize_frames + DynamicBatcher), so batching and DP compose.
+        self.mesh = mesh
+        self._dp_fuse = None
+        if mesh is not None:
+            from cvml_goalnet_tpu.parallel.serving import make_dp_fuse
+
+            self._dp_fuse = make_dp_fuse(cfg.model, mesh)
+        self._placed = self._place(state)
+
+    def _place(self, state):
+        """DP only: (params, model_state) replicated onto the mesh once per
+        checkpoint load, so the request path never re-transfers weights.
+        ``None`` when serving single-device — there ``self.state`` stays the
+        live source of weights (callers/tests may swap it directly)."""
+        if self.mesh is None:
+            return None
+        from cvml_goalnet_tpu.parallel.sharding import replicated
+
+        rep = replicated(self.mesh)
+        return tuple(
+            jax.tree.map(lambda x: jax.device_put(x, rep), t)
+            for t in (state.params, state.model_state)
+        )
+
+    def _score(self, features: dict) -> np.ndarray:
+        """Features → (N,) scores via the single-device or DP-sharded fuse.
+
+        Caller holds ``self._lock`` (the swap in :meth:`reload` is the only
+        writer of ``_placed``/``state``)."""
+        if self._dp_fuse is not None:
+            return self._dp_fuse(*self._placed, features)
+        return fuse(self.state.params, self.state.model_state, features, self.cfg)
 
     def reload(self) -> int:
         """Hot-swap the trunk weights from the configured checkpoint dir.
@@ -158,8 +199,10 @@ class Summarizer:
             template = create_train_state(
                 jax.random.PRNGKey(self.cfg.train.seed), self.cfg)
             candidate = load_checkpoint(ckp_dir, template, tag=tag)  # may raise
+        placed = self._place(candidate)  # weight transfer outside the lock
         with self._lock:
             self.state = candidate
+            self._placed = placed
             self.reload_count += 1
             return self.reload_count
 
@@ -213,7 +256,7 @@ class Summarizer:
                 np.float32,
             )
         with self._lock:
-            scores = fuse(self.state.params, self.state.model_state, feats, cfg)
+            scores = self._score(feats)
         res = summarize(
             scores, clip_intervals, cfg.preprocess.skip_frames, full_n, cfg.knapsack,
             knapsack_engine="native-full",  # one C++ call; graceful fallback
@@ -545,8 +588,6 @@ class DynamicBatcher:
         """Compile the fuse program for every bucket size."""
         cfg = self.summarizer.cfg
         rng = np.random.default_rng(0)
-        from cvml_goalnet_tpu.pipeline import fuse
-
         from cvml_goalnet_tpu.models.audio import audio_feature_channels
 
         for b in self.buckets:
@@ -568,7 +609,7 @@ class DynamicBatcher:
                 feats["text"] = tokenize(
                     [""] * b, cfg.model.text_vocab_size, cfg.model.text_max_len)
             with self.summarizer._lock:
-                fuse(self.summarizer.state.params, self.summarizer.state.model_state, feats, cfg)
+                self.summarizer._score(feats)
 
     def submit(
         self,
@@ -659,8 +700,6 @@ class DynamicBatcher:
 
         Chunks at the largest bucket, so no request mix can ever mint a
         shape ``warmup()`` did not compile."""
-        from cvml_goalnet_tpu.pipeline import fuse
-
         if len(visual) == 0:
             # a 0-frame rider (or an all-empty batch) must behave like the
             # unbatched path: empty scores, not a concatenate-of-nothing error
@@ -680,9 +719,7 @@ class DynamicBatcher:
                 if t is not None:
                     t = np.concatenate([t, np.zeros((pad,) + t.shape[1:], t.dtype)])
             with self.summarizer._lock:
-                s = fuse(self.summarizer.state.params,
-                         self.summarizer.state.model_state,
-                         {"visual": v, "audio": a, "text": t}, cfg)
+                s = self.summarizer._score({"visual": v, "audio": a, "text": t})
             outs.append(s[:n])
         return np.concatenate(outs)
 

@@ -668,6 +668,57 @@ class TestCLIServe:
         assert r.returncode == 2
         assert "media_root" in r.stderr or "media root" in r.stderr
 
+    @pytest.mark.slow
+    def test_serve_dp_end_to_end(self, cli_env):
+        """goalnet serve --dp -1 over 8 virtual devices: banner reports dp=8
+        and /summarize answers through the sharded fuse program."""
+        import json as _json
+        import urllib.request
+
+        root = cli_env["root"]
+        env = dict(os.environ)
+        env["GOALNET_PLATFORM"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8")
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "cvml_goalnet_tpu.cli", "serve",
+             "--config", cli_env["cfg"], "--workdir", root, "--no-audio",
+             "--port", "0", "--dp", "-1",
+             "--media-root", os.path.dirname(cli_env["video_fps"][0]),
+             "--max-requests", "1"],
+            cwd=root, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        try:
+            line = ""
+            for _ in range(120):
+                line = proc.stdout.readline()
+                if "serving on" in line:
+                    break
+            assert "serving on" in line, line
+            assert "dp=8" in line, line
+            port = int(line.split("http://127.0.0.1:")[1].split(" ")[0])
+            vid = os.path.basename(cli_env["video_fps"][0])
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/summarize",
+                data=_json.dumps({"video": vid}).encode(), method="POST")
+            with urllib.request.urlopen(req, timeout=180) as r:
+                payload = _json.load(r)
+            assert payload["mask_frames"] > 0
+            assert proc.wait(timeout=120) == 0
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+
+    def test_serve_dp_too_many_devices_is_loud(self, cli_env):
+        root = cli_env["root"]
+        r = _run(["serve", "--config", cli_env["cfg"], "--workdir", root,
+                  "--no-audio", "--port", "0", "--dp", "99",
+                  "--max-requests", "1"], root)
+        assert r.returncode == 2
+        assert "only" in r.stderr
+
 
 class TestSpotStreamCLI:
     """`goalnet spot --stream`: the live bounded-latency spotting journey —

@@ -1,0 +1,125 @@
+"""Data-parallel serving (`parallel/serving.py` + `serve.Summarizer(mesh=)`).
+
+The eval trunk is strictly per-frame (reference ``utils.py:260-272``), so
+sharding a request batch's frame axis over a mesh must reproduce the
+single-device scores exactly.  Runs on the suite's 8 virtual CPU devices.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+
+from cvml_goalnet_tpu.parallel.serving import make_dp_fuse, serving_mesh
+from cvml_goalnet_tpu.pipeline import fuse
+from cvml_goalnet_tpu.serve import DynamicBatcher, Summarizer
+from cvml_goalnet_tpu.train.state import create_train_state
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return serving_mesh(8)
+
+
+def _frames(n, rng=None):
+    rng = rng or np.random.default_rng(0)
+    return rng.integers(0, 255, (n, 48, 64, 3), dtype=np.uint8)
+
+
+class TestDpFuse:
+    @pytest.mark.parametrize("n", [48, 37, 5, 8])
+    def test_matches_single_device_fuse(self, small_cfg, mesh8, n):
+        """Divisible (48, 8), padded (37, 5) batches: same scores."""
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        rng = np.random.default_rng(1)
+        feats = {
+            "visual": rng.random((n, 24, 24, 3)).astype(np.float32),
+            "audio": rng.random(
+                (n, small_cfg.audio.bin_length, small_cfg.audio.n_mfcc)
+            ).astype(np.float32),
+            "text": None,
+        }
+        want = fuse(state.params, state.model_state, feats, small_cfg)
+        dp = make_dp_fuse(small_cfg.model, mesh8)
+        got = dp(state.params, state.model_state, feats)
+        assert got.shape == (n,)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_empty_batch(self, small_cfg, mesh8):
+        dp = make_dp_fuse(small_cfg.model, mesh8)
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        out = dp(state.params, state.model_state,
+                 {"visual": np.zeros((0, 24, 24, 3), np.float32)})
+        assert out.shape == (0,)
+
+    def test_missing_modality_is_loud(self, small_cfg, mesh8):
+        dp = make_dp_fuse(small_cfg.model, mesh8)
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        with pytest.raises(ValueError, match="audio"):
+            dp(state.params, state.model_state,
+               {"visual": np.zeros((4, 24, 24, 3), np.float32)})
+
+    def test_mesh_size_validated(self):
+        with pytest.raises(ValueError, match="only"):
+            serving_mesh(99)
+
+
+class TestDpSummarizer:
+    def test_summarize_frames_parity(self, small_cfg, mesh8):
+        base = Summarizer(small_cfg)
+        dp = Summarizer(small_cfg, mesh=mesh8)
+        frames = _frames(37)
+        a = base.summarize_frames("v", frames)
+        b = dp.summarize_frames("v", frames)
+        np.testing.assert_allclose(b.scores, a.scores, atol=1e-5)
+        np.testing.assert_array_equal(b.frame_mask, a.frame_mask)
+
+    def test_reload_replaces_served_weights(self, small_cfg, mesh8):
+        cfg2 = dataclasses.replace(
+            small_cfg, train=dataclasses.replace(small_cfg.train, seed=99))
+
+        def reloader():
+            return create_train_state(jax.random.PRNGKey(123), small_cfg)
+
+        dp = Summarizer(small_cfg, state=create_train_state(
+            jax.random.PRNGKey(cfg2.train.seed), small_cfg), reloader=reloader)
+        dp.mesh = None  # baseline sanity: reloader path works unsharded
+        frames = _frames(16)
+        before = dp.summarize_frames("v", frames).scores
+
+        dp2 = Summarizer(small_cfg, state=create_train_state(
+            jax.random.PRNGKey(cfg2.train.seed), small_cfg),
+            reloader=reloader, mesh=mesh8)
+        np.testing.assert_allclose(
+            dp2.summarize_frames("v", frames).scores, before, atol=1e-5)
+        dp2.reload()
+        after = dp2.summarize_frames("v", frames).scores
+        # new weights actually serve...
+        assert not np.allclose(after, before, atol=1e-5)
+        # ...and match the unsharded fuse of the reloaded state
+        ref_state = reloader()
+        feats_n = len(after)
+        want = Summarizer(small_cfg, state=ref_state).summarize_frames(
+            "v", frames).scores
+        assert feats_n == len(want)
+        np.testing.assert_allclose(after, want, atol=1e-5)
+
+    def test_dynamic_batcher_composes_with_dp(self, small_cfg, mesh8):
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False))
+        base = Summarizer(cfg)
+        dp = Summarizer(cfg, mesh=mesh8)
+        batcher = DynamicBatcher(dp, max_wait_ms=20.0, buckets=(64, 128))
+        rng = np.random.default_rng(7)
+        reqs = {f"v{i}": _frames(10 + 7 * i, rng) for i in range(4)}
+        futs = {vid: batcher.submit(vid, fr) for vid, fr in reqs.items()}
+        for vid, fut in futs.items():
+            res = fut.result(timeout=60)
+            want = base.summarize_frames(vid, reqs[vid])
+            np.testing.assert_allclose(res.scores, want.scores, atol=1e-5)
+            np.testing.assert_array_equal(res.frame_mask, want.frame_mask)
+        assert batcher.stats["requests"] == 4
