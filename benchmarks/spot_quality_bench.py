@@ -179,7 +179,8 @@ def evaluate(apply, params) -> dict:
     }
 
 
-def run(scorer: str, window: int, num_layers: int = 1, model_dim: int = 32):
+def run(scorer: str, window: int, num_layers: int = 1, model_dim: int = 32,
+        init_seed: int = 0):
     if scorer == "oracle":
         return evaluate(None, None)
     # identical budget + schedule for every contender: cosine decay to 5%
@@ -190,7 +191,7 @@ def run(scorer: str, window: int, num_layers: int = 1, model_dim: int = 32):
     if scorer == "gru":
         from cvml_goalnet_tpu.models.temporal import temporal_scorer_apply
 
-        params = temporal_scorer_init(jax.random.PRNGKey(0), D, HIDDEN)
+        params = temporal_scorer_init(jax.random.PRNGKey(init_seed), D, HIDDEN)
         step = make_spotting_train_step(HIDDEN, lr=5e-3, lr_schedule=sched)
         apply = lambda p, f: temporal_scorer_apply(p, f, HIDDEN)
     else:
@@ -199,7 +200,7 @@ def run(scorer: str, window: int, num_layers: int = 1, model_dim: int = 32):
         # back", and it generalizes across held-out event positions where a
         # learned absolute table could only memorize training positions
         params = temporal_transformer_init(
-            jax.random.PRNGKey(0), D, model_dim=model_dim,
+            jax.random.PRNGKey(init_seed), D, model_dim=model_dim,
             num_layers=num_layers, num_heads=2, max_len=T,
             pos_encoding="rotary")
         step = make_spotting_train_step(
@@ -217,7 +218,41 @@ def run(scorer: str, window: int, num_layers: int = 1, model_dim: int = 32):
     return evaluate(apply, params)
 
 
+def main_ci(n_seeds: int) -> None:
+    """``--ci [N]``: the flagship-vs-GRU verdict with an INIT-SEED confidence
+    interval (the full sweep trains each contender once from PRNGKey(0); the
+    round-4 table's 0.514-vs-0.501 margin is within one eval-seed σ, so the
+    "matches or beats" claim needs the seed axis measured, not assumed).
+    Trains ONLY the two contenders that decide the verdict, ``N`` init seeds
+    each, same data/budget/schedule as the sweep; reports per-seed mAPs,
+    mean±σ, and the paired per-seed wins."""
+    out = {"metric": "spot_quality_ci", "T": T, "n_seeds": n_seeds}
+    pairs = []
+    for name, kw in (("gru", dict(scorer="gru", window=0)),
+                     ("flagship", dict(scorer="transformer", window=FLAGSHIP_W))):
+        per_seed = [run(init_seed=s, **kw) for s in range(n_seeds)]
+        maps = [r["average_map"] for r in per_seed]
+        leaks = [r["distractor_leak"] for r in per_seed]
+        out[name] = {
+            "maps": maps,
+            "map_mean": round(float(np.mean(maps)), 4),
+            "map_std": round(float(np.std(maps)), 4),
+            "leak_mean": round(float(np.mean(leaks)), 4),
+        }
+        pairs.append(maps)
+        print(f"{name}: {maps}", flush=True)
+    wins = sum(1 for g, f in zip(*pairs) if f >= g)
+    out["flagship_wins_per_seed"] = f"{wins}/{n_seeds}"
+    out["flagship_beats_gru_mean"] = out["flagship"]["map_mean"] >= out["gru"]["map_mean"]
+    print(json.dumps(out))
+
+
 def main() -> None:
+    if "--ci" in sys.argv:
+        idx = sys.argv.index("--ci")
+        n = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 3
+        main_ci(n)
+        return
     rows = {
         "oracle": run("oracle", 0),
         "gru": run("gru", 0),
