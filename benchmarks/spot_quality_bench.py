@@ -218,18 +218,23 @@ def run(scorer: str, window: int, num_layers: int = 1, model_dim: int = 32,
     return evaluate(apply, params)
 
 
-def main_ci(n_seeds: int) -> None:
+def main_ci(n_seeds: int, num_layers: int = 1, model_dim: int = 32) -> None:
     """``--ci [N]``: the flagship-vs-GRU verdict with an INIT-SEED confidence
     interval (the full sweep trains each contender once from PRNGKey(0); the
     round-4 table's 0.514-vs-0.501 margin is within one eval-seed σ, so the
     "matches or beats" claim needs the seed axis measured, not assumed).
     Trains ONLY the two contenders that decide the verdict, ``N`` init seeds
     each, same data/budget/schedule as the sweep; reports per-seed mAPs,
-    mean±σ, and the paired per-seed wins."""
-    out = {"metric": "spot_quality_ci", "T": T, "n_seeds": n_seeds}
+    mean±σ, and the paired per-seed wins.  ``--ci-layers L --ci-dim D`` set
+    the flagship capacity (the sweep's l2d64 probe led the seed-0 table —
+    the CI decides whether that holds across seeds)."""
+    out = {"metric": "spot_quality_ci", "T": T, "n_seeds": n_seeds,
+           "flagship_config": {"window": FLAGSHIP_W, "num_layers": num_layers,
+                               "model_dim": model_dim}}
     pairs = []
     for name, kw in (("gru", dict(scorer="gru", window=0)),
-                     ("flagship", dict(scorer="transformer", window=FLAGSHIP_W))):
+                     ("flagship", dict(scorer="transformer", window=FLAGSHIP_W,
+                                       num_layers=num_layers, model_dim=model_dim))):
         per_seed = [run(init_seed=s, **kw) for s in range(n_seeds)]
         maps = [r["average_map"] for r in per_seed]
         leaks = [r["distractor_leak"] for r in per_seed]
@@ -251,7 +256,13 @@ def main() -> None:
     if "--ci" in sys.argv:
         idx = sys.argv.index("--ci")
         n = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 3
-        main_ci(n)
+
+        def _flag(name, default):
+            return int(sys.argv[sys.argv.index(name) + 1]) \
+                if name in sys.argv else default
+
+        main_ci(n, num_layers=_flag("--ci-layers", 1),
+                model_dim=_flag("--ci-dim", 32))
         return
     rows = {
         "oracle": run("oracle", 0),
