@@ -194,6 +194,22 @@ def run(scorer: str, window: int, num_layers: int = 1, model_dim: int = 32,
         params = temporal_scorer_init(jax.random.PRNGKey(init_seed), D, HIDDEN)
         step = make_spotting_train_step(HIDDEN, lr=5e-3, lr_schedule=sched)
         apply = lambda p, f: temporal_scorer_apply(p, f, HIDDEN)
+    elif scorer == "hybrid":
+        # GRU-augmented banded transformer (models/temporal_hybrid): the two
+        # tied contenders composed — recurrent global context + direct cue
+        # attention.  Same budget/schedule as everything else.
+        from cvml_goalnet_tpu.models.temporal_hybrid import (
+            temporal_hybrid_apply, temporal_hybrid_init)
+
+        params = temporal_hybrid_init(
+            jax.random.PRNGKey(init_seed), D, HIDDEN, model_dim=model_dim,
+            num_layers=num_layers, num_heads=2, max_len=T,
+            pos_encoding="rotary")
+        step = make_spotting_train_step(
+            HIDDEN, lr=5e-3, scorer="hybrid", num_heads=2, window=window,
+            use_flash=USE_FLASH, lr_schedule=sched)
+        apply = lambda p, f: temporal_hybrid_apply(
+            p, f, HIDDEN, 2, USE_FLASH, False, window)
     else:
         # rotary positions: attention logits depend on (i − j) only — the
         # right inductive bias for "validate against a cue 640–768 frames
@@ -231,9 +247,11 @@ def main_ci(n_seeds: int, num_layers: int = 1, model_dim: int = 32) -> None:
     out = {"metric": "spot_quality_ci", "T": T, "n_seeds": n_seeds,
            "flagship_config": {"window": FLAGSHIP_W, "num_layers": num_layers,
                                "model_dim": model_dim}}
+    flagship_scorer = "hybrid" if "--ci-hybrid" in sys.argv else "transformer"
+    out["flagship_config"]["scorer"] = flagship_scorer
     pairs = []
     for name, kw in (("gru", dict(scorer="gru", window=0)),
-                     ("flagship", dict(scorer="transformer", window=FLAGSHIP_W,
+                     ("flagship", dict(scorer=flagship_scorer, window=FLAGSHIP_W,
                                        num_layers=num_layers, model_dim=model_dim))):
         per_seed = [run(init_seed=s, **kw) for s in range(n_seeds)]
         maps = [r["average_map"] for r in per_seed]

@@ -61,8 +61,10 @@ def make_spotting_train_step(
     """→ jitted ``step(params, opt_state, features (T,D), labels (T,)) →
     (params, opt_state, loss)`` with weighted BCE on event frames.
 
-    ``scorer``: "gru" (bidirectional scan) or "transformer"
-    (``models/temporal_attention``).  ``use_flash=True`` trains through the
+    ``scorer``: "gru" (bidirectional scan), "transformer"
+    (``models/temporal_attention``), or "hybrid" (GRU-augmented banded
+    transformer, ``models/temporal_hybrid`` — ``hidden`` is the GRU width
+    there).  ``use_flash=True`` trains through the
     tiled Pallas flash kernels (O(T·d) memory forward AND backward — the
     full-rate T=135k path); ``window > 0`` restricts attention to the
     |i−j| ≤ window band (sliding-window kernel, O(T·W·d) compute);
@@ -79,6 +81,14 @@ def make_spotting_train_step(
         def scorer_fn(params, features, _hidden):
             return temporal_transformer_apply(
                 params, features, num_heads, use_flash, flash_interpret, window
+            )
+    elif scorer == "hybrid":
+        from cvml_goalnet_tpu.models.temporal_hybrid import temporal_hybrid_apply
+
+        def scorer_fn(params, features, hidden):
+            return temporal_hybrid_apply(
+                params, features, hidden, num_heads, use_flash,
+                flash_interpret, window
             )
     else:
         from cvml_goalnet_tpu.models.temporal import temporal_scorer_apply as scorer_fn

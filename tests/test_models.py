@@ -141,6 +141,74 @@ class TestTemporal:
         assert count_params(params) > 0
 
 
+class TestTemporalHybrid:
+    """GRU-augmented banded transformer (models/temporal_hybrid)."""
+
+    def _init(self, n_classes=1, window_len=64):
+        from cvml_goalnet_tpu.models.temporal_hybrid import temporal_hybrid_init
+
+        return temporal_hybrid_init(
+            jax.random.PRNGKey(0), 16, 8, model_dim=16, num_layers=1,
+            num_heads=2, max_len=window_len, n_classes=n_classes,
+            pos_encoding="rotary")
+
+    def test_shapes_single_and_multiclass(self):
+        from cvml_goalnet_tpu.models.temporal_hybrid import temporal_hybrid_apply
+
+        feats = jnp.asarray(
+            np.random.default_rng(0).standard_normal((40, 16)).astype(np.float32))
+        s1 = temporal_hybrid_apply(self._init(), feats, 8, 2, False, False, 4)
+        assert s1.shape == (40,)
+        s3 = temporal_hybrid_apply(self._init(n_classes=3), feats, 8, 2, False, False, 4)
+        assert s3.shape == (40, 3)
+
+    def test_gru_carries_context_beyond_the_band(self):
+        """The design intent: with a band of ±4, a feature change at t=0 must
+        still move the score at t=12 — the GRU state carries it through the
+        band, where a 1-layer banded transformer provably cannot (its
+        receptive field ends at |i−j| = 4).  t=12 keeps the probe within the
+        random-init GRU's float32 memory horizon (gated decay zeroes a t=0
+        perturbation long before t=32)."""
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_apply, temporal_transformer_init)
+        from cvml_goalnet_tpu.models.temporal_hybrid import temporal_hybrid_apply
+
+        params = self._init()
+        rng = np.random.default_rng(1)
+        base = rng.standard_normal((40, 16)).astype(np.float32)
+        spiked = base.copy()
+        spiked[0] += 5.0
+        w, probe = 4, 12
+        h0 = temporal_hybrid_apply(params, jnp.asarray(base), 8, 2, False, False, w)
+        h1 = temporal_hybrid_apply(params, jnp.asarray(spiked), 8, 2, False, False, w)
+        assert abs(float(h1[probe] - h0[probe])) > 1e-7
+
+        tparams = temporal_transformer_init(
+            jax.random.PRNGKey(0), 16, model_dim=16, num_layers=1,
+            num_heads=2, max_len=64, pos_encoding="rotary")
+        t0 = temporal_transformer_apply(tparams, jnp.asarray(base), 2, False, False, w)
+        t1 = temporal_transformer_apply(tparams, jnp.asarray(spiked), 2, False, False, w)
+        np.testing.assert_allclose(t1[probe], t0[probe], atol=1e-6)  # band-blind
+
+    def test_train_step_reduces_loss(self):
+        from cvml_goalnet_tpu.train.spotting import (
+            init_spotting_opt, make_spotting_train_step)
+
+        params = self._init()
+        step = make_spotting_train_step(
+            8, lr=3e-3, scorer="hybrid", num_heads=2, window=4)
+        opt = init_spotting_opt(params)
+        rng = np.random.default_rng(2)
+        feats = jnp.asarray(rng.standard_normal((48, 16)).astype(np.float32))
+        labels = jnp.asarray((rng.random(48) < 0.1).astype(np.float32))
+        losses = []
+        for _ in range(30):
+            params, opt, loss = step(params, opt, feats, labels)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+
 class TestResNetBackbone:
     def test_forward_and_train_step(self, small_cfg):
         import dataclasses
