@@ -459,7 +459,6 @@ def cmd_spot(args) -> int:
 
     from cvml_goalnet_tpu.data.annotations import AnnotationStore
     from cvml_goalnet_tpu.data.dataset import build_video_item
-    from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
     from cvml_goalnet_tpu.spotting import summarize_match
     from cvml_goalnet_tpu.train.checkpoint import CheckpointMismatchError
     from cvml_goalnet_tpu.train.spotting import load_spotting_checkpoint
@@ -498,20 +497,10 @@ def cmd_spot(args) -> int:
          + (cfg.model.aud_feature_dim if cfg.model.audio_included else 0)
          + (cfg.model.text_feature_dim if cfg.model.text_included else 0))
     n_classes = len(classes) if classes else 1
-    if cfg.model.temporal_model == "transformer":
-        from cvml_goalnet_tpu.models.temporal_attention import temporal_transformer_init
+    from cvml_goalnet_tpu.spotting import temporal_head_init_auto
 
-        tparams = temporal_transformer_init(
-            jax.random.PRNGKey(1), d,
-            model_dim=cfg.model.temporal_hidden,
-            num_layers=cfg.model.temporal_num_layers,
-            num_heads=cfg.model.temporal_num_heads, max_len=cfg.model.temporal_max_len,
-            n_classes=n_classes,
-            pos_encoding=cfg.model.temporal_pos_encoding,
-        )
-    else:
-        tparams = temporal_scorer_init(
-            jax.random.PRNGKey(1), d, cfg.model.temporal_hidden, n_classes=n_classes)
+    tparams = temporal_head_init_auto(
+        jax.random.PRNGKey(1), d, cfg.model, n_classes=n_classes)
     if args.temporal_checkpoint:
         tparams = load_spotting_checkpoint(
             args.temporal_checkpoint, tparams, classes=classes)
@@ -657,11 +646,12 @@ def _run_spot_stream(args, cfg, state, tparams, classes, fps) -> int:
     from cvml_goalnet_tpu.ops.preprocess import preprocess_frames_host
     from cvml_goalnet_tpu.spotting import spot_stream
 
-    if cfg.model.temporal_model == "transformer" and cfg.model.temporal_window <= 0:
-        print("E: --stream with the transformer scorer needs a banded window "
-              "(--attn-window N): full attention has an unbounded receptive "
-              "field so streamed scores could never be final; band it or "
-              "spot offline", file=sys.stderr)
+    if (cfg.model.temporal_model in ("transformer", "hybrid")
+            and cfg.model.temporal_window <= 0):
+        print(f"E: --stream with the {cfg.model.temporal_model} scorer needs "
+              "a banded window (--attn-window N): full attention has an "
+              "unbounded receptive field so streamed scores could never be "
+              "final; band it or spot offline", file=sys.stderr)
         return 2
     if cfg.model.audio_included or cfg.model.text_included:
         print("E: --stream supports visual-only trunks — audio/commentary ride "
@@ -743,7 +733,6 @@ def cmd_spot_train(args) -> int:
 
     from cvml_goalnet_tpu.data.annotations import AnnotationStore
     from cvml_goalnet_tpu.data.dataset import build_video_item
-    from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
     from cvml_goalnet_tpu.spotting import encode_timeline, load_event_labels
     from cvml_goalnet_tpu.train.checkpoint import CheckpointMismatchError
     from cvml_goalnet_tpu.train.spotting import (
@@ -862,17 +851,12 @@ def cmd_spot_train(args) -> int:
                   "does not mask pad rows out of attention) — use --cp for "
                   "variable lengths", file=sys.stderr)
             return 2
-    if cfg.model.temporal_model == "transformer":
-        from cvml_goalnet_tpu.models.temporal_attention import temporal_transformer_init
+    from cvml_goalnet_tpu.spotting import temporal_head_init_auto
 
-        tparams = temporal_transformer_init(
-            jax.random.PRNGKey(1), d,
-            model_dim=cfg.model.temporal_hidden,
-            num_layers=cfg.model.temporal_num_layers,
-            num_heads=cfg.model.temporal_num_heads, max_len=cfg.model.temporal_max_len,
-            n_classes=len(classes) if classes else 1,
-            pos_encoding=cfg.model.temporal_pos_encoding,
-        )
+    tparams = temporal_head_init_auto(
+        jax.random.PRNGKey(1), d, cfg.model,
+        n_classes=len(classes) if classes else 1)
+    if cfg.model.temporal_model == "transformer":
         if getattr(args, "cp", False):
             # context parallel: each timeline shards over ALL devices; the
             # attention runs as a ppermute ring (or one halo hop per neighbor
@@ -973,10 +957,14 @@ def cmd_spot_train(args) -> int:
                 window=cfg.model.temporal_window,
                 **_spot_opt_kwargs(cfg.train),
             )
+    elif cfg.model.temporal_model == "hybrid":
+        step = make_spotting_train_step(
+            cfg.model.temporal_hidden, lr=args.lr, pos_weight=args.pos_weight,
+            scorer="hybrid", num_heads=cfg.model.temporal_num_heads,
+            window=cfg.model.temporal_window,
+            **_spot_opt_kwargs(cfg.train),
+        )
     else:
-        tparams = temporal_scorer_init(
-            jax.random.PRNGKey(1), d, cfg.model.temporal_hidden,
-            n_classes=len(classes) if classes else 1)
         step = make_spotting_train_step(
             cfg.model.temporal_hidden, lr=args.lr, pos_weight=args.pos_weight,
             **_spot_opt_kwargs(cfg.train),
@@ -1410,7 +1398,7 @@ def main(argv=None) -> int:
                    help="3-modality trunk (trained with train --commentary); "
                         "reads <video>.commentary.jsonl sidecars")
     p.add_argument("--temporal-checkpoint", default=None)
-    p.add_argument("--temporal-model", choices=["gru", "transformer"], default=None)
+    p.add_argument("--temporal-model", choices=["gru", "transformer", "hybrid"], default=None)
     p.add_argument("--attn-window", type=int, default=None,
                    help="transformer attention band radius in condensed frames "
                         "(sliding-window flash kernel; 0/default = full attention)")
@@ -1450,7 +1438,7 @@ def main(argv=None) -> int:
     p.add_argument("--commentary", action="store_true",
                    help="3-modality trunk (trained with train --commentary); "
                         "reads <video>.commentary.jsonl sidecars")
-    p.add_argument("--temporal-model", choices=["gru", "transformer"], default=None)
+    p.add_argument("--temporal-model", choices=["gru", "transformer", "hybrid"], default=None)
     p.add_argument("--attn-window", type=int, default=None,
                    help="transformer attention band radius in condensed frames")
     p.add_argument("--cp", action="store_true",
@@ -1518,7 +1506,7 @@ def main(argv=None) -> int:
                    help="also serve POST /spot (event spotting)")
     p.add_argument("--temporal-checkpoint", default=None,
                    help="spot-train head npz for /spot")
-    p.add_argument("--temporal-model", choices=["gru", "transformer"], default=None)
+    p.add_argument("--temporal-model", choices=["gru", "transformer", "hybrid"], default=None)
     p.add_argument("--attn-window", type=int, default=None)
     p.add_argument("--classes", default=None,
                    help="comma-separated event classes for /spot")

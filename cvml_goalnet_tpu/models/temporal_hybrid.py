@@ -76,16 +76,20 @@ def temporal_hybrid_apply(
     use_flash: bool = False,
     flash_interpret: bool = False,
     window: int = 0,
+    pos_offset=0,
 ):
     """features: (T, D) → (T,) scores (or (T, C) for multi-class heads).
 
     Bidirectional GRU hidden states augment the features; the transformer
     (full or ``window``-banded, flash or XLA) scores the augmented timeline.
+    ``pos_offset`` (traced scalar): the global timeline index of
+    ``features[0]`` — keeps the transformer component's positions aligned
+    with the offline program when ``spotting.spot_stream`` scores windows.
     """
     hs_f = _gru_scan(params["gru"]["fwd"], features, hidden)
     hs_b = _gru_scan(params["gru"]["bwd"], features, hidden, reverse=True)
     aug = jnp.concatenate([features, hs_f, hs_b], axis=-1)
     return temporal_transformer_apply(
         params["transformer"], aug, num_heads, use_flash, flash_interpret,
-        window,
+        window, pos_offset,
     )

@@ -329,27 +329,10 @@ class Spotter:
              + (cfg.model.aud_feature_dim if cfg.model.audio_included else 0)
              + (cfg.model.text_feature_dim if cfg.model.text_included else 0))
         n_classes = len(self.classes) if self.classes else 1
-        if cfg.model.temporal_model == "transformer":
-            from cvml_goalnet_tpu.models.temporal_attention import (
-                temporal_transformer_init,
-            )
+        from cvml_goalnet_tpu.spotting import temporal_head_init_auto
 
-            tparams = temporal_transformer_init(
-                jax.random.PRNGKey(1), d,
-                model_dim=cfg.model.temporal_hidden,
-                num_layers=cfg.model.temporal_num_layers,
-                num_heads=cfg.model.temporal_num_heads,
-                max_len=cfg.model.temporal_max_len,
-                n_classes=n_classes,
-                pos_encoding=cfg.model.temporal_pos_encoding,
-            )
-        else:
-            from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
-
-            tparams = temporal_scorer_init(
-                jax.random.PRNGKey(1), d, cfg.model.temporal_hidden,
-                n_classes=n_classes,
-            )
+        tparams = temporal_head_init_auto(
+            jax.random.PRNGKey(1), d, cfg.model, n_classes=n_classes)
         if temporal_checkpoint is not None:
             tparams = load_spotting_checkpoint(
                 temporal_checkpoint, tparams, classes=self.classes)
@@ -510,10 +493,10 @@ class Spotter:
                 "spot-stream supports visual-only trunks — audio/commentary "
                 "ride sidecar files that do not exist for footage still "
                 "being produced; serve a --no-audio trunk or POST /spot")
-        if (cfg.model.temporal_model == "transformer"
+        if (cfg.model.temporal_model in ("transformer", "hybrid")
                 and cfg.model.temporal_window <= 0):
             raise ValueError(
-                "spot-stream needs a banded transformer window "
+                "spot-stream needs a banded attention window "
                 "(temporal_window > 0): full attention has an unbounded "
                 "receptive field, so streamed scores could never be final")
         if chunk < 1 or halo < 0:

@@ -93,24 +93,76 @@ def score_timeline(temporal_params, features, hidden: int) -> jax.Array:
     return temporal_scorer_apply(temporal_params, features, hidden)
 
 
-def score_timeline_auto(temporal_params, features, cfg: PipelineConfig) -> jax.Array:
-    """Dispatch on ``ModelConfig.temporal_model``: GRU scan or transformer.
+def head_out_dim(temporal_params) -> int:
+    """Output arity (class count) of a temporal head, any scorer family —
+    the hybrid nests its scoring head under ``"transformer"``."""
+    p = temporal_params.get("transformer", temporal_params)
+    return int(p["head"]["w"].shape[-1])
 
-    The transformer path uses the flash-attention Pallas kernel on TPU and
+
+def temporal_head_init_auto(key, in_dim: int, mc, n_classes: int = 1):
+    """Init the temporal head for ``mc.temporal_model`` ∈ {"gru",
+    "transformer", "hybrid"} — the ONE construction rule every entry point
+    (CLI spot/spot-train, serve.Spotter) shares, so a checkpoint trained by
+    one loads structurally into all of them."""
+    if mc.temporal_model == "transformer":
+        from cvml_goalnet_tpu.models.temporal_attention import (
+            temporal_transformer_init,
+        )
+
+        return temporal_transformer_init(
+            key, in_dim, model_dim=mc.temporal_hidden,
+            num_layers=mc.temporal_num_layers, num_heads=mc.temporal_num_heads,
+            max_len=mc.temporal_max_len, n_classes=n_classes,
+            pos_encoding=mc.temporal_pos_encoding,
+        )
+    if mc.temporal_model == "hybrid":
+        from cvml_goalnet_tpu.models.temporal_hybrid import temporal_hybrid_init
+
+        return temporal_hybrid_init(
+            key, in_dim, mc.temporal_hidden, model_dim=mc.temporal_hidden,
+            num_layers=mc.temporal_num_layers, num_heads=mc.temporal_num_heads,
+            max_len=mc.temporal_max_len, n_classes=n_classes,
+            pos_encoding=mc.temporal_pos_encoding,
+        )
+    if mc.temporal_model != "gru":
+        raise ValueError(
+            f"unknown temporal_model {mc.temporal_model!r} — expected 'gru', "
+            "'transformer', or 'hybrid'")
+    from cvml_goalnet_tpu.models.temporal import temporal_scorer_init
+
+    return temporal_scorer_init(key, in_dim, mc.temporal_hidden,
+                                n_classes=n_classes)
+
+
+def score_timeline_auto(temporal_params, features, cfg: PipelineConfig) -> jax.Array:
+    """Dispatch on ``ModelConfig.temporal_model``: GRU scan, transformer, or
+    the GRU-augmented hybrid (``models/temporal_hybrid``).
+
+    The attention paths use the flash-attention Pallas kernel on TPU and
     the XLA reference attention elsewhere.  GRU timelines longer than
     ``temporal_chunk_threshold`` run chunked+halo (the measured 14×-faster
     public path, tolerance ≤2e-2 at interior chunk borders vs the monolithic
     scan — docs/BENCHMARKS.md); set the threshold to 0 for always-exact
-    monolithic scoring.
+    monolithic scoring.  The hybrid always scores monolithically here (its
+    scan + banded attention are one fused program; chunked hybrid scoring is
+    the sharded/streaming path's job, with the GRU's decay class).
     """
     mc = cfg.model
+    use_flash = jax.default_backend() not in ("cpu",)
     if mc.temporal_model == "transformer":
         from cvml_goalnet_tpu.models.temporal_attention import temporal_transformer_apply
 
-        use_flash = jax.default_backend() not in ("cpu",)
         return temporal_transformer_apply(
             temporal_params, features, mc.temporal_num_heads, use_flash,
             window=mc.temporal_window,
+        )
+    if mc.temporal_model == "hybrid":
+        from cvml_goalnet_tpu.models.temporal_hybrid import temporal_hybrid_apply
+
+        return temporal_hybrid_apply(
+            temporal_params, features, mc.temporal_hidden,
+            mc.temporal_num_heads, use_flash, False, mc.temporal_window,
         )
     t = features.shape[0]
     if mc.temporal_chunk_threshold and t > mc.temporal_chunk_threshold:
@@ -173,9 +225,12 @@ def score_timeline_sharded(
 
     The timeline shards over the mesh ``axis``; transformer blocks run inside
     one ``shard_map`` with ring attention (exact — equal to the monolithic
-    scorer ≤1e-4), GRU timelines use the chunked+halo formulation with chunks
-    laid out along the mesh axis.  This is the reachable entry point for
-    SP/CP: ``__graft_entry__.dryrun_multichip`` exercises it on every run.
+    scorer ≤1e-4), GRU and hybrid timelines use the chunked+halo formulation
+    with chunks laid out along the mesh axis (halo-decay accuracy class at
+    interior chunk borders — the hybrid's GRU scan starts from zero state at
+    each window edge, exactly like the plain GRU's chunked path).  This is
+    the reachable entry point for SP/CP: ``__graft_entry__.dryrun_multichip``
+    exercises it on every run.
     """
     mc = cfg.model
     if mc.temporal_model == "transformer":
@@ -192,28 +247,35 @@ def score_timeline_sharded(
             temporal_params, features, mesh, mc.temporal_num_heads, axis,
             use_flash=use_flash, window=mc.temporal_window,
         )
-    # GRU: chunk+halo windows EXPLICITLY sharded over the mesh axis via
-    # shard_map — each device scores its own slice of the chunk list against
-    # the replicated features.  (A replicated jit with no constraints let
-    # GSPMD run every chunk on every device: correct results, zero speedup —
-    # round-3 review.)
+    # GRU/hybrid: chunk+halo windows EXPLICITLY sharded over the mesh axis
+    # via shard_map — each device scores its own slice of the chunk list
+    # against the replicated features.  (A replicated jit with no constraints
+    # let GSPMD run every chunk on every device: correct results, zero
+    # speedup — round-3 review.)
     t, d = features.shape
     window = mc.temporal_chunk + 2 * mc.temporal_halo
+    n_out = head_out_dim(temporal_params)
     if t <= window:
-        return temporal_scorer_apply(temporal_params, features, mc.temporal_hidden)
-    n_out = int(temporal_params["head"]["w"].shape[-1])
-    fn = _sharded_gru_chunk_fn(
+        return score_timeline_auto(temporal_params, features, cfg)
+    fn = _sharded_chunk_fn(
         mesh, axis, mc.temporal_hidden, mc.temporal_chunk, mc.temporal_halo,
-        t, n_out,
+        t, n_out, mc.temporal_model, mc.temporal_num_heads, mc.temporal_window,
     )
     scores = fn(temporal_params, features)
     return scores[:, 0] if n_out == 1 else scores
 
 
 @lru_cache(maxsize=8)
-def _sharded_gru_chunk_fn(mesh, axis: str, hidden: int, chunk: int,
-                          overlap: int, t: int, n_out: int):
-    """Build + cache the shard_map'd chunked GRU scorer for one (mesh, T).
+def _sharded_chunk_fn(mesh, axis: str, hidden: int, chunk: int,
+                      overlap: int, t: int, n_out: int,
+                      scorer: str = "gru", num_heads: int = 1,
+                      attn_window: int = 0):
+    """Build + cache the shard_map'd chunked window scorer for one (mesh, T).
+
+    ``scorer``: "gru" (scan) or "hybrid" (GRU-augmented banded transformer —
+    each window scores with ``temporal_hybrid_apply``; rotary positions are
+    relative so window placement needs no offset, and learned positions use
+    the same window-local indexing as the single-device chunked oracle).
 
     Chunk starts pad to a multiple of the mesh axis so every device owns an
     equal slice; pad chunks produce garbage rows past ``t`` that the final
@@ -232,9 +294,21 @@ def _sharded_gru_chunk_fn(mesh, axis: str, hidden: int, chunk: int,
     keep_offsets = jnp.asarray(
         np.clip(starts - np.clip(starts - overlap, 0, t - window), 0, window + chunk))
 
+    if scorer == "hybrid":
+        from cvml_goalnet_tpu.models.temporal_hybrid import temporal_hybrid_apply
+
+        use_flash = jax.default_backend() not in ("cpu",)
+
+        def score_one(params, sl):
+            return temporal_hybrid_apply(
+                params, sl, hidden, num_heads, use_flash, False, attn_window)
+    else:
+        def score_one(params, sl):
+            return temporal_scorer_apply(params, sl, hidden)
+
     def one(params, features, win_start, keep_off):
         sl = jax.lax.dynamic_slice(features, (win_start, 0), (window, features.shape[1]))
-        s = temporal_scorer_apply(params, sl, hidden)
+        s = score_one(params, sl)
         s = s[:, None] if s.ndim == 1 else s
         s_ext = jnp.concatenate([s, jnp.zeros((chunk, n_out), s.dtype)])
         return jax.lax.dynamic_slice(s_ext, (keep_off, 0), (chunk, n_out))
@@ -479,8 +553,8 @@ def spot_stream(
       ``halo`` frames are buffered — at most one update per input chunk
       (chunks smaller than the halo accumulate silently).
     * End of stream: one final update flushes any still-buffered frames
-      (scored with the retained ``halo`` frames of left context — GRU
-      accuracy on this tail is halo-decay-bounded, banded-transformer
+      (scored with the retained ``halo`` frames of left context — GRU and
+      hybrid accuracy on this tail is halo-decay-bounded, banded-transformer
       exact).  If nothing is buffered (possible when ``halo=0``) but
       frames within ``peak_window`` of the end have unreported events, a
       final update with EMPTY scores delivers them — every stream with
@@ -495,13 +569,14 @@ def spot_stream(
     the modality).
     """
     is_transformer = cfg.model.temporal_model == "transformer"
-    if is_transformer and cfg.model.temporal_window <= 0:
+    is_hybrid = cfg.model.temporal_model == "hybrid"
+    if (is_transformer or is_hybrid) and cfg.model.temporal_window <= 0:
         raise ValueError(
-            "spot_stream with the transformer scorer needs a banded window "
-            "(cfg.model.temporal_window > 0): full attention has an unbounded "
-            "receptive field, so no finite halo can make streamed scores "
-            "final — train/score with a band (spot-train --attn-window) or "
-            "spot offline"
+            f"spot_stream with the {cfg.model.temporal_model} scorer needs a "
+            "banded window (cfg.model.temporal_window > 0): full attention "
+            "has an unbounded receptive field, so no finite halo can make "
+            "streamed scores final — train/score with a band (spot-train "
+            "--attn-window) or spot offline"
         )
     if cfg.model.audio_included and audio_chunks is None:
         # the trunk would otherwise encode WITHOUT the audio dims and the
@@ -517,7 +592,7 @@ def spot_stream(
             "frame-chunk boundaries, or stream with a trunk trained "
             "without --commentary")
     hidden = cfg.model.temporal_hidden
-    n_out = int(temporal_params["head"]["w"].shape[-1])
+    n_out = head_out_dim(temporal_params)
 
     audio_iter = iter(audio_chunks) if audio_chunks is not None else None
     text_iter = iter(text_chunks) if text_chunks is not None else None
@@ -580,6 +655,22 @@ def spot_stream(
         def score_window(feats_np, global_start: int):
             s = np.asarray(temporal_transformer_apply(
                 temporal_params, jnp.asarray(feats_np),
+                cfg.model.temporal_num_heads, use_flash, False, W,
+                global_start))
+            return s[:, None] if s.ndim == 1 else s
+    elif is_hybrid:
+        from cvml_goalnet_tpu.models.temporal_hybrid import temporal_hybrid_apply
+
+        W = cfg.model.temporal_window
+        # the attention part keeps its banded receptive field; the GRU scan
+        # starting from zero state at the window edge makes streamed scores
+        # halo-DECAY accurate (the GRU class), not banded-exact
+        halo = max(halo, len(temporal_params["transformer"]["layers"]) * W)
+        use_flash = jax.default_backend() not in ("cpu",)
+
+        def score_window(feats_np, global_start: int):
+            s = np.asarray(temporal_hybrid_apply(
+                temporal_params, jnp.asarray(feats_np), hidden,
                 cfg.model.temporal_num_heads, use_flash, False, W,
                 global_start))
             return s[:, None] if s.ndim == 1 else s

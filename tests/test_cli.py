@@ -326,6 +326,40 @@ class TestCLISpotTrain:
         payload = json.loads(r.stdout[r.stdout.index("{"):])
         assert payload["summary_frames"] > 0
 
+    def test_spot_train_then_spot_hybrid(self, cli_env):
+        """The hybrid scorer trains, saves, and loads back through the SAME
+        CLI journey as the other two families (temporal_head_init_auto is
+        the shared construction rule)."""
+        root = cli_env["root"]
+        for fp in cli_env["video_fps"]:
+            side = fp.rsplit(".", 1)[0] + ".events.json"
+            with open(side, "w") as f:
+                json.dump([0, 90, 180], f)
+
+        head_fp = os.path.join(root, "models", "spot_head_hybrid.npz")
+        r = _run(["spot-train", *_data_args(cli_env), "--workdir", root,
+                  "--no-audio", "--temporal-model", "hybrid",
+                  "--attn-window", "2", "--epochs", "2", "--out", head_fp], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert os.path.exists(head_fp)
+
+        r = _run(["spot", cli_env["video_fps"][0], "--mat-fp", cli_env["mat_file_path"],
+                  "--h5-fp", cli_env["h5_file_path"], "--config", cli_env["cfg"],
+                  "--workdir", root, "--no-audio", "--peak-threshold=-1e9",
+                  "--temporal-model", "hybrid", "--attn-window", "2",
+                  "--temporal-checkpoint", head_fp], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = json.loads(r.stdout[r.stdout.index("{"):])
+        assert payload["summary_frames"] > 0
+
+        # structure guard: a hybrid head must NOT load into a GRU template
+        r = _run(["spot", cli_env["video_fps"][0], "--mat-fp", cli_env["mat_file_path"],
+                  "--h5-fp", cli_env["h5_file_path"], "--config", cli_env["cfg"],
+                  "--workdir", root, "--no-audio",
+                  "--temporal-checkpoint", head_fp], root)
+        assert r.returncode != 0
+        assert "temporal_pos_encoding / temporal_model" in (r.stderr + r.stdout)
+
 
 class TestCLISpotEval:
     def test_spot_eval_events(self, cli_env):

@@ -861,6 +861,80 @@ class TestSpotStream:
             list(spot_stream(state.params, state.model_state, tparams,
                              self._stream(frames, 16), cfg))
 
+    def _setup_hybrid(self, small_cfg, t=60, seed=0, W=4):
+        import dataclasses
+
+        from cvml_goalnet_tpu.spotting import temporal_head_init_auto
+        from cvml_goalnet_tpu.train.state import create_train_state
+
+        cfg = dataclasses.replace(
+            small_cfg,
+            model=dataclasses.replace(
+                small_cfg.model, audio_included=False,
+                temporal_model="hybrid", temporal_window=W,
+                temporal_pos_encoding="rotary"),
+        )
+        state = create_train_state(jax.random.PRNGKey(0), cfg)
+        tparams = temporal_head_init_auto(
+            jax.random.PRNGKey(2), cfg.model.vis_feature_dim, cfg.model)
+        h, w = cfg.preprocess.frame_size
+        frames = np.random.default_rng(seed).integers(
+            0, 255, (t, h, w, 3), dtype=np.uint8).astype(np.float32) / 255.0
+        return cfg, state, tparams, frames
+
+    def test_hybrid_stream_matches_offline_to_halo_decay(self, small_cfg):
+        """Streamed hybrid scores track the offline monolithic hybrid to the
+        GRU's halo-decay bound (the scan resets at window edges; the banded
+        attention part stays within its derived receptive-field halo), and
+        streamed events equal detect_peaks on the streamed scores."""
+        from cvml_goalnet_tpu.models.temporal import detect_peaks
+        from cvml_goalnet_tpu.spotting import (
+            encode_timeline, score_timeline_auto, spot_stream)
+
+        cfg, state, tparams, frames = self._setup_hybrid(small_cfg, t=60)
+        updates = list(spot_stream(
+            state.params, state.model_state, tparams,
+            self._stream(frames, 16), cfg, halo=16, peak_window=3))
+        streamed = np.concatenate([u.scores for u in updates])
+        assert streamed.shape == (60,)
+        feats = encode_timeline(
+            state.params, state.model_state, jnp.asarray(frames), None, cfg)
+        offline = np.asarray(score_timeline_auto(tparams, feats, cfg))
+        np.testing.assert_allclose(streamed, offline, atol=2e-2)
+
+        ev_stream = np.concatenate([np.asarray(u.events) for u in updates])
+        ev_offline = np.nonzero(
+            np.asarray(detect_peaks(jnp.asarray(streamed), 3, 0.0)))[0]
+        np.testing.assert_array_equal(np.sort(ev_stream), ev_offline)
+
+    def test_hybrid_single_chunk_is_exact(self, small_cfg):
+        from cvml_goalnet_tpu.spotting import (
+            encode_timeline, score_timeline_auto, spot_stream)
+
+        cfg, state, tparams, frames = self._setup_hybrid(small_cfg, t=20)
+        updates = list(spot_stream(
+            state.params, state.model_state, tparams,
+            self._stream(frames, 64), cfg, halo=8))
+        assert len(updates) == 1
+        feats = encode_timeline(
+            state.params, state.model_state, jnp.asarray(frames), None, cfg)
+        offline = np.asarray(score_timeline_auto(tparams, feats, cfg))
+        np.testing.assert_allclose(updates[0].scores, offline, atol=1e-5)
+
+    def test_hybrid_full_attention_rejected(self, small_cfg):
+        import dataclasses
+
+        import pytest
+
+        from cvml_goalnet_tpu.spotting import spot_stream
+
+        cfg, state, tparams, frames = self._setup_hybrid(small_cfg, t=20)
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, temporal_window=0))
+        with pytest.raises(ValueError, match="banded"):
+            list(spot_stream(state.params, state.model_state, tparams,
+                             self._stream(frames, 16), cfg))
+
     def _setup_transformer(self, small_cfg, n_classes=1, t=60, seed=0, W=4,
                            pos_encoding="learned", max_len=8192):
         import dataclasses
