@@ -1160,11 +1160,19 @@ def cmd_serve(args) -> int:
         # daemon handlers are tracked, so server_close() joins them and the
         # last response is written before we return.
         server.daemon_threads = False
-        for _ in range(args.max_requests):
-            server.handle_request()
-        server.server_close()
+        try:
+            for _ in range(args.max_requests):
+                server.handle_request()
+        finally:
+            server.server_close()
+            if batcher is not None:
+                batcher.close()
     else:  # pragma: no cover - interactive mode
-        server.serve_forever()
+        try:
+            server.serve_forever()
+        finally:
+            if batcher is not None:
+                batcher.close()
     return 0
 
 

@@ -518,6 +518,15 @@ class Spotter:
             peak_threshold=peak_threshold)
 
 
+# close() sentinel + a weak registry so embedding processes (and the test
+# suite's conftest) can drain every worker thread at shutdown — a leaked
+# daemon worker pins its Summarizer's device buffers for the process lifetime
+_BATCHER_CLOSE = object()
+import weakref as _weakref
+
+_live_batchers: "_weakref.WeakSet" = _weakref.WeakSet()
+
+
 class DynamicBatcher:
     """Cross-request micro-batching for the serving hot path.
 
@@ -555,8 +564,31 @@ class DynamicBatcher:
         self.buckets = tuple(sorted(buckets))
         self._q: "queue.Queue" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "batched_frames": 0}
+        self._closed = False
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+        _live_batchers.add(self)
+
+    def close(self, timeout: float = 10.0) -> None:
+        """Stop the worker thread.
+
+        Requests already queued are still processed before the worker exits;
+        ``submit()`` after ``close()`` raises.  Idempotent.  Long-lived
+        processes (and tests) must close batchers they create — the worker
+        otherwise pins the Summarizer (and its device buffers) for the
+        process lifetime.
+        """
+        if self._closed:
+            return
+        self._closed = True
+        self._q.put(_BATCHER_CLOSE)
+        self._worker.join(timeout)
+
+    def __enter__(self) -> "DynamicBatcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
@@ -638,6 +670,8 @@ class DynamicBatcher:
             feats["text"] = tokenize(
                 commentary if commentary is not None else [""] * len(frames),
                 cfg.model.text_vocab_size, cfg.model.text_max_len)
+        if self._closed:
+            raise RuntimeError("DynamicBatcher is closed")
         fut: Future = Future()
         self.stats["requests"] += 1
         self._q.put((video_id, feats, clip_intervals, full_n_frames, len(frames), fut))
@@ -651,6 +685,8 @@ class DynamicBatcher:
         while True:
             first = carry if carry is not None else self._q.get()
             carry = None
+            if first is _BATCHER_CLOSE:
+                return
             batch = [first]
             total = first[4]
             deadline = _time.monotonic() + self.max_wait_ms / 1e3
@@ -661,6 +697,9 @@ class DynamicBatcher:
                 try:
                     item = self._q.get(timeout=timeout)
                 except _queue.Empty:
+                    break
+                if item is _BATCHER_CLOSE:
+                    carry = item  # finish this batch, exit on the next loop
                     break
                 if total + item[4] > self.max_batch_frames:
                     carry = item  # rides the NEXT batch — no overshoot

@@ -80,3 +80,21 @@ def small_model_cfg(**overrides) -> ModelConfig:
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True)
+def _close_leaked_batchers():
+    """Drain DynamicBatcher worker threads a test forgot to close().
+
+    A leaked daemon worker pins its Summarizer (and device buffers) for the
+    whole pytest process — round 4's full-suite run crashed inside an XLA
+    compile with eight such threads alive.  Only touches the registry when
+    serve.py was actually imported, so light tests stay light.
+    """
+    yield
+    import sys
+
+    serve_mod = sys.modules.get("cvml_goalnet_tpu.serve")
+    if serve_mod is not None:
+        for b in list(serve_mod._live_batchers):
+            b.close()
