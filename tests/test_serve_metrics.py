@@ -577,6 +577,45 @@ class TestDynamicBatching:
             with pytest.raises(Exception):
                 f.result(timeout=60)
 
+    def test_close_drains_worker_and_serves_pending(self, small_cfg):
+        """close() processes requests already queued, joins the worker, and
+        makes later submits fail loudly — the worker must not outlive the
+        batcher (a leaked daemon thread pins the Summarizer's device buffers
+        for the process lifetime)."""
+        import dataclasses
+
+        from cvml_goalnet_tpu.serve import DynamicBatcher
+
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False)
+        )
+        s = Summarizer(cfg)
+        batcher = DynamicBatcher(s, max_wait_ms=20.0, buckets=(64,))
+        rng = np.random.default_rng(2)
+        frames = rng.integers(0, 255, (6, 24, 24, 3), dtype=np.uint8)
+        want = s.summarize_frames("w", frames)
+        fut = batcher.submit("w", frames)
+        batcher.close()
+        # the pending request still completed before the worker exited
+        np.testing.assert_allclose(fut.result(timeout=120).scores, want.scores, atol=1e-4)
+        assert not batcher._worker.is_alive()
+        with pytest.raises(RuntimeError, match="closed"):
+            batcher.submit("late", frames)
+        batcher.close()  # idempotent
+
+    def test_context_manager_closes(self, small_cfg):
+        import dataclasses
+
+        from cvml_goalnet_tpu.serve import DynamicBatcher
+
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False)
+        )
+        s = Summarizer(cfg)
+        with DynamicBatcher(s, max_wait_ms=20.0, buckets=(64,)) as batcher:
+            pass
+        assert batcher._closed and not batcher._worker.is_alive()
+
 
 class TestHTTPWithBatcher:
     def test_concurrent_http_requests_share_batches(self, small_cfg, tmp_path):
