@@ -583,6 +583,17 @@ class DynamicBatcher:
         self._closed = True
         self._q.put(_BATCHER_CLOSE)
         self._worker.join(timeout)
+        # a submit() racing close() can enqueue BEHIND the sentinel — fail
+        # those futures loudly rather than leave .result() hanging forever
+        import queue as _queue
+
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except _queue.Empty:
+                break
+            if item is not _BATCHER_CLOSE and not item[-1].done():
+                item[-1].set_exception(RuntimeError("DynamicBatcher is closed"))
 
     def __enter__(self) -> "DynamicBatcher":
         return self
