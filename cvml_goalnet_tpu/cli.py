@@ -1164,9 +1164,13 @@ def cmd_serve(args) -> int:
             for _ in range(args.max_requests):
                 server.handle_request()
         finally:
-            server.server_close()
-            if batcher is not None:
-                batcher.close()
+            # nested so a server_close() failure cannot leak the batcher
+            # worker (advisor r4, low)
+            try:
+                server.server_close()
+            finally:
+                if batcher is not None:
+                    batcher.close()
     else:  # pragma: no cover - interactive mode
         try:
             server.serve_forever()

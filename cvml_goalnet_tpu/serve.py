@@ -565,6 +565,11 @@ class DynamicBatcher:
         self._q: "queue.Queue" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "batched_frames": 0}
         self._closed = False
+        # Serializes the closed-check+enqueue in submit() against the
+        # flag-set+sentinel in close(): without it a submit that passed the
+        # check could enqueue BEHIND the sentinel and its future would never
+        # resolve (advisor r4, medium).
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
         _live_batchers.add(self)
@@ -578,13 +583,28 @@ class DynamicBatcher:
         otherwise pins the Summarizer (and its device buffers) for the
         process lifetime.
         """
-        if self._closed:
-            return
-        self._closed = True
-        self._q.put(_BATCHER_CLOSE)
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(_BATCHER_CLOSE)
+        # Wait until the worker is CONFIRMED dead before touching the queue:
+        # a batch mid-``_process`` can exceed any fixed timeout (a cold XLA
+        # compile through the remote tunnel takes minutes), and draining
+        # while the worker lives can steal the sentinel — stranding it in
+        # ``_q.get()`` forever — and fail queued requests the contract above
+        # promises will still be processed (advisor r4, medium).
         self._worker.join(timeout)
-        # a submit() racing close() can enqueue BEHIND the sentinel — fail
-        # those futures loudly rather than leave .result() hanging forever
+        while self._worker.is_alive():
+            import logging
+
+            logging.getLogger("cvml_goalnet_tpu.serve").warning(
+                "DynamicBatcher.close(): worker still processing after %.1fs; "
+                "waiting for it to drain the queue", timeout)
+            self._worker.join(timeout)
+        # The submit lock makes enqueue-behind-the-sentinel impossible, but a
+        # drain of the (now worker-less) queue stays as defense in depth: any
+        # stranded future fails loudly rather than hang .result() forever.
         import queue as _queue
 
         while True:
@@ -681,11 +701,14 @@ class DynamicBatcher:
             feats["text"] = tokenize(
                 commentary if commentary is not None else [""] * len(frames),
                 cfg.model.text_vocab_size, cfg.model.text_max_len)
-        if self._closed:
-            raise RuntimeError("DynamicBatcher is closed")
         fut: Future = Future()
-        self.stats["requests"] += 1
-        self._q.put((video_id, feats, clip_intervals, full_n_frames, len(frames), fut))
+        # check + enqueue under the lock shared with close(): once close()
+        # has put the sentinel, no item can land behind it (advisor r4)
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("DynamicBatcher is closed")
+            self.stats["requests"] += 1
+            self._q.put((video_id, feats, clip_intervals, full_n_frames, len(frames), fut))
         return fut
 
     def _run(self) -> None:

@@ -1,6 +1,7 @@
 """Serving facade + HTTP endpoint + event-spotting metrics tests."""
 
 import json
+import time
 import urllib.error
 import urllib.request
 
@@ -602,6 +603,81 @@ class TestDynamicBatching:
         with pytest.raises(RuntimeError, match="closed"):
             batcher.submit("late", frames)
         batcher.close()  # idempotent
+
+    def test_close_waits_for_slow_worker(self, small_cfg, monkeypatch):
+        """close(timeout) must NOT drain while the worker is mid-batch.
+
+        A batch in ``_process`` can outlive any fixed join timeout (cold XLA
+        compiles take minutes through the remote tunnel).  If close() drains
+        anyway it can steal the CLOSE sentinel — stranding the worker in
+        ``_q.get()`` forever — and fail queued requests the close() contract
+        promises will still be processed (advisor r4, medium)."""
+        import dataclasses
+
+        from cvml_goalnet_tpu.serve import DynamicBatcher
+
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False)
+        )
+        s = Summarizer(cfg)
+        batcher = DynamicBatcher(s, max_wait_ms=20.0, buckets=(64,))
+        orig = batcher._process
+
+        def slow_process(batch, total):
+            time.sleep(0.8)  # > the close timeout below
+            orig(batch, total)
+
+        monkeypatch.setattr(batcher, "_process", slow_process)
+        rng = np.random.default_rng(3)
+        frames = rng.integers(0, 255, (6, 24, 24, 3), dtype=np.uint8)
+        want = s.summarize_frames("w", frames)
+        fut = batcher.submit("w", frames)
+        batcher.close(timeout=0.1)  # worker is mid-sleep at the first join
+        assert not batcher._worker.is_alive()
+        # the mid-batch request completed — it was not failed by the drain
+        np.testing.assert_allclose(fut.result(timeout=1).scores, want.scores, atol=1e-4)
+
+    def test_submit_close_race_never_strands_a_future(self, small_cfg):
+        """Hammer submit() from many threads while close() runs: every future
+        must either resolve or raise — none may hang (advisor r4, medium:
+        the closed-check + enqueue and flag-set + sentinel now share a
+        lock, so no item can land behind the CLOSE sentinel)."""
+        import dataclasses
+        import threading
+
+        from cvml_goalnet_tpu.serve import DynamicBatcher
+
+        cfg = dataclasses.replace(
+            small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False)
+        )
+        s = Summarizer(cfg)
+        rng = np.random.default_rng(4)
+        frames = rng.integers(0, 255, (4, 24, 24, 3), dtype=np.uint8)
+        for _ in range(3):  # repeat to give the race a chance to bite
+            batcher = DynamicBatcher(s, max_wait_ms=5.0, buckets=(64,))
+            outcomes = [None] * 8
+            start = threading.Barrier(9)
+
+            def worker(i):
+                start.wait()
+                try:
+                    outcomes[i] = ("fut", batcher.submit(f"r{i}", frames))
+                except RuntimeError:
+                    outcomes[i] = ("closed", None)
+
+            threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+            for t in threads:
+                t.start()
+            start.wait()
+            batcher.close()
+            for t in threads:
+                t.join(timeout=30)
+            assert not batcher._worker.is_alive()
+            for kind, fut in outcomes:
+                assert kind in ("fut", "closed")
+                if kind == "fut":
+                    # resolves (processed before the sentinel) — never hangs
+                    assert fut.result(timeout=60).scores is not None
 
     def test_context_manager_closes(self, small_cfg):
         import dataclasses
