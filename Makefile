@@ -1,11 +1,14 @@
 # Dev ergonomics for cvml_goalnet_tpu.
 PY ?= python
 
-test:            ## full suite on CPU (8 virtual devices)
-	$(PY) -m pytest tests/ -q -rs
+test:            ## full suite, sharded across fresh processes (one process segfaults XLA)
+	$(PY) tools/run_suite.py
 
 test-fast:       ## fast lane: skips subprocess/scale/multihost suites
-	$(PY) -m pytest tests/ -q -rs -m "not slow"
+	$(PY) tools/run_suite.py -m "not slow"
+
+test-one:        ## single-process run (debug only; whole-suite runs segfault near the end)
+	$(PY) -m pytest tests/ -q -rs
 
 bench:           ## one-chip throughput benchmark (JSON line)
 	$(PY) bench.py
@@ -25,4 +28,4 @@ clean:
 	$(MAKE) -C runtime clean
 	rm -rf .pytest_cache
 
-.PHONY: test test-fast bench bench-all native graft clean
+.PHONY: test test-fast test-one bench bench-all native graft clean
