@@ -33,7 +33,11 @@ New rows:
 
 Scale knobs (env): ``GOALNET_SPOTQ_T`` (default 8192),
 ``GOALNET_SPOTQ_EPOCHS`` (default 120), ``GOALNET_SPOTQ_FLASH=1`` to train
-through the Pallas banded/flash kernels (default on accelerators).
+through the Pallas banded/flash kernels (default on accelerators),
+``GOALNET_SPOTQ_FAMILY`` ∈ {a, b} — generator family (b = compound-cue:
+multiplicative cue interaction, variable lag, overlapping events; see
+:func:`make_data_b`).  The scorer-ordering claim is reported per family so
+it cannot be an artifact of one generative rule (round-5 VERDICT #4).
 
 CPU smoke: ``GOALNET_PLATFORM=cpu GOALNET_SPOTQ_T=512
 GOALNET_SPOTQ_EPOCHS=20 python benchmarks/spot_quality_bench.py``
@@ -87,8 +91,92 @@ USE_FLASH = os.environ.get(
     "GOALNET_SPOTQ_FLASH", "0" if jax.default_backend() == "cpu" else "1") == "1"
 
 
+# Generator family (GOALNET_SPOTQ_FAMILY): "a" = the round-3/4 additive
+# narrow-band-cue rule below; "b" = the compound-cue family (round-5 VERDICT
+# #4: every quality number came from ONE generative rule, so the scorer
+# ordering could be a property of that rule — family B changes the rule's
+# STRUCTURE, not just its constants, and the CI is run on both).
+FAMILY = os.environ.get("GOALNET_SPOTQ_FAMILY", "a")
+# family B cue-lag band: twice as wide, at a different horizon (256..512 at
+# T=8192 vs A's 640..768)
+CUE_B_LO, CUE_B_HI = T // 32, T // 16
+
+
+def make_data_b(seed: int):
+    """Family B ("compound cue") — same API as :func:`make_data`, three
+    structural changes to the generative rule:
+
+    * **multiplicative cue**: the precursor is the CO-ACTIVATION of channels
+      4 AND 5; each channel alone also fires (partial-cue distractors), so
+      the detector must learn a product interaction, not a channel sum —
+      family A's cue is purely additive on one channel;
+    * **variable lag over a wide band**: the cue leads its event by a
+      uniform draw from ``CUE_B_LO..CUE_B_HI`` (width T/32 vs A's T/64, at
+      a different horizon), so no single fixed offset explains the data;
+    * **overlapping events**: events arrive in bursts of 1–3 with bumps as
+      close as 2 frames, superimposing additively — family A enforces
+      ≥2·RADIUS+4 separation, so A never tests peak disentangling.
+
+    Negatives: bump + ONE cue channel in-band (partial cue — harder than
+    A's cue-free distractor) and full compound cues with no bump.
+    """
+    rng = np.random.default_rng(seed + 1_000_003)  # disjoint stream vs A
+    feats = rng.standard_normal((T, D)).astype(np.float32) * 0.3
+
+    def add_bump(pos):
+        lo, hi = max(0, pos - RADIUS), min(T, pos + RADIUS + 1)
+        feats[lo:hi, 0] += np.linspace(1.0, 2.0, hi - lo)
+        feats[lo:hi, 1] += 1.5
+
+    def add_cue(pos, channels=(4, 5)):
+        lo, hi = max(0, pos - 1), min(T, pos + 2)
+        for c in channels:
+            feats[lo:hi, c] += 2.0
+
+    margin = CUE_B_HI + 4 * RADIUS
+    band_w = CUE_B_HI - CUE_B_LO + 1
+    # burst centers sized so compound-cue density × band width ≈ 0.15
+    n_bursts = 3 * max(3, round(0.05 * T / band_w))
+    centers = rng.choice(np.arange(margin, T - margin), n_bursts, replace=False)
+    rng.shuffle(centers)
+    n = n_bursts // 3
+    ev_centers, distractors, cue_only = centers[:n], centers[n:2 * n], centers[2 * n:3 * n]
+
+    labels = np.zeros(T, np.float32)
+    events = []
+    for c in ev_centers:
+        # 1-3 overlapping events per burst, bumps can superimpose
+        for k in range(int(rng.integers(1, 4))):
+            e = int(np.clip(c + k * int(rng.integers(2, 3 * RADIUS)), 0, T - 1))
+            add_bump(e)
+            add_cue(e - int(rng.integers(CUE_B_LO, CUE_B_HI + 1)))
+            labels[int(np.clip(e + rng.integers(-JITTER, JITTER + 1), 0, T - 1))] = 1.0
+            events.append(e)
+    for d in distractors:   # bump + PARTIAL cue (one channel) → must reject
+        add_bump(int(d))
+        add_cue(int(d) - int(rng.integers(CUE_B_LO, CUE_B_HI + 1)),
+                channels=(int(rng.integers(4, 6)),))
+    for c in cue_only:      # full compound cue, no bump → must reject
+        add_cue(int(c))
+    return feats, labels, np.sort(np.array(events)), np.sort(np.asarray(distractors))
+
+
+def oracle_scores_b(feats: np.ndarray) -> np.ndarray:
+    """Family-B ceiling: bump evidence gated by the trailing-window max of
+    the COMPOUND cue product relu(c4)·relu(c5) over ``[t−CUE_B_HI, t−CUE_B_LO]``."""
+    bump = np.maximum(feats[:, 1], 0.0)
+    compound = np.maximum(feats[:, 4], 0.0) * np.maximum(feats[:, 5], 0.0)
+    win = CUE_B_HI - CUE_B_LO + 1
+    pad = np.concatenate([np.zeros(CUE_B_HI, np.float32), compound])
+    gate = np.array([pad[t : t + win].max() for t in range(feats.shape[0])],
+                    np.float32)
+    return bump * gate
+
+
 def make_data(seed: int):
     """→ (feats (T, D), labels (T,), events, distractors)."""
+    if FAMILY == "b":
+        return make_data_b(seed)
     rng = np.random.default_rng(seed)
     feats = rng.standard_normal((T, D)).astype(np.float32) * 0.3
 
@@ -139,7 +227,10 @@ def oracle_scores(feats: np.ndarray) -> np.ndarray:
     Uses the generative rule directly — channel 1 carries the bump (+1.5),
     channel 2 the cue (+2.0); a frame scores high iff its local bump
     evidence co-occurs with cue evidence ``CUE_LO..CUE_HI`` frames back.
+    Dispatches to the family-B rule when that generator is active.
     """
+    if FAMILY == "b":
+        return oracle_scores_b(feats)
     bump = np.maximum(feats[:, 1], 0.0)
     cue = np.maximum(feats[:, 2], 0.0)
     # trailing-window max of cue over [t-CUE_HI, t-CUE_LO]
@@ -245,10 +336,13 @@ def main_ci(n_seeds: int, num_layers: int = 1, model_dim: int = 32) -> None:
     the flagship capacity (the sweep's l2d64 probe led the seed-0 table —
     the CI decides whether that holds across seeds)."""
     out = {"metric": "spot_quality_ci", "T": T, "n_seeds": n_seeds,
+           "family": FAMILY,
            "flagship_config": {"window": FLAGSHIP_W, "num_layers": num_layers,
                                "model_dim": model_dim}}
     flagship_scorer = "hybrid" if "--ci-hybrid" in sys.argv else "transformer"
     out["flagship_config"]["scorer"] = flagship_scorer
+    # free ceiling row — makes the learned rows interpretable per family
+    out["oracle"] = run("oracle", 0)
     pairs = []
     for name, kw in (("gru", dict(scorer="gru", window=0)),
                      ("flagship", dict(scorer=flagship_scorer, window=FLAGSHIP_W,
@@ -267,7 +361,36 @@ def main_ci(n_seeds: int, num_layers: int = 1, model_dim: int = 32) -> None:
     wins = sum(1 for g, f in zip(*pairs) if f >= g)
     out["flagship_wins_per_seed"] = f"{wins}/{n_seeds}"
     out["flagship_beats_gru_mean"] = out["flagship"]["map_mean"] >= out["gru"]["map_mean"]
+    out["paired"] = paired_stats(pairs[0], pairs[1])
     print(json.dumps(out))
+
+
+def paired_stats(gru_maps, flagship_maps) -> dict:
+    """Paired per-seed analysis (round-5 VERDICT #3: the round-4 "measured
+    WIN" was 2/3 wins with overlapping ±1σ — the seed axis is PAIRED, so
+    test the per-seed deltas, not the marginal means).
+
+    * exact two-sided sign-flip permutation test on the mean delta (all 2^n
+      sign assignments — exact at n ≤ ~16, no normality assumption);
+    * bootstrap 95% CI of the mean delta (10k resamples, fixed seed).
+    """
+    deltas = np.asarray(flagship_maps, np.float64) - np.asarray(gru_maps, np.float64)
+    n = len(deltas)
+    mean_d = float(deltas.mean())
+    signs = np.array(
+        [[1 if (m >> k) & 1 else -1 for k in range(n)] for m in range(2 ** n)],
+        np.float64)
+    perm_means = signs @ deltas / n
+    p = float(np.mean(np.abs(perm_means) >= abs(mean_d) - 1e-12))
+    bs = np.random.default_rng(0).choice(deltas, (10_000, n)).mean(axis=1)
+    lo, hi = np.percentile(bs, [2.5, 97.5])
+    return {
+        "deltas": [round(float(d), 4) for d in deltas],
+        "delta_mean": round(mean_d, 4),
+        "p_sign_flip_two_sided": round(p, 4),
+        "delta_ci95_bootstrap": [round(float(lo), 4), round(float(hi), 4)],
+        "significant_at_05": bool(p < 0.05),
+    }
 
 
 def main() -> None:
@@ -307,7 +430,8 @@ def main() -> None:
     print(json.dumps({
         "metric": "spot_quality_synthetic",
         "T": T,
-        "cue_dist": [CUE_LO, CUE_HI],
+        "family": FAMILY,
+        "cue_dist": [CUE_B_LO, CUE_B_HI] if FAMILY == "b" else [CUE_LO, CUE_HI],
         "knee_window": knee,
         "production_default_window": 1024,
         "flagship_window": FLAGSHIP_W,

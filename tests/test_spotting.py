@@ -907,6 +907,29 @@ class TestSpotStream:
             np.asarray(detect_peaks(jnp.asarray(streamed), 3, 0.0)))[0]
         np.testing.assert_array_equal(np.sort(ev_stream), ev_offline)
 
+    def test_hybrid_production_chunk_halo_decay_bound(self, small_cfg):
+        """Pin the HYBRID streamed-vs-offline decay bound at the production
+        default chunk/halo (256/64), like the GRU's
+        ``test_default_chunk_halo_decay_bound`` — round 4 pinned the hybrid
+        only at toy scale (t=60, W=4), but the hybrid is the documented
+        quality pick (``configs/tpu_spotting_quality.json``), so its
+        production-shape streaming error is load-bearing.  W=16 with 2
+        layers keeps the banded receptive field (32) under the halo (64),
+        mirroring the production halo ≥ L·W exactness floor."""
+        from cvml_goalnet_tpu.spotting import (
+            encode_timeline, score_timeline_auto, spot_stream)
+
+        cfg, state, tparams, frames = self._setup_hybrid(small_cfg, t=640, W=16)
+        updates = list(spot_stream(
+            state.params, state.model_state, tparams,
+            self._stream(frames, 256), cfg, halo=64))
+        streamed = np.concatenate([u.scores for u in updates])
+        assert streamed.shape == (640,)
+        feats = encode_timeline(
+            state.params, state.model_state, jnp.asarray(frames), None, cfg)
+        offline = np.asarray(score_timeline_auto(tparams, feats, cfg))
+        np.testing.assert_allclose(streamed, offline, atol=2e-2)
+
     def test_hybrid_single_chunk_is_exact(self, small_cfg):
         from cvml_goalnet_tpu.spotting import (
             encode_timeline, score_timeline_auto, spot_stream)
