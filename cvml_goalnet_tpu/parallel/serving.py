@@ -114,3 +114,70 @@ def make_dp_fuse(cfg_model, mesh: Mesh):
         return out[:n]
 
     return fuse_dp
+
+
+def make_dp_encode(cfg_model, mesh: Mesh):
+    """Build ``encode_dp(params, model_state, visual, audio, text) -> (T, D)``
+    — the Spotter's timeline encode (``spotting.encode_timeline``) as ONE
+    GSPMD program sharded on the frame axis over ``mesh``.
+
+    The trunk is strictly per-frame at eval (batchnorm running stats; no
+    cross-frame op before the temporal head), so splitting the T axis is
+    exact — the SAME argument and pattern as :func:`make_dp_fuse`, applied
+    to the dominant serving compute of ``POST /spot`` (round-4 VERDICT #8:
+    DP serving covered only the Summarizer's fuse).  The temporal head runs
+    AFTER this program on its own sharding (GRU/band scoring is cross-frame;
+    its parallel form is the chunk+halo shard_map in
+    ``spotting.score_timeline_sharded``, not frame DP).
+
+    Math is shared with the single-device path via ``spotting.trunk_fn`` —
+    one trunk definition, two compilation wrappers.  Timelines whose length
+    does not divide the mesh size are zero-padded up and sliced back
+    (per-frame independence makes pad rows inert).
+    """
+    from cvml_goalnet_tpu.spotting import trunk_fn
+
+    axis = mesh.axis_names[0]
+    rep = NamedSharding(mesh, P())
+
+    def row(ndim: int) -> NamedSharding:
+        return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+    trunk = trunk_fn(cfg_model)
+    cache: dict = {}
+
+    def encode_dp(params, model_state, visual, audio=None, text=None) -> np.ndarray:
+        visual = np.asarray(visual)
+        t = len(visual)
+        if t == 0:
+            return np.zeros((0, 0), np.float32)
+        if not cfg_model.audio_included:
+            audio = None
+        if not cfg_model.text_included:
+            text = None
+
+        pad = (-t) % mesh.size
+        if pad:
+            def padded(x):
+                z = np.zeros((pad,) + tuple(np.asarray(x).shape[1:]),
+                             np.asarray(x).dtype)
+                return np.concatenate([np.asarray(x), z])
+            visual = padded(visual)
+            audio = padded(audio) if audio is not None else None
+            text = padded(text) if text is not None else None
+
+        key = (audio is not None, text is not None)
+        if key not in cache:  # one compile per modality arity
+            in_sh = (
+                jax.tree.map(lambda _: rep, params),
+                jax.tree.map(lambda _: rep, model_state),
+                row(4),
+                row(3) if audio is not None else None,
+                row(2) if text is not None else None,
+            )
+            cache[key] = jax.jit(trunk, in_shardings=in_sh,
+                                 out_shardings=row(2))
+        out = np.asarray(cache[key](params, model_state, visual, audio, text))
+        return out[:t]
+
+    return encode_dp

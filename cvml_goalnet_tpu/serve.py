@@ -26,11 +26,16 @@ and re-parsed ground truth per invocation — ``main.py:300-348``).  Here:
   data-parallel over a device mesh (``parallel/serving.py``) — exact for
   the per-frame model, weights placed once per (re)load, composes with the
   DynamicBatcher so one bucket-shaped batch feeds every chip.
+  ``Spotter(mesh=...)`` (same flag) applies the pattern to the /spot
+  timeline ENCODE — the dominant spotting serving compute; the temporal
+  head stays single-device (cross-frame; its parallel form is the
+  chunk+halo shard_map in ``spotting.score_timeline_sharded``).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 from dataclasses import dataclass
@@ -305,6 +310,7 @@ class Spotter:
         classes: "list[str] | None" = None,
         state=None,
         reloader=None,
+        mesh=None,
     ):
         self.cfg = cfg
         self.classes = list(classes) if classes else None
@@ -319,6 +325,19 @@ class Spotter:
         self.temporal_params = self._build_temporal(temporal_checkpoint)
         self.reload_count = 0
         self._lock = threading.Lock()
+        # data-parallel serving (CLI --dp N): the timeline ENCODE — the
+        # dominant /spot compute — runs as one GSPMD program sharded on the
+        # frame axis (exact: the trunk is per-frame at eval).  The temporal
+        # head stays single-device: its cross-frame scan/attention is a few
+        # ms at match scale and its parallel form is chunk+halo shard_map
+        # (spotting.score_timeline_sharded), not frame DP.
+        self.mesh = mesh
+        self._dp_encode = None
+        if mesh is not None:
+            from cvml_goalnet_tpu.parallel.serving import make_dp_encode
+
+            self._dp_encode = make_dp_encode(cfg.model, mesh)
+        self._placed = self._place(self.state)
 
     def _build_temporal(self, temporal_checkpoint: "str | None"):
         """Init the configured temporal head and load the checkpoint into it."""
@@ -362,11 +381,27 @@ class Spotter:
         new_tparams = (self._build_temporal(self._temporal_checkpoint)
                        if self._temporal_checkpoint is not None
                        else self.temporal_params)
+        placed = self._place(new_state)  # weight transfer outside the lock
         with self._lock:
             self.state = new_state
             self.temporal_params = new_tparams
+            self._placed = placed
             self.reload_count += 1
             return self.reload_count
+
+    def _place(self, state):
+        """DP only: trunk weights replicated onto the mesh once per
+        checkpoint load (same contract as ``Summarizer._place``); ``None``
+        single-device, where ``self.state`` stays the live weight source."""
+        if self.mesh is None:
+            return None
+        from cvml_goalnet_tpu.parallel.sharding import replicated
+
+        rep = replicated(self.mesh)
+        return tuple(
+            jax.tree.map(lambda x: jax.device_put(x, rep), t)
+            for t in (state.params, state.model_state)
+        )
 
     def warmup(self, n_frames: int | None = None) -> None:
         """Compile encode + score for one production timeline length."""
@@ -412,13 +447,20 @@ class Spotter:
         import jax.numpy as jnp
 
         with self._lock:
-            feats = encode_timeline(
-                self.state.params, self.state.model_state,
-                jnp.asarray(feats_in["visual"]),
-                jnp.asarray(feats_in["audio"]) if feats_in["audio"] is not None else None,
-                cfg,
-                text=jnp.asarray(feats_in["text"]) if feats_in["text"] is not None else None,
-            )
+            if self._dp_encode is not None:
+                # GSPMD frame-DP trunk over the mesh (weights pre-placed);
+                # the temporal head scores the (T, D) features single-device
+                feats = jnp.asarray(self._dp_encode(
+                    *self._placed, feats_in["visual"], feats_in["audio"],
+                    feats_in["text"]))
+            else:
+                feats = encode_timeline(
+                    self.state.params, self.state.model_state,
+                    jnp.asarray(feats_in["visual"]),
+                    jnp.asarray(feats_in["audio"]) if feats_in["audio"] is not None else None,
+                    cfg,
+                    text=jnp.asarray(feats_in["text"]) if feats_in["text"] is not None else None,
+                )
             scores = np.asarray(
                 score_timeline_auto(self.temporal_params, feats, cfg))
 
@@ -464,10 +506,14 @@ class Spotter:
         halo: int = 64,
         peak_window: int = 5,
         peak_threshold: float = 0.0,
+        follow: bool = False,
+        follow_timeout: float = 60.0,
     ):
-        """LIVE spotting over a file being decoded in chunks: yields
+        """LIVE spotting over a file decoded in chunks — or, with
+        ``follow=True``, over a segment DIRECTORY a producer is still
+        writing (``data/follow.py`` protocol) — yielding
         :class:`spotting.SpotStreamUpdate` with the same finality contract
-        as ``goalnet spot --stream`` (``cli.py::_run_spot_stream``) —
+        as ``goalnet spot --stream`` (``cli.py::_run_spot_stream``):
         bounded memory, events final when reported.
 
         Weights are SNAPSHOTTED under the lock at stream start: a
@@ -475,10 +521,12 @@ class Spotter:
         mid-timeline (a head swap halfway through would emit scores from
         two different models into one stream).
 
-        Raises ``ValueError`` up front for trunks whose modalities cannot
-        ride a live stream (audio/commentary sidecars — the same loud
-        contract as the CLI verb) and for the unbounded full-attention
-        scorer; callers surface these as 400s before any bytes stream.
+        Audio trunks stream only in follow mode, where every finalized
+        segment ships its own ``<stem>.wav`` span; a single complete file
+        has no per-chunk audio contract (docs/ARCHITECTURE.md).  Raises
+        ``ValueError`` up front for contract violations and for the
+        unbounded full-attention scorer; callers surface these as 400s
+        before any bytes stream.
         """
         from cvml_goalnet_tpu.data.video import stream_condensed_frames
         from cvml_goalnet_tpu.ops.preprocess import preprocess_frames_host
@@ -488,11 +536,17 @@ class Spotter:
         # EAGER contract checks: spot_stream is a generator, so its own
         # raises would surface only after the caller starts consuming —
         # too late for an HTTP 400 (headers would already be streamed)
-        if cfg.model.audio_included or cfg.model.text_included:
+        if cfg.model.text_included:
             raise ValueError(
-                "spot-stream supports visual-only trunks — audio/commentary "
-                "ride sidecar files that do not exist for footage still "
-                "being produced; serve a --no-audio trunk or POST /spot")
+                "spot-stream supports trunks without commentary — there is "
+                "no live ingest protocol for commentary tokens; serve a "
+                "trunk without --commentary or POST /spot")
+        if cfg.model.audio_included and not follow:
+            raise ValueError(
+                "audio trunks spot-stream via follow mode (a live segment "
+                "directory where each segment ships its .wav span) — pass "
+                '"follow": true with a directory, serve a --no-audio trunk, '
+                "or POST /spot")
         if (cfg.model.temporal_model in ("transformer", "hybrid")
                 and cfg.model.temporal_window <= 0):
             raise ValueError(
@@ -501,21 +555,53 @@ class Spotter:
                 "receptive field, so streamed scores could never be final")
         if chunk < 1 or halo < 0:
             raise ValueError(f"chunk must be >=1 and halo >=0 (got {chunk}, {halo})")
+        if follow and not os.path.isdir(video_fp):
+            raise ValueError(
+                f"follow mode streams a segment DIRECTORY; {video_fp!r} is "
+                "not one (see data/follow.py for the producer protocol)")
         with self._lock:
             params, model_state = self.state.params, self.state.model_state
             tparams = self.temporal_params
 
-        def chunks():
-            for raw in stream_condensed_frames(
-                video_fp, cfg.preprocess.skip_frames, chunk
-            ):
-                yield preprocess_frames_host(
-                    raw, cfg.preprocess.frame_size, cfg.preprocess.eps)
+        audio_chunks = None
+        if follow:
+            from collections import deque
+
+            from cvml_goalnet_tpu.data.follow import follow_condensed_chunks
+
+            pairs = follow_condensed_chunks(
+                video_fp, cfg.preprocess.skip_frames, chunk,
+                audio_cfg=cfg.audio if cfg.model.audio_included else None,
+                timeout=follow_timeout)
+            aq: deque = deque()
+
+            def chunks():
+                for raw, audio in pairs:
+                    if audio is not None:
+                        aq.append(audio)
+                    yield preprocess_frames_host(
+                        raw, cfg.preprocess.frame_size, cfg.preprocess.eps)
+
+            def audio_gen():
+                while True:
+                    if not aq:
+                        return
+                    yield aq.popleft()
+
+            if cfg.model.audio_included:
+                audio_chunks = audio_gen()
+        else:
+            def chunks():
+                for raw in stream_condensed_frames(
+                    video_fp, cfg.preprocess.skip_frames, chunk
+                ):
+                    yield preprocess_frames_host(
+                        raw, cfg.preprocess.frame_size, cfg.preprocess.eps)
 
         return spot_stream(
             params, model_state, tparams, chunks(), cfg,
             halo=halo, peak_window=peak_window,
-            peak_threshold=peak_threshold)
+            peak_threshold=peak_threshold, audio_chunks=audio_chunks)
 
 
 # close() sentinel + a weak registry so embedding processes (and the test
@@ -1013,6 +1099,8 @@ def serve_http(
                     halo=int(req.get("halo", 64)),
                     peak_window=int(req.get("peak_window", 5)),
                     peak_threshold=float(req.get("peak_threshold", 0.0)),
+                    follow=bool(req.get("follow", False)),
+                    follow_timeout=float(req.get("follow_timeout", 60.0)),
                 )
             except PermissionError as e:
                 self._reply(403, {"error": str(e)})

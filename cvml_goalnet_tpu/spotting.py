@@ -36,8 +36,15 @@ from cvml_goalnet_tpu.models.temporal import detect_peaks, temporal_scorer_apply
 from cvml_goalnet_tpu.pipeline import SummaryResult, summarize
 
 
-@lru_cache(maxsize=8)
-def _jitted_trunk(cfg_model):
+def trunk_fn(cfg_model):
+    """The raw (unjitted) timeline-encode function for ``cfg_model``:
+    ``trunk(params, state, visual, audio, text) -> (T, D) features``.
+
+    Exposed separately from :func:`_jitted_trunk` so alternative compilation
+    wrappers share ONE definition of the trunk math — the DP-serving path
+    (``parallel.serving.make_dp_encode``) jits this same function with GSPMD
+    frame-axis shardings; duplicating it there would let the two programs
+    drift."""
     # dispatch the visual backbone the way avm_apply does (_visual_init) —
     # hardcoding visual_encoder_apply crashed every spotting entry point for
     # vis_backbone="resnet" checkpoints (round-3 review); every family has
@@ -64,7 +71,12 @@ def _jitted_trunk(cfg_model):
             feats = jnp.concatenate([feats, t], axis=-1)
         return feats
 
-    return jax.jit(trunk, static_argnames=())
+    return trunk
+
+
+@lru_cache(maxsize=8)
+def _jitted_trunk(cfg_model):
+    return jax.jit(trunk_fn(cfg_model), static_argnames=())
 
 
 def encode_timeline(params, state, visual, audio, cfg: PipelineConfig,

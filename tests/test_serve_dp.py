@@ -108,6 +108,69 @@ class TestDpSummarizer:
         assert feats_n == len(want)
         np.testing.assert_allclose(after, want, atol=1e-5)
 
+    def test_spotter_dp_encode_matches_single_device(self, small_cfg, mesh8):
+        """`make_dp_encode` (the /spot timeline encode as one GSPMD frame-DP
+        program) reproduces `encode_timeline` exactly — divisible (40) and
+        padded (37) timeline lengths."""
+        from cvml_goalnet_tpu.parallel.serving import make_dp_encode
+        from cvml_goalnet_tpu.spotting import encode_timeline
+
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        dp = make_dp_encode(small_cfg.model, mesh8)
+        rng = np.random.default_rng(3)
+        for n in (40, 37):
+            visual = rng.random((n, 24, 24, 3)).astype(np.float32)
+            audio = rng.random(
+                (n, small_cfg.audio.bin_length, small_cfg.audio.n_mfcc)
+            ).astype(np.float32)
+            import jax.numpy as jnp
+            want = np.asarray(encode_timeline(
+                state.params, state.model_state, jnp.asarray(visual),
+                jnp.asarray(audio), small_cfg))
+            got = dp(state.params, state.model_state, visual, audio)
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_spot_frames_parity(self, small_cfg, mesh8):
+        """`Spotter(mesh=)` /spot parity on the 8-device mesh: identical
+        scores, events, and summary mask vs the single-device Spotter
+        (round-4 VERDICT #8 — DP serving previously covered only the
+        Summarizer's fuse)."""
+        from cvml_goalnet_tpu.serve import Spotter
+
+        state = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        base = Spotter(small_cfg, state=state)
+        dp = Spotter(small_cfg, state=state, mesh=mesh8)
+        dp.temporal_params = base.temporal_params  # same head weights
+        frames = _frames(37)
+        a = base.spot_frames("v", frames)
+        b = dp.spot_frames("v", frames)
+        np.testing.assert_allclose(b.scores, a.scores, atol=1e-5)
+        np.testing.assert_array_equal(b.events, a.events)
+        np.testing.assert_array_equal(b.summary_clips, a.summary_clips)
+        assert b.summary_frames == a.summary_frames
+
+    def test_spotter_reload_replaces_placed_weights(self, small_cfg, mesh8):
+        """A /reload on a DP Spotter re-places the trunk weights on the mesh
+        — subsequent /spot responses serve the NEW weights and match the
+        single-device Spotter of the reloaded state."""
+        from cvml_goalnet_tpu.serve import Spotter
+
+        def reloader():
+            return create_train_state(jax.random.PRNGKey(123), small_cfg)
+
+        state0 = create_train_state(jax.random.PRNGKey(0), small_cfg)
+        dp = Spotter(small_cfg, state=state0, reloader=reloader, mesh=mesh8)
+        frames = _frames(16)
+        before = dp.spot_frames("v", frames).scores
+        dp.reload()
+        after = dp.spot_frames("v", frames).scores
+        assert not np.allclose(after, before, atol=1e-5)
+        ref = Spotter(small_cfg, state=reloader())
+        ref.temporal_params = dp.temporal_params
+        np.testing.assert_allclose(
+            after, ref.spot_frames("v", frames).scores, atol=1e-5)
+
     def test_dynamic_batcher_composes_with_dp(self, small_cfg, mesh8):
         cfg = dataclasses.replace(
             small_cfg, model=dataclasses.replace(small_cfg.model, audio_included=False))
