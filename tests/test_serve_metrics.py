@@ -992,6 +992,81 @@ class TestSpotStreamHTTP:
             small_cfg, temporal_model="transformer", temporal_window=4)
         self._run_and_check(cfg, tmp_path, atol=1e-5)
 
+    def test_follow_streams_growing_directory(self, small_cfg, tmp_path):
+        """POST /spot-stream with ``follow: true`` consumes a segment
+        directory a writer thread is STILL FILLING (data/follow.py protocol)
+        and reproduces the offline scorer on the final footage — the served
+        twin of `goalnet spot --stream --follow` (round-5 VERDICT #5)."""
+        import os
+        import threading
+        import time
+
+        import jax.numpy as jnp
+
+        from cvml_goalnet_tpu.models.temporal import detect_peaks
+        from cvml_goalnet_tpu.serve import Spotter, Summarizer
+
+        cfg = self._spot_cfg(small_cfg)
+        spotter = Spotter(cfg)
+        server = start_http_background(Summarizer(cfg), port=0, spotter=spotter)
+        port = server.server_address[1]
+        d = tmp_path / "live"
+        d.mkdir()
+        skip = cfg.preprocess.skip_frames
+        raw = np.random.default_rng(0).integers(
+            0, 255, (40 * skip, 32, 32, 3), dtype=np.uint8)
+        parts = np.split(raw, [17 * skip, 28 * skip])
+
+        def writer():
+            for i, p in enumerate(parts):
+                time.sleep(0.3)
+                tmp = str(d / f"{i:05d}.npz.part")
+                with open(tmp, "wb") as f:
+                    np.savez(f, frames=p)
+                os.replace(tmp, str(d / f"{i:05d}.npz"))
+            open(str(d / "END"), "w").close()
+
+        w = threading.Thread(target=writer)
+        w.start()
+        try:
+            lines = self._stream_lines(port, {
+                "video": str(d), "follow": True, "follow_timeout": 20,
+                "chunk": 16, "halo": 8, "peak_window": 3,
+                "emit_scores": True})
+        finally:
+            w.join()
+            server.shutdown()
+        summary = lines[-1]
+        assert summary["streamed_frames"] == 40
+        streamed = np.concatenate(
+            [np.asarray(l["scores"]) for l in lines if "scores" in l])
+        # offline on the final concatenated footage
+        fp = str(tmp_path / "merged.npz")
+        np.savez(fp, frames=raw)
+        offline = self._offline_scores(spotter, fp)
+        np.testing.assert_allclose(streamed, offline, atol=2e-2)
+        ev_lines = [l["event_condensed_frame"] for l in lines
+                    if "event_condensed_frame" in l]
+        ev_offline = np.nonzero(
+            np.asarray(detect_peaks(jnp.asarray(streamed), 3, 0.0)))[0]
+        np.testing.assert_array_equal(np.sort(ev_lines), ev_offline)
+
+    def test_follow_on_a_file_is_400(self, small_cfg, tmp_path):
+        from cvml_goalnet_tpu.serve import Spotter, Summarizer
+
+        cfg = self._spot_cfg(small_cfg)
+        server = start_http_background(
+            Summarizer(cfg), port=0, spotter=Spotter(cfg))
+        port = server.server_address[1]
+        fp = self._write_npz(tmp_path, t_condensed=4)
+        try:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                self._stream_lines(port, {"video": fp, "follow": True})
+            assert e.value.code == 400
+            assert "DIRECTORY" in json.load(e.value)["error"]
+        finally:
+            server.shutdown()
+
     def test_contract_violations_are_400s(self, small_cfg, tmp_path):
         import dataclasses
 
@@ -1012,7 +1087,8 @@ class TestSpotStreamHTTP:
         finally:
             server.shutdown()
 
-        # audio trunk: sidecar modalities can't ride a live stream
+        # audio trunk on a single complete file: only the follow protocol
+        # (per-segment .wav sidecars) carries live audio — round 5
         audio_cfg = dataclasses.replace(
             small_cfg,
             model=dataclasses.replace(small_cfg.model, audio_included=True))
@@ -1023,7 +1099,7 @@ class TestSpotStreamHTTP:
             with pytest.raises(urllib.error.HTTPError) as e:
                 self._stream_lines(port, {"video": fp})
             assert e.value.code == 400
-            assert "visual-only" in json.load(e.value)["error"]
+            assert "follow" in json.load(e.value)["error"]
         finally:
             server.shutdown()
 
