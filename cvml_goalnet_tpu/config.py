@@ -147,7 +147,8 @@ class ModelConfig:
     # "gru": bidirectional scan (models/temporal.py); "transformer":
     # flash-attention transformer (models/temporal_attention.py); "hybrid":
     # GRU-augmented banded transformer (models/temporal_hybrid.py — the
-    # measured quality pick, docs/BENCHMARKS.md quality section)
+    # distractor-rejection pick: GRU-tied mAP, measured-best leak on both
+    # generator families at n=8 seeds; docs/BENCHMARKS.md quality section)
     temporal_model: str = "gru"
     # temporal_hidden doubles as the GRU hidden size AND the transformer's
     # model_dim; temporal_num_layers is the transformer block count — both

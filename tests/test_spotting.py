@@ -912,7 +912,7 @@ class TestSpotStream:
         default chunk/halo (256/64), like the GRU's
         ``test_default_chunk_halo_decay_bound`` — round 4 pinned the hybrid
         only at toy scale (t=60, W=4), but the hybrid is the documented
-        quality pick (``configs/tpu_spotting_quality.json``), so its
+        distractor-rejection pick (``configs/tpu_spotting_quality.json``), so its
         production-shape streaming error is load-bearing.  W=16 with 2
         layers keeps the banded receptive field (32) under the halo (64),
         mirroring the production halo ≥ L·W exactness floor."""
