@@ -48,6 +48,12 @@ def test_serve_and_spot_example():
     assert "average-mAP" in out
 
 
+def test_live_follow_spotting_example():
+    out = _run_example("live_follow_spotting.py")
+    assert "segment 0 finalized" in out
+    assert "live follow spotting: done" in out
+
+
 def test_multihost_example_single_process():
     # With no GOALNET_COORDINATOR the example runs as a 1-process "cluster"
     # over the virtual CPU devices — same code path, no coordination service.
