@@ -704,8 +704,10 @@ class TestCLIServe:
 
     @pytest.mark.slow
     def test_serve_dp_end_to_end(self, cli_env):
-        """goalnet serve --dp -1 over 8 virtual devices: banner reports dp=8
-        and /summarize answers through the sharded fuse program."""
+        """goalnet serve --dp -1 --spot over 8 virtual devices: banner
+        reports dp=8, /summarize answers through the sharded fuse program,
+        and /spot through the sharded timeline encode (round-5 Spotter DP
+        wiring)."""
         import json as _json
         import urllib.request
 
@@ -718,9 +720,9 @@ class TestCLIServe:
         proc = subprocess.Popen(
             [sys.executable, "-m", "cvml_goalnet_tpu.cli", "serve",
              "--config", cli_env["cfg"], "--workdir", root, "--no-audio",
-             "--port", "0", "--dp", "-1",
+             "--port", "0", "--dp", "-1", "--spot",
              "--media-root", os.path.dirname(cli_env["video_fps"][0]),
-             "--max-requests", "1"],
+             "--max-requests", "2"],
             cwd=root, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True,
         )
@@ -740,6 +742,14 @@ class TestCLIServe:
             with urllib.request.urlopen(req, timeout=180) as r:
                 payload = _json.load(r)
             assert payload["mask_frames"] > 0
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/spot",
+                data=_json.dumps({"video": vid, "peak_window": 1,
+                                  "peak_threshold": -1e9}).encode(),
+                method="POST")
+            with urllib.request.urlopen(req, timeout=180) as r:
+                spot_payload = _json.load(r)
+            assert spot_payload["events_condensed_frames"]
             assert proc.wait(timeout=120) == 0
         finally:
             if proc.poll() is None:
