@@ -227,6 +227,11 @@ def cmd_infer(args) -> int:
 
     print("Input video:\n", args.video)
     stream_mode = getattr(args, "stream", False)
+    if getattr(args, "follow", False) and not stream_mode:
+        print("E: --follow is a --stream mode (a live segment directory "
+              "cannot be summarized offline — the footage isn't finished)",
+              file=sys.stderr)
+        return 2
     if stream_mode and (cfg.model.audio_included or cfg.model.text_included):
         # config validation beats checkpoint discovery: a missing-checkpoint
         # error for a mode this config can never run would mislead
@@ -290,9 +295,23 @@ def _run_infer_stream(args, cfg, state, store) -> int:
     from cvml_goalnet_tpu.streaming import score_video_stream
 
     counter: dict = {}
-    chunks = stream_condensed_frames(
-        args.video, cfg.preprocess.skip_frames, args.stream_chunk,
-        counter=counter)
+    follow = getattr(args, "follow", False)
+    if follow:
+        # LIVE segment directory (data/follow.py): score chunks WHILE the
+        # producer is still writing; knapsack at the END sentinel; the
+        # export pass then walks the (now complete) segments.  The summary
+        # is ready moments after the footage ends instead of a full
+        # decode+score later.
+        from cvml_goalnet_tpu.data.follow import stream_condensed_frames_follow
+
+        chunks = stream_condensed_frames_follow(
+            args.video, cfg.preprocess.skip_frames, args.stream_chunk,
+            counter=counter, poll_interval=args.follow_poll,
+            timeout=args.follow_timeout, end_sentinel=args.follow_end)
+    else:
+        chunks = stream_condensed_frames(
+            args.video, cfg.preprocess.skip_frames, args.stream_chunk,
+            counter=counter)
     tdtype = {"float16": np.float16, "uint8": np.uint8}.get(
         args.transfer_dtype or "")
     if tdtype is not None and not args.host_preprocess:
@@ -316,7 +335,15 @@ def _run_infer_stream(args, cfg, state, store) -> int:
         return 0
     out_fp = os.path.join(args.workdir, "tmp", f"{video_id}.mp4")
     os.makedirs(os.path.dirname(out_fp), exist_ok=True)
-    written = export_selected_clips_stream(args.video, res.clip_intervals, out_fp)
+    if follow:
+        from cvml_goalnet_tpu.data.follow import export_selected_clips_from_segments
+
+        written = export_selected_clips_from_segments(
+            args.video, res.clip_intervals, out_fp,
+            end_sentinel=args.follow_end)
+    else:
+        written = export_selected_clips_stream(
+            args.video, res.clip_intervals, out_fp)
     print(f"\n[Exported video details]\n\nID: {video_id}\nTitle: {video_id}\n"
           f"Output: {out_fp}\nFrames: {written}")
     return 0
@@ -1456,6 +1483,18 @@ def main(argv=None) -> int:
                    default=None,
                    help="--stream + --host-preprocess: quantize the H2D "
                         "transfer (uint8 = 4x less traffic, drift <= 1/510)")
+    p.add_argument("--follow", action="store_true",
+                   help="--stream: VIDEO is a LIVE segment DIRECTORY still "
+                        "being written (data/follow.py protocol) — scores "
+                        "stream during the footage; the knapsack + export "
+                        "run at the END sentinel")
+    p.add_argument("--follow-timeout", type=float, default=60.0,
+                   help="--follow: seconds without a new segment or "
+                        "sentinel before failing loudly")
+    p.add_argument("--follow-poll", type=float, default=0.25,
+                   help="--follow: directory poll interval in seconds")
+    p.add_argument("--follow-end", default="END",
+                   help="--follow: end-of-stream sentinel filename")
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("spot", help="temporal event spotting over one video")

@@ -215,3 +215,85 @@ def follow_condensed_chunks(
     yield from drain(final=True)
     if counter is not None:
         counter["full_n"] = raw_count
+
+
+def stream_condensed_frames_follow(
+    directory: str,
+    skip_frames: int,
+    chunk: int = 256,
+    *,
+    counter: "dict | None" = None,
+    poll_interval: float = 0.25,
+    timeout: float = 60.0,
+    end_sentinel: str = "END",
+) -> Iterator[np.ndarray]:
+    """Frames-only follow iterator with the exact
+    ``data.video.stream_condensed_frames`` contract (chunk shapes +
+    ``counter["full_n"]`` on exhaustion) — what ``infer --stream --follow``
+    plugs into the existing streaming-summarize pipeline."""
+    for frames, _ in follow_condensed_chunks(
+        directory, skip_frames, chunk, counter=counter,
+        poll_interval=poll_interval, timeout=timeout,
+        end_sentinel=end_sentinel,
+    ):
+        yield frames
+
+
+def list_segments(directory: str, end_sentinel: str = "END") -> list[str]:
+    """The finalized segments of a COMPLETE stream, in timeline order.
+
+    For post-stream passes (summary export) — requires the end sentinel
+    (without it the directory may still be growing and a 'complete' walk
+    would silently truncate the timeline)."""
+    names = sorted(os.listdir(directory))
+    if end_sentinel not in names:
+        raise ValueError(
+            f"{directory!r} has no {end_sentinel!r} sentinel — the stream "
+            "has not ended; a complete-timeline pass over a still-growing "
+            "directory would silently truncate it")
+    return [
+        os.path.join(directory, n) for n in names
+        if n != end_sentinel and not n.startswith(".")
+        and not n.endswith(_SIDECAR_EXT)
+    ]
+
+
+def export_selected_clips_from_segments(
+    directory: str, clip_intervals, output_path: str, fps: int = 30,
+    end_sentinel: str = "END",
+) -> int:
+    """Directory twin of ``data.video.export_selected_clips_stream``: walk
+    the finalized segments in timeline order with GLOBAL raw indices and
+    write only the frames inside the chosen ``[a, b)`` raw intervals →
+    frames written.  Memory stays bounded by one segment."""
+    import cv2
+
+    iv = [(int(a), int(b)) for a, b in np.asarray(clip_intervals)]
+    if any(b0 > a1 for (_, b0), (a1, _) in zip(iv, iv[1:])):
+        raise ValueError("clip_intervals must be ascending and disjoint")
+    writer = None
+    written = 0
+    i, k = 0, 0
+    try:
+        for seg in list_segments(directory, end_sentinel):
+            if k >= len(iv):
+                break
+            for img in _segment_raw_frames(seg):
+                if k >= len(iv):
+                    break
+                a, b = iv[k]
+                if a <= i < b:
+                    if writer is None:
+                        h, w = img.shape[:2]
+                        writer = cv2.VideoWriter(
+                            output_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                            fps, (w, h))
+                    writer.write(np.ascontiguousarray(img))
+                    written += 1
+                i += 1
+                if i >= b:
+                    k += 1
+    finally:
+        if writer is not None:
+            writer.release()
+    return written

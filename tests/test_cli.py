@@ -1118,6 +1118,73 @@ class TestInferStreamCLI:
         # knapsack -> the streamed export selects the same frames
         assert stream_n == offline_n > 0
 
+    def test_stream_follow_live_directory(self, cli_env, tmp_path):
+        """`infer --stream --follow DIR` over a directory a writer thread is
+        STILL FILLING == `infer --stream` on the complete file: same
+        streamed count, same (uniform-interval) knapsack selection, same
+        exported frame count — the live-summarize journey (round 5)."""
+        import threading
+        import time
+
+        import cv2
+        import numpy as np
+
+        root = cli_env["root"]
+        r = _run(["train", *_data_args(cli_env), "--workdir", root,
+                  "--no-audio", "--epochs", "1"], root)
+        assert r.returncode == 0, r.stderr[-2000:]
+
+        def frame_count(fp):
+            cap = cv2.VideoCapture(fp)
+            n = 0
+            while cap.read()[0]:
+                n += 1
+            cap.release()
+            return n
+
+        vid = cli_env["video_fps"][0]
+        # no --mat-fp/--h5-fp: both sides use the uniform-interval fallback,
+        # so selections are comparable across the two video ids
+        common = ["--no-audio", "--config", cli_env["cfg"], "--workdir", root]
+        r = _run(["infer", vid, *common, "--stream", "--stream-chunk", "4"],
+                 root)
+        assert r.returncode == 0, r.stderr[-2000:]
+        file_n = frame_count(os.path.join(root, "tmp", "vidA.mp4"))
+
+        d = str(tmp_path / "liveA")
+        os.makedirs(d)
+        frames = np.load(vid)["frames"]
+        parts = np.split(frames, [100, 170])
+
+        def writer():
+            for i, p in enumerate(parts):
+                time.sleep(0.4)
+                tmp = os.path.join(d, f"{i:05d}.npz.part")
+                with open(tmp, "wb") as f:
+                    np.savez(f, frames=p)
+                os.replace(tmp, os.path.join(d, f"{i:05d}.npz"))
+            open(os.path.join(d, "END"), "w").close()
+
+        w = threading.Thread(target=writer)
+        w.start()
+        try:
+            r = _run(["infer", d, *common, "--stream", "--stream-chunk", "4",
+                      "--follow", "--follow-poll", "0.05"], root)
+        finally:
+            w.join()
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "streamed 8 condensed frames" in r.stdout
+        follow_n = frame_count(os.path.join(root, "tmp", "liveA.mp4"))
+        assert follow_n == file_n > 0
+
+    def test_follow_requires_stream(self, cli_env, tmp_path):
+        root = cli_env["root"]
+        r = _run(["infer", str(tmp_path), "--no-audio",
+                  "--config", cli_env["cfg"], "--workdir", root,
+                  "--follow"], root)
+        assert r.returncode == 2
+        assert "--follow is a --stream mode" in r.stderr
+
     def test_stream_rejects_audio_trunk(self, cli_env):
         root = cli_env["root"]
         r = _run(["infer", cli_env["video_fps"][0], "--config", cli_env["cfg"],

@@ -193,6 +193,43 @@ class TestFollowCondensedChunks:
                 d, SKIP, chunk=4, audio_cfg=small_cfg.audio, timeout=2.0))
 
 
+class TestSegmentExport:
+    """Post-stream passes over a COMPLETE segment directory: the summary
+    export twin of `export_selected_clips_stream` (what `infer --stream
+    --follow` writes at the END sentinel)."""
+
+    def test_export_matches_merged_intervals(self, tmp_path):
+        import cv2
+
+        from cvml_goalnet_tpu.data.follow import (
+            export_selected_clips_from_segments)
+
+        d = str(tmp_path)
+        raw = _frames(90, 4, hw=(32, 32))
+        for i, part in enumerate(np.split(raw, [25, 60])):
+            _write_segment(d, f"{i:05d}.npz", part)
+        open(os.path.join(d, "END"), "w").close()
+        # intervals straddle both segment boundaries on purpose
+        iv = np.array([[10, 30], [55, 70]])
+        out = str(tmp_path / "summary.mp4")
+        written = export_selected_clips_from_segments(d, iv, out)
+        assert written == 35
+        cap = cv2.VideoCapture(out)
+        n = 0
+        while cap.read()[0]:
+            n += 1
+        cap.release()
+        assert n == 35
+
+    def test_growing_directory_refuses_complete_pass(self, tmp_path):
+        from cvml_goalnet_tpu.data.follow import list_segments
+
+        d = str(tmp_path)
+        _write_segment(d, "00001.npz", _frames(4, 1))
+        with pytest.raises(ValueError, match="sentinel"):
+            list_segments(d)
+
+
 class TestFollowSpotStream:
     """spot_stream over a LIVE directory == offline spotting on the final
     footage (the end-to-end claim the CLI/serve --follow surfaces rest on)."""
