@@ -1051,6 +1051,80 @@ class TestSpotStreamHTTP:
             np.asarray(detect_peaks(jnp.asarray(streamed), 3, 0.0)))[0]
         np.testing.assert_array_equal(np.sort(ev_lines), ev_offline)
 
+    def test_follow_streams_audio_trunk(self, small_cfg, tmp_path):
+        """An AUDIO-included trunk serves /spot-stream in follow mode: every
+        finalized segment ships its .wav span (round-5 — the same AV
+        contract the CLI twin tests), and the streamed scores match offline
+        scoring of the same per-segment features to the halo-decay bound."""
+        import dataclasses
+        import os
+        import threading
+        import time
+
+        import jax.numpy as jnp
+
+        from cvml_goalnet_tpu.data.audio_io import load_waveform, write_wav
+        from cvml_goalnet_tpu.ops.audio import extract_audio_features
+        from cvml_goalnet_tpu.ops.preprocess import preprocess_frames_host
+        from cvml_goalnet_tpu.serve import Spotter, Summarizer
+        from cvml_goalnet_tpu.spotting import encode_timeline, score_timeline_auto
+
+        cfg = dataclasses.replace(
+            small_cfg,
+            model=dataclasses.replace(small_cfg.model, audio_included=True))
+        spotter = Spotter(cfg)
+        server = start_http_background(Summarizer(cfg), port=0, spotter=spotter)
+        port = server.server_address[1]
+        d = tmp_path / "live_av"
+        d.mkdir()
+        skip = cfg.preprocess.skip_frames
+        rng = np.random.default_rng(1)
+        raw = rng.integers(0, 255, (24 * skip, 32, 32, 3), dtype=np.uint8)
+        parts = np.split(raw, [10 * skip])
+        wavs = [rng.standard_normal(len(p) * 40).astype(np.float32) * 0.2
+                for p in parts]
+
+        def writer():
+            for i, (p, wav) in enumerate(zip(parts, wavs)):
+                time.sleep(0.3)
+                write_wav(str(d / f"{i:05d}.wav"), wav, cfg.audio.sample_rate)
+                tmp = str(d / f"{i:05d}.npz.part")
+                with open(tmp, "wb") as f:
+                    np.savez(f, frames=p)
+                os.replace(tmp, str(d / f"{i:05d}.npz"))
+            open(str(d / "END"), "w").close()
+
+        w = threading.Thread(target=writer)
+        w.start()
+        try:
+            lines = self._stream_lines(port, {
+                "video": str(d), "follow": True, "follow_timeout": 20,
+                "chunk": 8, "halo": 8, "peak_window": 3,
+                "emit_scores": True})
+        finally:
+            w.join()
+            server.shutdown()
+        assert lines[-1]["streamed_frames"] == 24
+        streamed = np.concatenate(
+            [np.asarray(l["scores"]) for l in lines if "scores" in l])
+        # offline on the same per-segment audio features (the documented
+        # segment-local slotting contract)
+        vis = preprocess_frames_host(
+            raw[::skip], cfg.preprocess.frame_size, cfg.preprocess.eps)
+        pos, aud = 0, []
+        for i, p in enumerate(parts):
+            n_cond = len(range((-pos) % skip, len(p), skip))
+            y, _ = load_waveform(str(d / f"{i:05d}.wav"),
+                                 target_sr=cfg.audio.sample_rate)
+            aud.append(extract_audio_features(y, n_cond, cfg.audio))
+            pos += len(p)
+        feats = encode_timeline(
+            spotter.state.params, spotter.state.model_state,
+            jnp.asarray(vis), jnp.asarray(np.concatenate(aud)), cfg)
+        offline = np.asarray(score_timeline_auto(
+            spotter.temporal_params, feats, cfg))
+        np.testing.assert_allclose(streamed, offline, atol=2e-2)
+
     def test_follow_on_a_file_is_400(self, small_cfg, tmp_path):
         from cvml_goalnet_tpu.serve import Spotter, Summarizer
 
